@@ -1,0 +1,151 @@
+"""JSON flattening + rudder type inference (reference P5 + P7).
+
+The reference flattens nested `context`/`properties`/`traits`/`userProperties`
+objects into snake_cased prefixed columns (embedded/warehouse/set.go:15-228),
+with recursion stopping at level 3, and infers a column type per value
+(`dataTypeFor`, embedded/warehouse/datatype.go:11-22): int vs float via
+integer-valuedness, timestamp-looking strings → datetime, bool → boolean,
+else string; nulls are skipped. Schemas consolidate across a batch
+(warehouse/schema/schema.go:294-343).
+
+Spark-first design (two phases, both distributed):
+
+  Phase 1 — schema discovery: `parse_json` each payload into a VARIANT and
+  let `schema_of_variant_agg` merge the per-row types of each group into one
+  OBJECT schema — a single aggregation over the corpus, no driver-side JSON
+  walking (the driver only receives the final merged schema string, bytes,
+  not data). Numeric consolidation (int + decimal → double) follows the
+  reference's int↔float coercion rule; VOID (all-null) keys are dropped
+  exactly like the reference's null-skip.
+
+  Phase 2 — projection: one generated `select` of
+  `try_variant_get(v, '$.path', <type>)` expressions — fully codegen'd,
+  no Python. A third aggregate pass promotes string columns whose every
+  non-null value matches the RFC3339 shape to timestamp (datatype.go:15-17).
+
+At 100 TB both phases scale: phase 1 is a map + tree-aggregate of small
+schema objects; phase 2 is a narrow map.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from rudder_server_spark.functions.names import safe_column_name
+
+DEFAULT_GROUPS = ("context", "properties", "traits", "userProperties")
+
+# RFC3339-ish timestamp detector (datatype.go:15-17 semantics)
+TS_REGEX = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:?\d{2})?$"
+
+
+def _leaf_paths(schema: T.DataType, prefix: list[str], depth: int, max_depth: int):
+    """Walk a merged variant OBJECT schema → (json_path_parts, spark_type)."""
+    if isinstance(schema, T.StructType) and depth < max_depth:
+        for f in schema.fields:
+            yield from _leaf_paths(f.dataType, prefix + [f.name], depth + 1, max_depth)
+    else:
+        yield prefix, schema
+
+
+def _target_type(dt: T.DataType) -> str | None:
+    """Map a merged variant leaf type to the rudder lattice's Spark type.
+
+    Returns None for all-null (VOID) leaves — dropped like the reference's
+    null-skip. Deep objects/arrays serialize to JSON strings.
+    """
+    if isinstance(dt, T.NullType):
+        return None
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "bigint"
+    if isinstance(dt, (T.DecimalType, T.DoubleType, T.FloatType)):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    return "json"  # struct beyond depth, arrays, mixed → JSON string
+
+
+def discover_flat_schema(
+    df: DataFrame,
+    payload_col: str = "payload",
+    groups=DEFAULT_GROUPS,
+    max_depth: int = 3,
+) -> list[tuple[str, list[str], str]]:
+    """Phase 1: returns [(column_name, json_path_parts, target_type), ...].
+
+    column_name is the snake_cased, safety-filtered flattened name
+    (group prefix + '_'-joined path).
+    """
+    v = F.parse_json(F.col(payload_col))
+    agg = df.agg(
+        *[
+            F.schema_of_variant_agg(F.try_variant_get(v, f"$.{g}", "variant")).alias(g)
+            for g in groups
+        ]
+    ).head()
+    out: list[tuple[str, list[str], str]] = []
+    for g in groups:
+        ddl = agg[g]
+        if ddl is None or ddl == "VOID":
+            continue
+        # schema_of_variant_agg prints OBJECT<...>; parse as STRUCT DDL
+        struct_ddl = re.sub(r"\bOBJECT<", "STRUCT<", ddl)
+        try:
+            parsed = T._parse_datatype_string(struct_ddl)
+        except Exception:
+            continue
+        if not isinstance(parsed, T.StructType):
+            continue
+        for path, dt in _leaf_paths(parsed, [g], 1, max_depth):
+            tgt = _target_type(dt)
+            if tgt is None:
+                continue
+            col_name = safe_column_name("_".join(path))
+            out.append((col_name, path, tgt))
+    return sorted(out)
+
+
+def flatten_events(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep_cols: tuple = ("message_id",),
+    groups=DEFAULT_GROUPS,
+    max_depth: int = 3,
+    detect_timestamps: bool = True,
+) -> DataFrame:
+    """Phase 2: project the discovered schema into flattened typed columns."""
+    schema = discover_flat_schema(df, payload_col, groups, max_depth)
+    v = F.parse_json(F.col(payload_col))
+
+    def extractor(path: list[str], tgt: str):
+        jp = "$." + ".".join(path)
+        if tgt == "json":
+            return F.to_json(F.try_variant_get(v, jp, "variant"))
+        return F.try_variant_get(v, jp, tgt)
+
+    cols = [F.col(c) for c in keep_cols] + [
+        extractor(path, tgt).alias(name) for name, path, tgt in schema
+    ]
+    flat = df.select(*cols)
+
+    if detect_timestamps:
+        str_cols = [name for name, _, tgt in schema if tgt == "string"]
+        if str_cols:
+            checks = flat.agg(
+                *[
+                    (
+                        F.min(
+                            F.when(F.col(c).isNotNull(), F.col(c).rlike(TS_REGEX))
+                        ).alias(c)
+                    )
+                    for c in str_cols
+                ]
+            ).head()
+            promote = [c for c in str_cols if checks[c] is True]
+            for c in promote:
+                flat = flat.withColumn(c, F.col(c).cast("timestamp"))
+    return flat

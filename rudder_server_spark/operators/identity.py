@@ -1,0 +1,67 @@
+"""Identity-graph connected components.
+
+The reference resolves identities incrementally: merge rules
+`(prop1_type, prop1_value, prop2_type, prop2_value)` union the components of
+the two identifiers and every member is rewritten to one `rudder_id`
+(warehouse/identity/identity.go:79-207; rule extraction from merge/alias
+events at processor/.../embedded/warehouse/idresolution.go:15-122).
+
+Spark-first strategy: batch connected components via alternating
+min-label propagation ("large-star/small-star" style, Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each iteration is
+two shuffles (groupBy min + join); convergence in O(log n) iterations for
+real identity graphs (shallow, star-shaped). We checkpoint (localCheckpoint)
+every iteration to cut the lineage — without it the plan doubles each round
+and the driver OOMs long before 100 TB.
+
+At cluster scale the same loop runs unchanged: edges are shuffled by node id,
+skew (celebrity identifiers) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """Compute connected components over an undirected string-node graph.
+
+    Returns (identifier, component) where component is the lexicographically
+    smallest identifier in the node's component.
+    """
+    # Undirected: symmetrize, drop self-loops/nulls, dedup.
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    # label(node) starts as min(node, min neighbor)
+    labels = (
+        sym.groupBy("a")
+        .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
+        .select(F.col("a").alias("node"), "lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: candidate label for node = min over neighbors' labels ∪ own
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b2"), sym.b == F.col("b2"))
+            .select(F.col("a").alias("node"), F.col("lbl"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("identifier"), F.col("lbl").alias("component"))

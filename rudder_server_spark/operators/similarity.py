@@ -1,0 +1,94 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (one broadcast of the query
+vector, a narrow map computing the dot product JVM-side via zip_with +
+aggregate, then a top-k). The LSH-bucketed variant is the 100 TB scale path:
+random-hyperplane signatures bucket vectors so each query probes only its
+bucket (and optionally neighboring buckets), turning O(N) scans into
+O(N / 2^bits) with recall controlled by the number of hash tables.
+
+No Python in the hot path: dot products run inside codegen with
+`F.zip_with` + `F.aggregate`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i).
+
+    Planes are fixed literals (seeded off-line) so bucketing is deterministic.
+    At scale: `df.withColumn("bucket", lsh_bucket(...))` then repartition by
+    bucket; queries hash the same way and probe one partition.
+    """
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(float(v)) for v in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out * 2 + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall < 1 by construction — use more tables/probes for higher recall.
+    """
+    q_bucket = 0
+    for p in planes:
+        s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        q_bucket = q_bucket * 2 + (1 if s >= 0 else 0)
+    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    cand = bucketed.where(F.col("_bucket") == q_bucket)
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,516 @@
+"""Core declared queries: events-semantics (Q2-Q7, Q10-Q14) and the extended
+relational surface (Q20-Q25) from SURVEY §2.11.
+
+Each Spark implementation maps a reference operator (file:line cited per
+query) onto built-in DataFrame ops so Catalyst handles pushdown/pruning and
+AQE handles shuffle sizing. Small dimensions (nation) are broadcast
+explicitly; everything else is left to the optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rudder_server_spark.operators.asof import asof_join
+from rudder_server_spark.plans.registry import register
+from rudder_server_spark.sources.fixtures import load_table
+
+
+def _events(spark, sf):
+    return load_table(spark, sf, "events")
+
+
+# --------------------------------------------------------------------------
+# Q2 latest-status join — jobsdb `v_last_` view: DISTINCT ON (job_id) ...
+# ORDER BY id DESC (jobsdb/jobsdb_dataset_ddl.go:242, jobsdb_get.go:495-531).
+# One shuffle on user_id; window sort is local within partitions.
+@register(
+    "q2_latest_status",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events e
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Latest row per user (max ts, tie max event_id). Ref: jobsdb_dataset_ddl.go:242",
+)
+def q2(spark, sf):
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 pileup counts — unprocessed-jobs anti/outer join + grouped counts
+# (jobsdb/jobsdb_get.go:86-160). Keep events with NO later purchase by the
+# same user. The per-user max-purchase-ts aggregate is tiny → broadcast it.
+@register(
+    "q3_pileup",
+    """
+    WITH mp AS (
+      SELECT user_id, max(ts) AS max_purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT event_type, count(*) AS cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events e LEFT JOIN mp USING (user_id)
+    WHERE mp.max_purchase_ts IS NULL OR e.ts >= mp.max_purchase_ts
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Counts of events with no later purchase per user. Ref: jobsdb_get.go:86-160",
+)
+def q3(spark, sf):
+    e = _events(spark, sf)
+    mp = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("max_purchase_ts"))
+    )
+    return (
+        e.join(F.broadcast(mp), "user_id", "left")
+        .where(F.col("max_purchase_ts").isNull() | (F.col("ts") >= F.col("max_purchase_ts")))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 exact dedup — messageId-keyed dedup (processor/processor.go:1941-1983,
+# services/dedup/dedup.go:43-90). Batch form: row_number over the dedup key.
+# At scale this is one shuffle on the composite key; streaming form is
+# dropDuplicatesWithinWatermark (see streaming/pipeline.py).
+@register(
+    "q4_exact_dedup",
+    """
+    SELECT event_type, count(*) AS cnt FROM (
+      SELECT event_type, row_number() OVER (
+        PARTITION BY user_id, event_type, CAST(ts AS DATE) ORDER BY event_id
+      ) AS rn FROM events
+    ) WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Dedup on (user_id, event_type, day), keep min event_id. Ref: dedup.go:43-90",
+)
+def q4(spark, sf):
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id", "event_type", F.col("ts").cast("date")).orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 suppression — GDPR user suppression as broadcast anti-join
+# (gateway/handle.go:574-602, enterprise/suppress-user/handler.go:27).
+@register(
+    "q5_suppression",
+    """
+    SELECT event_type, count(*) AS cnt
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events s WHERE s.event_type = 'error' AND s.user_id = e.user_id
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Anti-join against suppressed (error-having) users. Ref: gateway/handle.go:574-602",
+)
+def q5(spark, sf):
+    e = _events(spark, sf)
+    suppressed = e.where(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        e.join(F.broadcast(suppressed), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 supported-type filter — destination supportedMessageTypes; unsupported
+# rows are kept with state 'filtered' (processor/eventfilter/eventfilter.go:
+# 24-294, ConvertToFilteredTransformerResponse processor.go:3799-3899).
+@register(
+    "q6_supported_filter",
+    """
+    SELECT event_type,
+           CASE WHEN event_type IN ('click','view','purchase') THEN 'ok' ELSE 'filtered' END AS status,
+           count(*) AS cnt
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Supported-message-type filter with 'filtered' status. Ref: eventfilter.go:24-294",
+)
+def q6(spark, sf):
+    e = _events(spark, sf)
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "status",
+            F.when(F.col("event_type").isin("click", "view", "purchase"), "ok").otherwise("filtered"),
+        )
+        .select("event_type", "status", "cnt")
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 fan-out join — event × enabled destinations of its source
+# (processor/processor.go:2373-2453). The connections table (nation, 25 rows)
+# is broadcast — no shuffle of the fact side at any scale.
+@register(
+    "q7_fanout",
+    """
+    SELECT n_name, count(*) AS cnt
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Fan-out inner join to broadcast dimension. Ref: processor.go:2373-2453",
+)
+def q7(spark, sf):
+    e = _events(spark, sf)
+    n = load_table(spark, sf, "nation")
+    return (
+        e.join(F.broadcast(n), e.user_id % 25 == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 schema-coercion discards — dataTypeFor + HandleSchemaChange: values
+# incompatible with the declared schema route to rudder_discards
+# (embedded/warehouse/datatype.go:11-95, slave/worker.go:404-465,638-696;
+# discards table shape warehouse/utils/utils.go:176-184).
+@register(
+    "q10_discards",
+    """
+    SELECT event_id AS row_id, 'value' AS column_name,
+           CAST(value AS VARCHAR) AS column_value,
+           'incompatible schema conversion' AS reason
+    FROM events WHERE value <> floor(value) ORDER BY event_id
+    """,
+    doc="Non-integer values under {value: BIGINT} schema → discards. Ref: datatype.go:39-48",
+)
+def q10(spark, sf):
+    e = _events(spark, sf)
+    return (
+        e.where(F.col("value") != F.floor("value"))
+        .select(
+            F.col("event_id").alias("row_id"),
+            F.lit("value").alias("column_name"),
+            F.col("value").cast("string").alias("column_value"),
+            F.lit("incompatible schema conversion").alias("reason"),
+        )
+        .orderBy("row_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 reporting rollup — metrics grouped by labels + minute bucket with
+# last-sample retention (enterprise/reporting/reporting.go:262-334).
+# max_by keeps the sample without a second window pass.
+@register(
+    "q11_reporting_rollup",
+    """
+    SELECT event_type, date_trunc('minute', ts) AS bucket,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           count(*) AS cnt, max(ts) AS max_ts,
+           max_by(props, event_id) AS sample
+    FROM events GROUP BY event_type, date_trunc('minute', ts)
+    ORDER BY event_type, bucket
+    """,
+    doc="Minute-bucket reporting rollup with retained sample. Ref: reporting.go:262-334",
+)
+def q11(spark, sf):
+    e = _events(spark, sf)
+    return (
+        e.groupBy("event_type", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("sum_value"),
+            F.count("*").alias("cnt"),
+            F.max("ts").alias("max_ts"),
+            F.max_by("props", "event_id").alias("sample"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 tracked users — per-(workspace,source) distinct users
+# (enterprise/trackedusers/users_reporter.go:108-230). Exact here (the
+# oracle); the HLL production path is operators/sketches.py.
+@register(
+    "q12_tracked_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS distinct_users FROM events
+    ORDER BY event_type
+    """,
+    doc="Exact distinct users per event_type + ALL row. Ref: users_reporter.go:108-230",
+)
+def q12(spark, sf):
+    e = _events(spark, sf)
+    per = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
+    allr = e.agg(F.countDistinct("user_id").alias("distinct_users")).select(
+        F.lit("ALL").alias("event_type"), "distinct_users"
+    )
+    return per.unionByName(allr).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q13 distinct values — jobsdb loose index scan for DISTINCT
+# (jobsdb/jobsdb_get.go:184-265). Catalyst's partial-agg distinct replaces
+# the hand-written recursive-CTE skip scan.
+@register(
+    "q13_distinct",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    doc="Distinct parameter values. Ref: jobsdb_get.go:184-265",
+)
+def q13(spark, sf):
+    return _events(spark, sf).select("event_type").distinct().orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Q14 job-run stats — rsources per-run status counts
+# (services/rsources/handler.go:67-110).
+@register(
+    "q14_jobrun_stats",
+    """
+    SELECT event_type,
+           CASE WHEN value < 50 THEN 'failed' WHEN value < 100 THEN 'succeeded' ELSE 'waiting' END AS status,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2 ORDER BY event_type, status
+    """,
+    doc="Status-bucketed counts. Ref: rsources/handler.go:67-110",
+)
+def q14(spark, sf):
+    e = _events(spark, sf)
+    status = (
+        F.when(F.col("value") < 50, "failed")
+        .when(F.col("value") < 100, "succeeded")
+        .otherwise("waiting")
+    )
+    return (
+        e.groupBy("event_type", status.alias("status"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 TPC-H Q3-style — 3-way join + agg + top-k. AQE broadcasts customer
+# (post-filter it is far under the 64 MB threshold at any tested SF).
+@register(
+    "q20_tpch_q3",
+    """
+    SELECT l_orderkey, o_orderdate,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="customer ⋈ orders ⋈ lineitem, revenue top-10.",
+)
+def q20(spark, sf):
+    c = load_table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    l = load_table(spark, sf, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 rollup — native Spark ROLLUP (not in the reference; SURVEY §2.5).
+@register(
+    "q21_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,6))) / count(*), 6) AS DOUBLE) AS avg_disc,
+           count(*) AS cnt
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP(l_returnflag, l_linestatus) aggregate.",
+)
+def q21(spark, sf):
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2).cast("double").alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")) / F.count("*"), 6
+            ).cast("double").alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 analytic windows — lag/lead/rank/running sum (SURVEY §2.6; ranking
+# beyond row_number is Spark-native surface).
+@register(
+    "q22_windows",
+    """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_rank,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    doc="lag/lead + rank + running sum over orders.",
+)
+def q22(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(wr).alias("price_rank"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+            2,
+        ).cast("double").alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Q23 per-group top-k (SURVEY §2.7) — row_number ≤ k.
+@register(
+    "q23_topk",
+    """
+    SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3 ORDER BY o_orderpriority, rn
+    """,
+    doc="Top 3 orders by totalprice per priority.",
+)
+def q23(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24 set ops — INTERSECT / EXCEPT / UNION counts (SURVEY §2.8; reference
+# forms at redshift.go:886-905, identity.go:314-324).
+@register(
+    "q24_setops",
+    """
+    SELECT
+      (SELECT count(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+      (SELECT count(*) FROM (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except,
+      (SELECT count(*) FROM (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+        UNION
+        SELECT o_orderkey FROM orders WHERE o_totalprice < 50000)) AS n_union
+    """,
+    doc="INTERSECT/EXCEPT/UNION counts in one row.",
+)
+def q24(spark, sf):
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    o = load_table(spark, sf, "orders")
+    ok = o.select("o_custkey")
+    n_inter = c.intersect(ok.withColumnRenamed("o_custkey", "c_custkey")).count()
+    n_exc = c.exceptAll(ok.withColumnRenamed("o_custkey", "c_custkey")).distinct().count()
+    hi = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+    lo = o.where(F.col("o_totalprice") < 50000).select("o_orderkey")
+    n_union = hi.union(lo).distinct().count()
+    return spark.createDataFrame(
+        [(n_inter, n_exc, n_union)], "n_intersect bigint, n_except bigint, n_union bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25 as-of join — latest preceding click per purchase (operators/asof.py).
+# The oracle uses the naive LATERAL form; the engine uses the union+window
+# single-shuffle plan.
+@register(
+    "q25_asof",
+    """
+    SELECT p.event_id AS purchase_event_id,
+           l.click_event_id,
+           -- integer-ms rounding: avoids engine-specific double rounding at .5 boundaries
+           CASE WHEN l.click_event_id IS NULL THEN NULL
+                ELSE CAST((date_diff('microsecond', l.click_ts, p.ts) + 500) // 1000 AS DOUBLE) / 1000.0
+           END AS seconds_between
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT c.event_id AS click_event_id, c.ts AS click_ts
+      FROM events c
+      WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts < p.ts
+      ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+    ) l ON TRUE
+    ORDER BY purchase_event_id
+    """,
+    doc="As-of join: latest preceding click per purchase. SURVEY Q25.",
+)
+def q25(spark, sf):
+    e = _events(spark, sf)
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        carry_cols=["event_id"],
+        left_tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("asof_event_id").alias("click_event_id"),
+        (
+            F.floor((F.unix_micros("ts") - F.unix_micros("asof_ts") + 500) / 1000).cast("double")
+            / F.lit(1000.0)
+        ).alias("seconds_between"),
+    ).orderBy("purchase_event_id")

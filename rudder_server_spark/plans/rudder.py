@@ -1,0 +1,145 @@
+"""Rudder-event declared queries Q1/Q8/Q9 (SURVEY §2.11) over the
+FIXTURES.md §2 `rudder_events` fixture.
+
+The fixture is self-generated (sources/rudder_events.py) because the driver
+does not ship rudder_events.parquet yet; both the Spark side and the DuckDB
+oracle read the same generated file, keeping the comparison sound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rudder_server_spark.operators.flatten import flatten_events
+from rudder_server_spark.operators.identity import connected_components
+from rudder_server_spark.plans.registry import register
+from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+# the oracle runs at sf0.01 — materialize that fixture eagerly so the SQL
+# string can reference a concrete path (cached on disk after first call)
+_ORACLE_PATH = rudder_events_path("/root/testdata/sf0.01")
+
+
+def _load(spark, sf):
+    return spark.read.parquet(rudder_events_path(sf))
+
+
+# --------------------------------------------------------------------------
+# Q1 flatten + infer — P5 (embedded/warehouse/set.go:15-228) + P7 type
+# inference (embedded/warehouse/datatype.go:11-22). The oracle hardcodes the
+# consolidated fixture schema; the engine DISCOVERS it (schema_of_variant_agg
+# + timestamp promotion) — a genuine two-phase inference, not a transcription.
+@register(
+    "q1_flatten_infer",
+    f"""
+    SELECT message_id,
+      json_extract_string(payload, '$.context.ip') AS context_ip,
+      json_extract_string(payload, '$.context.library.name') AS context_library_name,
+      json_extract_string(payload, '$.context.library.version') AS context_library_version,
+      json_extract_string(payload, '$.context.traits.email') AS context_traits_email,
+      CAST(json_extract(payload, '$.context.traits.logins') AS BIGINT) AS context_traits_logins,
+      json_extract_string(payload, '$.properties.currency') AS properties_currency,
+      CAST(json_extract(payload, '$.properties.price') AS DOUBLE) AS properties_price,
+      CAST(json_extract(payload, '$.properties.quantity') AS BIGINT) AS properties_quantity,
+      CAST(json_extract(payload, '$.properties.shipped') AS BOOLEAN) AS properties_shipped,
+      json_extract_string(payload, '$.properties.title') AS properties_title,
+      json_extract_string(payload, '$.properties.url') AS properties_url,
+      CAST(json_extract(payload, '$.traits.age') AS BIGINT) AS traits_age,
+      CAST(json_extract_string(payload, '$.traits.created_at') AS TIMESTAMP) AS traits_created_at,
+      json_extract_string(payload, '$.traits.email') AS traits_email,
+      json_extract_string(payload, '$.traits.name') AS traits_name,
+      json_extract_string(payload, '$.traits.plan') AS traits_plan,
+      CAST(json_extract(payload, '$.userProperties.rating') AS BIGINT) AS user_properties_rating
+    FROM read_parquet('{_ORACLE_PATH}') ORDER BY message_id
+    """,
+    doc="Flatten payload JSON to snake_cased typed columns. Ref: set.go:15-228, datatype.go:11-22",
+    tags=("rudder",),
+)
+def q1(spark, sf):
+    df = _load(spark, sf)
+    return flatten_events(df, keep_cols=("message_id",)).orderBy("message_id")
+
+
+# --------------------------------------------------------------------------
+# Q8 users latest traits — J3/W3: FIRST_VALUE(col IGNORE NULLS) OVER
+# (PARTITION BY id ORDER BY received_at DESC) + DISTINCT (redshift.go:859-944,
+# snowflake.go:920-1000). Spark side uses the aggregation rewrite
+# (SURVEY §4.6): max_by(col, received_at | col IS NOT NULL) — one partial-agg
+# shuffle instead of a full window sort, the form that wins at 100 TB.
+@register(
+    "q8_latest_traits",
+    f"""
+    WITH t AS (
+      SELECT user_id, received_at,
+        json_extract_string(payload, '$.traits.email') AS traits_email,
+        json_extract_string(payload, '$.traits.name') AS traits_name,
+        json_extract_string(payload, '$.traits.plan') AS traits_plan,
+        CAST(json_extract(payload, '$.traits.age') AS BIGINT) AS traits_age,
+        CAST(json_extract_string(payload, '$.traits.created_at') AS TIMESTAMP) AS traits_created_at
+      FROM read_parquet('{_ORACLE_PATH}') WHERE event_type = 'identify'
+    )
+    SELECT DISTINCT user_id,
+      first_value(traits_email IGNORE NULLS) OVER w AS traits_email,
+      first_value(traits_name IGNORE NULLS) OVER w AS traits_name,
+      first_value(traits_plan IGNORE NULLS) OVER w AS traits_plan,
+      first_value(traits_age IGNORE NULLS) OVER w AS traits_age,
+      first_value(traits_created_at IGNORE NULLS) OVER w AS traits_created_at
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY received_at DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY user_id
+    """,
+    doc="Latest non-null trait per user. Ref: redshift.go:859-944 (users table)",
+    tags=("rudder",),
+)
+def q8(spark, sf):
+    df = _load(spark, sf).where(F.col("event_type") == "identify")
+    v = F.parse_json(F.col("payload"))
+    traits = df.select(
+        "user_id",
+        "received_at",
+        F.try_variant_get(v, "$.traits.email", "string").alias("traits_email"),
+        F.try_variant_get(v, "$.traits.name", "string").alias("traits_name"),
+        F.try_variant_get(v, "$.traits.plan", "string").alias("traits_plan"),
+        F.try_variant_get(v, "$.traits.age", "bigint").alias("traits_age"),
+        F.try_variant_get(v, "$.traits.created_at", "string").cast("timestamp").alias("traits_created_at"),
+    )
+    agg = [
+        F.max_by(c, F.when(F.col(c).isNotNull(), F.col("received_at"))).alias(c)
+        for c in ["traits_email", "traits_name", "traits_plan", "traits_age", "traits_created_at"]
+    ]
+    return traits.groupBy("user_id").agg(*agg).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q9 identity connected components — J4 (warehouse/identity/identity.go:
+# 79-207; rule extraction idresolution.go:15-122). The oracle computes the
+# transitive closure with a recursive CTE; the engine runs distributed
+# min-label propagation (operators/identity.py).
+@register(
+    "q9_identity_graph",
+    f"""
+    WITH RECURSIVE raw AS (
+      SELECT json_extract_string(payload, '$.mergeProperties[0].value') AS a,
+             json_extract_string(payload, '$.mergeProperties[1].value') AS b
+      FROM read_parquet('{_ORACLE_PATH}') WHERE event_type = 'merge'
+    ),
+    edges AS (SELECT a, b FROM raw UNION SELECT b, a FROM raw),
+    walk(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a
+    )
+    SELECT n AS identifier, min(m) AS component FROM walk GROUP BY n ORDER BY identifier
+    """,
+    doc="Identity-graph connected components. Ref: identity.go:79-207",
+    tags=("rudder",),
+)
+def q9(spark, sf):
+    df = _load(spark, sf).where(F.col("event_type") == "merge")
+    v = F.parse_json(F.col("payload"))
+    edges = df.select(
+        F.try_variant_get(v, "$.mergeProperties[0].value", "string").alias("src"),
+        F.try_variant_get(v, "$.mergeProperties[1].value", "string").alias("dst"),
+    )
+    return connected_components(edges).orderBy("identifier")

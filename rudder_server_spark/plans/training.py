@@ -1,0 +1,306 @@
+"""Training-data pipeline declared queries (beyond the reference's surface,
+per the project charter): dedup tiers, similarity search, text analysis,
+multimodal plumbing. Each runs on the documents / embeddings fixtures with a
+DuckDB oracle where the semantics are SQL-expressible; approximate operators
+(MinHash recall, LSH probing) that cannot be replicated exactly in SQL are
+registered with oracle=None → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rudder_server_spark.operators import dedup as D
+from rudder_server_spark.operators import similarity as S
+from rudder_server_spark.operators import text as X
+from rudder_server_spark.operators.multimodal import decode_media
+from rudder_server_spark.plans.registry import register
+from rudder_server_spark.sources.fixtures import load_table
+
+# ---- shared DuckDB SQL fragments (built programmatically so the oracle and
+# the Spark implementation share one definition of the heuristics) ----------
+
+_TOKENS = r"string_split_regex(lower(text), '\s+')"
+
+
+def _hits_sql(lang: str) -> str:
+    return " + ".join(
+        f"len(list_filter({_TOKENS}, x -> x = '{w}'))" for w in X.LANG_MARKERS[lang]
+    )
+
+
+_LANG_CASE = f"""
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END
+"""
+
+_JACCARD_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT x.sid AS a, y.sid AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = a
+    JOIN sizes sb ON sb.sid = b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    ORDER BY a, b
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "t1_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup: surviving doc_ids (min per normalized-text group).",
+    tags=("training", "dedup"),
+)
+def t1(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.exact_dedup(d).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "t2_ngram_jaccard",
+    _JACCARD_SQL,
+    doc="Exact 3-gram-shingle Jaccard pairs ≥ 0.8 (the near-dup oracle tier).",
+    tags=("training", "dedup"),
+)
+def t2(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.8).orderBy("a", "b")
+
+
+@register(
+    "t3_minhash_lsh",
+    _JACCARD_SQL,
+    doc=(
+        "MinHash(64)+LSH(16 bands) candidates verified by exact Jaccard ≥ 0.8. "
+        "Oracle = exact pairs; identical docs always collide, J≥0.8 pairs missed "
+        "with prob ≤ (1-0.8^4)^16 ≈ 2e-4."
+    ),
+    tags=("training", "dedup"),
+)
+def t3(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.8).orderBy("a", "b")
+
+
+@register(
+    "t4_simhash",
+    None,  # approximate banding: not SQL-replicable → rows-only check
+    doc="SimHash(63-bit) hamming ≤ 3 near-dup pairs (banded candidates).",
+    tags=("training", "dedup"),
+)
+def t4(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.simhash_pairs(d, max_hamming=3).orderBy("a", "b")
+
+
+@register(
+    "t5_embedding_neardup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+          >= 0.95
+    ORDER BY a, b
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs ≥ 0.95 (exact pairwise at test SF; "
+        "the 100 TB path pre-buckets with operators/similarity.lsh_bucket)."
+    ),
+    tags=("training", "dedup"),
+)
+def t5(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("_sim", sim)
+        .where(F.col("_sim") >= 0.95)
+        .select("a", "b", F.round(F.col("_sim"), 6).alias("cos_sim"))
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "t6_lang_id",
+    f"""
+    SELECT doc_id, {_LANG_CASE} AS lang_pred FROM (
+      SELECT doc_id, {_hits_sql('de')} AS h_de, {_hits_sql('en')} AS h_en,
+             {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+      FROM documents
+    ) ORDER BY doc_id
+    """,
+    doc="Stopword-marker language ID heuristic per document.",
+    tags=("training", "text"),
+)
+def t6(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+@register(
+    "t7_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS q_n_chars,
+           len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS q_n_tokens,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_alpha_ratio,
+           CAST(length(regexp_replace(text, '[^.,;:!?'']', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_punct_ratio,
+           CAST({_hits_sql('en')} AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')), 1) AS q_stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Quality features: length / punctuation / stopword ratios.",
+    tags=("training", "text"),
+)
+def t7(spark, sf):
+    d = load_table(spark, sf, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_tokens = X.token_count(t)
+    return d.select(
+        "doc_id",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        (
+            F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("q_alpha_ratio"),
+        (
+            F.length(F.regexp_replace(t, "[^.,;:!?']", "")).cast("double")
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("q_punct_ratio"),
+        (
+            X.marker_hits(t, "en").cast("double")
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("q_stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t8_token_stats",
+    f"""
+    SELECT source, count(*) AS cnt,
+           SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE) / count(*) AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Token counting rollup per source.",
+    tags=("training", "text"),
+)
+def t8(spark, sf):
+    d = load_table(spark, sf, "documents")
+    tc = X.token_count(F.col("text"))
+    return (
+        d.select("source", tc.alias("_tc"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("_tc").alias("total_tokens"),
+            (F.sum("_tc").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "t9_fingerprint",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Whole-document content fingerprint (md5 of normalized text).",
+    tags=("training", "text"),
+)
+def t9(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "t10_multimodal_stub",
+    """
+    SELECT doc_id AS item_id,
+           octet_length(encode(text)) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS first_byte
+    FROM documents ORDER BY item_id
+    """,
+    doc=(
+        "Multimodal plumbing: text bytes as stand-in binary payload through the "
+        "Arrow mapInPandas fake decoder (operators/multimodal.py); the oracle "
+        "checks n_bytes/first_byte (docs are ASCII so byte == codepoint)."
+    ),
+    tags=("training", "multimodal"),
+)
+def t10(spark, sf):
+    d = load_table(spark, sf, "documents")
+    binarized = d.select(
+        F.col("doc_id").alias("item_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return (
+        decode_media(binarized, fake=True)
+        .select("item_id", "n_bytes", "first_byte")
+        .orderBy("item_id")
+    )
+
+
+@register(
+    "t11_ann_lsh",
+    None,  # approximate probing (recall < 1) → rows-only check; unit test
+    # compares recall against q27's exact top-k.
+    doc="ANN top-10 via random-hyperplane LSH bucket probe (scale path for Q27).",
+    tags=("training", "similarity"),
+)
+def t11(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = _fixed_planes(dim=len(qvec), bits=4)
+    return S.lsh_topk(e.where(F.col("vec_id") != 0), [float(v) for v in qvec], planes, k=10)
+
+
+def _fixed_planes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no RNG dependency)."""
+    planes = []
+    state = 42
+    for _ in range(bits):
+        p = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**64)
+            p.append(((state >> 33) / float(2**31)) - 1.0)
+        planes.append(p)
+    return planes

@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Scale notes: every config here is chosen for a real cluster and degrades
+gracefully on local[N]:
+  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+    which is what saves the big groupBy/join stages at 100 TB.
+  - shuffle.partitions is a *default* only; AQE coalesces down, and at
+    cluster scale the deployment overrides it to ~2-3x total cores.
+  - UTC session timezone: the reference stamps all times UTC
+    (processor/processor.go:1026-1054); keeps parity with the DuckDB oracle.
+  - Arrow enabled: all Python<->JVM transfer (Pandas UDFs, createDataFrame)
+    is vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rudder_server_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession used across the engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = str(shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver fixtures write TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

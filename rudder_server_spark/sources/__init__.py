@@ -1,0 +1,3 @@
+from rudder_server_spark.sources.fixtures import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,58 @@
+"""Fixture table loaders (TPC-H-ish star schema + events/documents/embeddings).
+
+Mirrors the reference's jobsdb scan surface (jobsdb/jobsdb_get.go:343-675):
+a multi-dataset ordered parquet scan where Catalyst gives us for free what the
+reference hand-implements — dataset range pruning = parquet min/max row-group
+pruning, filter pushdown = PushedFilters, column pruning = ReadSchema.
+
+Scale note: at 100 TB these would be partitioned parquet/Delta directories
+(partitioned by date / workspace), and `load_table` would point at the table
+root; partition pruning then handles the reference's "afterJobID skips whole
+datasets" optimization (jobsdb/jobsdb_get.go:789-801) natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver may hand us a vanilla session; nanosAsLong is runtime-settable
+    # and required to read the fixtures' TIMESTAMP(NANOS) columns. Session tz
+    # is pinned UTC so the ns→timestamp conversion below matches the DuckDB
+    # oracle regardless of host timezone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see
+    # session.py nanosAsLong) and truncate to µs — the same truncation
+    # DuckDB applies, keeping oracle parity.
+    for colname, dtype in df.dtypes:
+        if colname == "ts" and dtype == "bigint":
+            df = df.withColumn(colname, F.expr(f"timestamp_micros({colname} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each fixture table as a temp view so plans can use spark.sql."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
