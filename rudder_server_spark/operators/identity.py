@@ -34,7 +34,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
     )
-    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize once — every loop iteration joins against the edges, and
+    # without this the upstream scan (parquet + JSON parse) re-runs per round
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # label(node) starts as min(node, min neighbor)
     labels = (
@@ -49,10 +55,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
             sym.join(labels.withColumnRenamed("node", "b2"), sym.b == F.col("b2"))
             .select(F.col("a").alias("node"), F.col("lbl"))
         )
+        cand = labels.unionByName(nbr).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # pointer jump: L'(n) = min(L(n), L(L(n))) — halves the effective
+        # diameter every iteration, so convergence is O(log d) instead of O(d)
+        lk = cand.select(F.col("node").alias("_ln"), F.col("lbl").alias("_ll"))
         new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            cand.join(lk, cand.lbl == F.col("_ln"), "left")
+            .select("node", F.least("lbl", F.coalesce("_ll", "lbl")).alias("lbl"))
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")

@@ -94,15 +94,21 @@ def q1(spark, sf):
 )
 def q8(spark, sf):
     df = _load(spark, sf).where(F.col("event_type") == "identify")
-    v = F.parse_json(F.col("payload"))
+    # single from_json parse of just the traits subtree (schema from the Q1
+    # discovery pass; hardcoded here since Q8 declares the trait columns)
+    ts = "traits struct<email:string,name:string,plan:string,age:bigint,created_at:string>"
     traits = df.select(
         "user_id",
         "received_at",
-        F.try_variant_get(v, "$.traits.email", "string").alias("traits_email"),
-        F.try_variant_get(v, "$.traits.name", "string").alias("traits_name"),
-        F.try_variant_get(v, "$.traits.plan", "string").alias("traits_plan"),
-        F.try_variant_get(v, "$.traits.age", "bigint").alias("traits_age"),
-        F.try_variant_get(v, "$.traits.created_at", "string").cast("timestamp").alias("traits_created_at"),
+        F.from_json(F.col("payload"), ts).alias("_s"),
+    ).select(
+        "user_id",
+        "received_at",
+        F.col("_s.traits.email").alias("traits_email"),
+        F.col("_s.traits.name").alias("traits_name"),
+        F.col("_s.traits.plan").alias("traits_plan"),
+        F.col("_s.traits.age").alias("traits_age"),
+        F.col("_s.traits.created_at").cast("timestamp").alias("traits_created_at"),
     )
     agg = [
         F.max_by(c, F.when(F.col(c).isNotNull(), F.col("received_at"))).alias(c)
@@ -137,9 +143,9 @@ def q8(spark, sf):
 )
 def q9(spark, sf):
     df = _load(spark, sf).where(F.col("event_type") == "merge")
-    v = F.parse_json(F.col("payload"))
-    edges = df.select(
-        F.try_variant_get(v, "$.mergeProperties[0].value", "string").alias("src"),
-        F.try_variant_get(v, "$.mergeProperties[1].value", "string").alias("dst"),
+    mp = "mergeProperties array<struct<type:string,value:string>>"
+    edges = df.select(F.from_json(F.col("payload"), mp).alias("_s")).select(
+        F.element_at("_s.mergeProperties", 1).getField("value").alias("src"),
+        F.element_at("_s.mergeProperties", 2).getField("value").alias("dst"),
     )
     return connected_components(edges).orderBy("identifier")
