@@ -44,6 +44,16 @@ def get_spark(
         # the driver fixtures write TIMESTAMP(NANOS) parquet, which Spark
         # rejects by default; read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split small files aggressively so a single-file fixture table still
+        # fans out across all local cores (default 128 MB leaves a 10 MB
+        # table on 1-3 tasks while 29+ cores idle). On a real cluster the
+        # deployment overrides this back up: with TB-scale inputs the
+        # default split size already yields far more tasks than cores.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -126,17 +126,27 @@ def _generate(out_path: str, n: int) -> None:
         for i in idx
     ]
 
+    # Cluster rows by event_type (stable, so content per FIXTURES.md is the
+    # same multiset) and cap row-group size: per-type queries (q8 identify,
+    # q9 merge) then prune whole row groups via parquet min/max stats instead
+    # of decoding every payload. Same layout choice you'd make at 100 TB —
+    # sort/partition the table by its dominant filter key.
+    order = np.argsort(np.array(event_type), kind="stable")
+
+    def take(vals):
+        return [vals[j] for j in order]
+
     table = pa.table(
         {
-            "message_id": pa.array(message_id, pa.string()),
-            "user_id": pa.array(user_ids, pa.int64()),
-            "anonymous_id": pa.array(anonymous_id, pa.string()),
-            "event_type": pa.array(event_type, pa.string()),
-            "event_name": pa.array(event_name, pa.string()),
-            "received_at": pa.array(received_at, pa.timestamp("us")),
-            "sent_at": pa.array(sent_at, pa.timestamp("us")),
-            "original_timestamp": pa.array(original_timestamp, pa.timestamp("us")),
-            "payload": pa.array(payload, pa.string()),
+            "message_id": pa.array(take(message_id), pa.string()),
+            "user_id": pa.array(user_ids[order], pa.int64()),
+            "anonymous_id": pa.array(take(anonymous_id), pa.string()),
+            "event_type": pa.array(take(event_type), pa.string()),
+            "event_name": pa.array(take(event_name), pa.string()),
+            "received_at": pa.array(received_at[order], pa.timestamp("us")),
+            "sent_at": pa.array(sent_at[order], pa.timestamp("us")),
+            "original_timestamp": pa.array(original_timestamp[order], pa.timestamp("us")),
+            "payload": pa.array(take(payload), pa.string()),
         }
     )
-    pq.write_table(table, out_path)
+    pq.write_table(table, out_path, row_group_size=64 * 1024)
