@@ -1,0 +1,258 @@
+"""Event → warehouse-table fan-out (reference P8).
+
+One incoming event produces rows in several relational tables
+(embedded/warehouse/events.go:17-638, transformer.go:85-160; expected
+shapes in FIXTURES.md §3):
+
+- ``track``    → ``tracks`` + one ``<snake_cased_event_name>`` table
+- ``identify`` → ``identifies`` + ``users`` (latest non-null traits)
+- ``page``     → ``pages``
+- ``alias``    → ``aliases``
+- ``merge``    → ``rudder_identity_merge_rules`` +
+                 ``rudder_identity_mappings`` (connected components, J4)
+
+Spark-first shape: ONE schema discovery + ONE ``from_json`` parse over the
+corpus (shared via lazy localCheckpoint), then each output table is a
+filter + narrow projection of that parsed frame — per-type parquet row-group
+pruning upstream, no per-table JSON re-parse. The per-event-name table set
+is driver-side metadata (bounded by schema cardinality, same as the
+reference's physical table-per-event design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from rudder_server_spark.functions.names import safe_table_name
+from rudder_server_spark.operators.envelope import normalize_envelope
+from rudder_server_spark.operators.flatten import discover_flat_schema, flatten_events
+from rudder_server_spark.operators.identity import connected_components
+
+ENVELOPE_COLS = (
+    "message_id",
+    "user_id",
+    "anonymous_id",
+    "event_type",
+    "event_name",
+    "received_at",
+    "sent_at",
+    "original_timestamp",
+    "timestamp",
+    "rudder_id",
+)
+
+_COMMON = [
+    "user_id",
+    "anonymous_id",
+    "received_at",
+    "sent_at",
+    "original_timestamp",
+    "timestamp",
+]
+
+
+def snake_expr(c: Column) -> Column:
+    """Column-level snake_case for event names ('Order Completed' →
+    'order_completed'); the driver-side twin of functions.names.snake_case."""
+    return F.lower(F.regexp_replace(F.regexp_replace(F.trim(c), "[^a-zA-Z0-9]+", "_"), "^_+|_+$", ""))
+
+
+def _group_cols(schema, group: str) -> list[str]:
+    return [name for name, path, _ in schema if path[0] == group]
+
+
+def _strip_prefix(name: str, prefix: str) -> str:
+    return name[len(prefix) :] if name.startswith(prefix) else name
+
+
+def event_table_fanout(
+    df: DataFrame,
+    payload_col: str = "payload",
+    discovery_limit: int | None = 200_000,
+    materialize: bool = True,
+) -> dict[str, DataFrame]:
+    """Fan an envelope+payload event frame out into warehouse tables.
+
+    Returns ``{table_name: DataFrame}``. ``df`` must carry the envelope
+    columns of FIXTURES.md §2 (message_id, user_id, anonymous_id,
+    event_type, event_name, received_at, sent_at, original_timestamp) and a
+    JSON ``payload`` column.
+    """
+    env = normalize_envelope(df)
+    # top-level scalar payload fields used by pages/aliases — one extra
+    # from_json walk of a 2-field struct, not a full parse
+    env = env.withColumn(
+        "_top", F.from_json(F.col(payload_col), "name string, previousId string")
+    )
+    keep = [c for c in ENVELOPE_COLS if c in env.columns] + ["_top"]
+
+    # Per-table schema consolidation, as the reference does per staging batch
+    # (warehouse/schema/schema.go:294-343): context is shared across all
+    # event types; properties/userProperties are discovered on track rows,
+    # page properties on page rows, traits on identify rows. Each discovery
+    # scan is pruned to its event type by the parquet row-group stats.
+    et = F.col("event_type")
+    ctx_schema = discover_flat_schema(
+        env, payload_col, groups=("context",), discovery_limit=discovery_limit
+    )
+    track_schema = discover_flat_schema(
+        env.where(et == "track"), payload_col,
+        groups=("properties", "userProperties"), discovery_limit=discovery_limit,
+    )
+    page_schema = discover_flat_schema(
+        env.where(et == "page"), payload_col,
+        groups=("properties",), discovery_limit=discovery_limit,
+    )
+    traits_schema = discover_flat_schema(
+        env.where(et == "identify"), payload_col,
+        groups=("traits",), discovery_limit=discovery_limit,
+    )
+    # union for the single shared projection; first-wins on name conflicts
+    # (the reference's first-type-wins consolidation)
+    schema, seen = [], set()
+    for part in (ctx_schema, track_schema, traits_schema, page_schema):
+        for name, path, tgt in part:
+            if name not in seen:
+                seen.add(name)
+                schema.append((name, path, tgt))
+
+    flat = flatten_events(
+        env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema
+    )
+    if materialize:
+        # every output table filters this one parsed frame; materialize it
+        # once instead of re-parsing JSON per table
+        flat = flat.localCheckpoint(eager=False)
+
+    ctx_cols = _group_cols(ctx_schema, "context")
+    prop_cols = [n for n, p, _ in track_schema if p[0] == "properties" and n in seen]
+    uprop_cols = _group_cols(track_schema, "userProperties")
+    trait_cols = _group_cols(traits_schema, "traits")
+    page_prop_cols = _group_cols(page_schema, "properties")
+
+    def common(sel_id: Column = F.col("message_id")) -> list[Column]:
+        return [sel_id.alias("id")] + [F.col(c) for c in _COMMON]
+
+    tables: dict[str, DataFrame] = {}
+
+    # ---- tracks + per-event tables ------------------------------------
+    tracks_base = flat.where(F.col("event_type") == "track")
+    track_common = common() + [
+        F.col("event_name").alias("event_text"),
+        snake_expr(F.col("event_name")).alias("event"),
+        *[F.col(c) for c in ctx_cols],
+    ]
+    tables["tracks"] = tracks_base.select(*track_common)
+
+    # the per-event table set is schema metadata: small, driver-side
+    event_names = [
+        r[0]
+        for r in tracks_base.select("event_name").distinct().collect()
+        if r[0] is not None
+    ]
+    taken = {"id", "event", "event_text", *_COMMON, *ctx_cols}
+    unprefixed = []
+    for c in prop_cols:
+        short = _strip_prefix(c, "properties_")
+        unprefixed.append((c, short if short not in taken else c))
+    for c in uprop_cols:
+        short = _strip_prefix(c, "user_properties_")
+        unprefixed.append((c, short if short not in taken else c))
+    for ev in sorted(event_names):
+        tbl = safe_table_name(ev.strip().replace(" ", "_").lower())
+        tables[tbl] = tracks_base.where(F.col("event_name") == ev).select(
+            *track_common, *[F.col(c).alias(short) for c, short in unprefixed]
+        )
+
+    # ---- identifies + users -------------------------------------------
+    identifies_base = flat.where(F.col("event_type") == "identify")
+    trait_renames = []
+    for c in trait_cols:
+        short = _strip_prefix(c, "traits_")
+        trait_renames.append((c, short if short not in taken else c))
+    tables["identifies"] = identifies_base.select(
+        *common(), *[F.col(c) for c in ctx_cols],
+        *[F.col(c).alias(short) for c, short in trait_renames],
+    )
+    # users: one row per user, latest non-null value per trait — the
+    # aggregation rewrite of FIRST_VALUE IGNORE NULLS (SURVEY §4.6): a single
+    # partial-agg shuffle instead of a full window sort.
+    tables["users"] = (
+        identifies_base.where(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(
+            F.max("received_at").alias("received_at"),
+            *[
+                F.max_by(c, F.when(F.col(c).isNotNull(), F.col("received_at"))).alias(short)
+                for c, short in trait_renames
+            ],
+        )
+    )
+
+    # ---- pages ---------------------------------------------------------
+    pages_base = flat.where(F.col("event_type") == "page")
+    page_props = [
+        (c, _strip_prefix(c, "properties_"))
+        for c in page_prop_cols
+        if _strip_prefix(c, "properties_") not in taken | {"name"}
+    ]
+    tables["pages"] = pages_base.select(
+        *common(),
+        F.col("_top.name").alias("name"),
+        *[F.col(c) for c in ctx_cols],
+        *[F.col(c).alias(short) for c, short in page_props],
+    )
+
+    # ---- aliases -------------------------------------------------------
+    tables["aliases"] = flat.where(F.col("event_type") == "alias").select(
+        *common(), F.col("_top.previousId").alias("previous_id")
+    )
+
+    # ---- identity tables ----------------------------------------------
+    merges = df.where(F.col("event_type") == "merge").select(
+        F.from_json(
+            F.col(payload_col), "mergeProperties array<struct<type:string,value:string>>"
+        ).alias("_m"),
+        F.col("received_at"),
+    )
+    rules = merges.select(
+        F.element_at("_m.mergeProperties", 1).getField("type").alias("merge_property_1_type"),
+        F.element_at("_m.mergeProperties", 1).getField("value").alias("merge_property_1_value"),
+        F.element_at("_m.mergeProperties", 2).getField("type").alias("merge_property_2_type"),
+        F.element_at("_m.mergeProperties", 2).getField("value").alias("merge_property_2_value"),
+        "received_at",
+    )
+    tables["rudder_identity_merge_rules"] = rules.drop("received_at").distinct()
+
+    comps = connected_components(
+        rules.select(
+            F.col("merge_property_1_value").alias("src"),
+            F.col("merge_property_2_value").alias("dst"),
+        )
+    )
+    idents = (
+        rules.select(
+            F.col("merge_property_1_type").alias("merge_property_type"),
+            F.col("merge_property_1_value").alias("merge_property_value"),
+            "received_at",
+        )
+        .unionByName(
+            rules.select(
+                F.col("merge_property_2_type").alias("merge_property_type"),
+                F.col("merge_property_2_value").alias("merge_property_value"),
+                "received_at",
+            )
+        )
+        .groupBy("merge_property_type", "merge_property_value")
+        .agg(F.max("received_at").alias("updated_at"))
+    )
+    tables["rudder_identity_mappings"] = idents.join(
+        comps, idents.merge_property_value == comps.identifier, "left"
+    ).select(
+        "merge_property_type",
+        "merge_property_value",
+        F.coalesce("component", "merge_property_value").alias("rudder_id"),
+        "updated_at",
+    )
+
+    return tables

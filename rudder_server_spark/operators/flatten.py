@@ -133,6 +133,7 @@ def flatten_events(
     max_depth: int = 3,
     detect_timestamps: bool = True,
     discovery_limit: int | None = 200_000,
+    schema: list[tuple[str, list[str], str]] | None = None,
 ) -> DataFrame:
     """Phase 2: project the discovered schema into flattened typed columns.
 
@@ -141,8 +142,13 @@ def flatten_events(
     struct fields — benched ~3× faster than per-column variant path-gets at
     1M rows. Leaves typed `json` (objects past max_depth, arrays) fall back
     to a variant extraction serialized with to_json.
+
+    Pass a precomputed ``schema`` (from :func:`discover_flat_schema`) to
+    skip the discovery pass — e.g. when one discovery feeds several
+    projections (the P8 fan-out).
     """
-    schema = discover_flat_schema(df, payload_col, groups, max_depth, discovery_limit)
+    if schema is None:
+        schema = discover_flat_schema(df, payload_col, groups, max_depth, discovery_limit)
 
     scalar = [(n, p, t) for n, p, t in schema if t != "json"]
     jsonly = [(n, p, t) for n, p, t in schema if t == "json"]

@@ -149,3 +149,115 @@ def q9(spark, sf):
         F.element_at("_s.mergeProperties", 2).getField("value").alias("dst"),
     )
     return connected_components(edges).orderBy("identifier")
+
+
+# --------------------------------------------------------------------------
+# Q15 envelope normalization — P2/P3/P4 (gateway/handle.go:320-328,
+# 1053-1060; processor/processor.go:1026-1054): messageId sanitize,
+# md5-uuid rudderId, clock-skew-corrected timestamp. All µs integer
+# arithmetic so both engines agree bit-for-bit.
+@register(
+    "q15_envelope",
+    f"""
+    SELECT message_id,
+      concat_ws('-', substr(h,1,8), substr(h,9,4), substr(h,13,4),
+                     substr(h,17,4), substr(h,21,12)) AS rudder_id,
+      make_timestamp(epoch_us(received_at)
+                     - (epoch_us(sent_at) - epoch_us(original_timestamp))) AS timestamp
+    FROM (
+      SELECT *, md5(concat(CAST(user_id AS VARCHAR), ':', anonymous_id)) AS h
+      FROM read_parquet('{_ORACLE_PATH}')
+    ) ORDER BY message_id
+    """,
+    doc="Envelope normalize: rudder_id + skew-corrected timestamp. Ref: gateway/handle.go:1053, processor.go:1026",
+    tags=("rudder",),
+)
+def q15(spark, sf):
+    from rudder_server_spark.operators.envelope import normalize_envelope
+
+    df = normalize_envelope(_load(spark, sf))
+    return df.select("message_id", "rudder_id", "timestamp").orderBy("message_id")
+
+
+_TS_EXPR = (
+    "make_timestamp(epoch_us(received_at) - (epoch_us(sent_at) - epoch_us(original_timestamp)))"
+)
+
+
+# --------------------------------------------------------------------------
+# Q16 tracks table — P8 (embedded/warehouse/events.go:35-165): the `tracks`
+# output table of the event fan-out: envelope + snake_cased event +
+# flattened context columns.
+@register(
+    "q16_tracks_table",
+    f"""
+    SELECT message_id AS id, user_id, anonymous_id,
+      received_at, sent_at, original_timestamp, {_TS_EXPR} AS timestamp,
+      event_name AS event_text,
+      regexp_replace(lower(regexp_replace(trim(event_name), '[^a-zA-Z0-9]+', '_', 'g')),
+                     '^_+|_+$', '', 'g') AS event,
+      json_extract_string(payload, '$.context.ip') AS context_ip,
+      json_extract_string(payload, '$.context.library.name') AS context_library_name,
+      json_extract_string(payload, '$.context.library.version') AS context_library_version,
+      json_extract_string(payload, '$.context.traits.email') AS context_traits_email,
+      CAST(json_extract(payload, '$.context.traits.logins') AS BIGINT) AS context_traits_logins
+    FROM read_parquet('{_ORACLE_PATH}') WHERE event_type = 'track'
+    ORDER BY id
+    """,
+    doc="P8 fan-out `tracks` table. Ref: events.go:35-165",
+    tags=("rudder",),
+)
+def q16(spark, sf):
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+
+    tables = event_table_fanout(_load(spark, sf))
+    return tables["tracks"].orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Q17 fan-out table counts — P8 end-to-end: every output table of the
+# event fan-out with its row count (tracks, per-event tables, identifies,
+# users, pages, aliases, identity tables).
+@register(
+    "q17_fanout_counts",
+    f"""
+    WITH re AS (SELECT * FROM read_parquet('{_ORACLE_PATH}'))
+    SELECT * FROM (
+      SELECT 'tracks' AS table_name, count(*) AS n FROM re WHERE event_type='track'
+      UNION ALL SELECT 'order_completed', count(*) FROM re
+        WHERE event_type='track' AND event_name='Order Completed'
+      UNION ALL SELECT 'product_viewed', count(*) FROM re
+        WHERE event_type='track' AND event_name='Product Viewed'
+      UNION ALL SELECT 'cart_cleared', count(*) FROM re
+        WHERE event_type='track' AND event_name='Cart Cleared'
+      UNION ALL SELECT 'identifies', count(*) FROM re WHERE event_type='identify'
+      UNION ALL SELECT 'users', count(DISTINCT user_id) FROM re
+        WHERE event_type='identify' AND user_id IS NOT NULL
+      UNION ALL SELECT 'pages', count(*) FROM re WHERE event_type='page'
+      UNION ALL SELECT 'aliases', count(*) FROM re WHERE event_type='alias'
+      UNION ALL SELECT 'rudder_identity_merge_rules', count(DISTINCT
+          json_extract_string(payload,'$.mergeProperties[0].value') || '|' ||
+          json_extract_string(payload,'$.mergeProperties[1].value'))
+        FROM re WHERE event_type='merge'
+      UNION ALL SELECT 'rudder_identity_mappings', count(DISTINCT v) FROM (
+          SELECT json_extract_string(payload,'$.mergeProperties[0].value') AS v
+          FROM re WHERE event_type='merge'
+          UNION
+          SELECT json_extract_string(payload,'$.mergeProperties[1].value')
+          FROM re WHERE event_type='merge')
+    ) ORDER BY table_name
+    """,
+    doc="P8 fan-out: row count per output table. Ref: events.go:17-638",
+    tags=("rudder",),
+)
+def q17(spark, sf):
+    from functools import reduce
+
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+
+    tables = event_table_fanout(_load(spark, sf))
+    counts = [
+        t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n")
+        for name, t in tables.items()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")

@@ -1,0 +1,158 @@
+"""Golden-output tests for the P8 event→table fan-out and P2-P4 envelope
+normalization — mirrors the reference's hand-written expected-output maps
+(embedded/warehouse/transformer_test.go:27-90).
+"""
+
+import datetime as dt
+import hashlib
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.operators.envelope import normalize_envelope
+from rudder_server_spark.operators.event_tables import event_table_fanout
+
+T0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+
+
+def _mk_events(spark):
+    def env(i, etype, name, payload):
+        return (
+            f"msg-{i:06d}",
+            i,
+            f"anon-{i:04d}",
+            etype,
+            name,
+            T0 + dt.timedelta(seconds=i),
+            T0 + dt.timedelta(seconds=i - 2),
+            T0 + dt.timedelta(seconds=i - 5),
+            payload,
+        )
+
+    rows = [
+        env(0, "track", "Order Completed",
+            '{"type":"track","properties":{"price":12.5,"quantity":2,"shipped":true},'
+            '"userProperties":{"rating":5},'
+            '"context":{"ip":"10.0.0.1","traits":{"email":"a@x.com","logins":3},'
+            '"library":{"name":"js","version":"2.0.0"}}}'),
+        env(1, "identify", None,
+            '{"type":"identify","traits":{"email":"a@x.com","name":"Al","plan":null,"age":30,'
+            '"created_at":"2023-01-15T10:00:00.000Z"},'
+            '"context":{"ip":"10.0.0.2","traits":{"email":"a@x.com","logins":4},'
+            '"library":{"name":"js","version":"2.0.0"}}}'),
+        env(2, "identify", None,
+            '{"type":"identify","traits":{"email":null,"name":"Albert","plan":"pro","age":31,'
+            '"created_at":"2023-02-15T10:00:00.000Z"},'
+            '"context":{"ip":"10.0.0.3","traits":{"email":"a@x.com","logins":5},'
+            '"library":{"name":"js","version":"2.0.0"}}}'),
+        env(3, "page", None,
+            '{"type":"page","name":"Home","properties":{"url":"https://x.com/1","title":"T1"},'
+            '"context":{"ip":"10.0.0.4","traits":{"email":"b@x.com","logins":1},'
+            '"library":{"name":"js","version":"2.0.0"}}}'),
+        env(4, "alias", None, '{"type":"alias","previousId":"anon-0099","userId":"4"}'),
+        env(5, "merge", None,
+            '{"type":"merge","mergeProperties":[{"type":"email","value":"a@x.com"},'
+            '{"type":"anonymousId","value":"anon-0001"}]}'),
+        env(6, "merge", None,
+            '{"type":"merge","mergeProperties":[{"type":"email","value":"z@x.com"},'
+            '{"type":"anonymousId","value":"anon-0001"}]}'),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string, "
+        "event_name string, received_at timestamp, sent_at timestamp, "
+        "original_timestamp timestamp, payload string",
+    )
+
+
+def test_envelope_normalization(spark):
+    df = normalize_envelope(_mk_events(spark))
+    row = df.where(F.col("message_id") == "msg-000000").head()
+    # timestamp = received_at - (sent_at - original_timestamp) = received - 3s
+    assert row["timestamp"] == T0 - dt.timedelta(seconds=3)
+    # rudder_id = md5-uuid(user_id:anonymous_id), deterministic
+    h = hashlib.md5(b"0:anon-0000").hexdigest()
+    expect = f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+    assert row["rudder_id"] == expect
+
+
+def test_message_id_sanitize(spark):
+    df = spark.createDataFrame(
+        [(" ok-id \x01", 1, "a"), ("", 2, "b"), (None, 3, "c")],
+        "message_id string, user_id long, anonymous_id string",
+    ).withColumn("received_at", F.lit(T0).cast("timestamp")) \
+     .withColumn("sent_at", F.lit(T0).cast("timestamp")) \
+     .withColumn("original_timestamp", F.lit(T0).cast("timestamp"))
+    out = normalize_envelope(df).select("user_id", "message_id").collect()
+    by_uid = {r["user_id"]: r["message_id"] for r in out}
+    assert by_uid[1] == "ok-id"
+    # empty / null → filled with a UUID (random, just check the shape)
+    for uid in (2, 3):
+        assert len(by_uid[uid]) == 36 and by_uid[uid].count("-") == 4
+
+
+def test_fanout_tables(spark):
+    tables = event_table_fanout(_mk_events(spark), discovery_limit=None)
+    assert set(tables) == {
+        "tracks", "order_completed", "identifies", "users", "pages", "aliases",
+        "rudder_identity_merge_rules", "rudder_identity_mappings",
+    }
+
+    tr = tables["tracks"].collect()
+    assert len(tr) == 1
+    t = tr[0]
+    assert t["id"] == "msg-000000"
+    assert t["event"] == "order_completed"
+    assert t["event_text"] == "Order Completed"
+    assert t["context_ip"] == "10.0.0.1"
+    assert t["context_traits_logins"] == 3
+
+    oc = tables["order_completed"].head()
+    # properties/userProperties land unprefixed with inferred types
+    assert oc["price"] == 12.5 and oc["quantity"] == 2
+    assert oc["shipped"] is True and oc["rating"] == 5
+
+    ident = {r["id"]: r for r in tables["identifies"].collect()}
+    assert ident["msg-000001"]["plan"] is None  # null-skip keeps NULL
+    assert ident["msg-000002"]["plan"] == "pro"
+    # created_at promoted to timestamp by the RFC3339 rule
+    assert ident["msg-000001"]["created_at"] == dt.datetime(2023, 1, 15, 10, 0, 0)
+
+    users = tables["users"].collect()
+    assert len(users) == 2  # user 1 and user 2 (identify rows)
+    # user rows keyed by user_id; each has its own single identify here
+    u = {r["id"]: r for r in users}
+    assert u[1]["name"] == "Al" and u[2]["name"] == "Albert"
+
+    p = tables["pages"].head()
+    assert p["name"] == "Home" and p["url"] == "https://x.com/1" and p["title"] == "T1"
+
+    a = tables["aliases"].head()
+    assert a["previous_id"] == "anon-0099"
+
+    rules = tables["rudder_identity_merge_rules"].collect()
+    assert len(rules) == 2
+
+    maps = {r["merge_property_value"]: r["rudder_id"] for r in
+            tables["rudder_identity_mappings"].collect()}
+    # a@x.com — anon-0001 — z@x.com all one component, min identifier wins
+    assert maps["a@x.com"] == maps["anon-0001"] == maps["z@x.com"] == "a@x.com"
+
+
+def test_users_latest_nonnull_traits(spark):
+    # same user, two identifies: later row nulls email → earlier email kept
+    rows = [
+        ("m1", 7, "a", "identify", None, T0, T0, T0,
+         '{"traits":{"email":"old@x.com","name":"O"},"context":{"ip":"1.1.1.1"}}'),
+        ("m2", 7, "a", "identify", None, T0 + dt.timedelta(60), T0, T0,
+         '{"traits":{"email":null,"name":"N"},"context":{"ip":"1.1.1.1"}}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string, "
+        "event_name string, received_at timestamp, sent_at timestamp, "
+        "original_timestamp timestamp, payload string",
+    )
+    u = event_table_fanout(df, discovery_limit=None)["users"].head()
+    assert u["name"] == "N"          # latest non-null
+    assert u["email"] == "old@x.com" # null skipped, falls back to earlier
+    assert u["received_at"] == T0 + dt.timedelta(60)
