@@ -261,3 +261,70 @@ def q17(spark, sf):
         for name, t in tables.items()
     ]
     return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# Q18 streaming warehouse pipeline end-to-end (SURVEY §2.10/M5): the first
+# 1000 fixture events are staged as JSON-lines files, streamed through
+# readStream → watermark dedup (F1) → envelope (P2-P4) → foreachBatch
+# fan-out (P8) into parquet tables, and the landed per-table counts are
+# compared against the oracle computed directly on the fixture.
+@register(
+    "q18_streaming_fanout",
+    f"""
+    WITH re AS (SELECT * FROM read_parquet('{_ORACLE_PATH}')
+                WHERE message_id < 'msg-001000')
+    SELECT * FROM (
+      SELECT 'tracks' AS table_name, count(*) AS n FROM re WHERE event_type='track'
+      UNION ALL SELECT 'order_completed', count(*) FROM re
+        WHERE event_type='track' AND event_name='Order Completed'
+      UNION ALL SELECT 'product_viewed', count(*) FROM re
+        WHERE event_type='track' AND event_name='Product Viewed'
+      UNION ALL SELECT 'cart_cleared', count(*) FROM re
+        WHERE event_type='track' AND event_name='Cart Cleared'
+      UNION ALL SELECT 'identifies', count(*) FROM re WHERE event_type='identify'
+      UNION ALL SELECT 'users', count(DISTINCT user_id) FROM re
+        WHERE event_type='identify' AND user_id IS NOT NULL
+      UNION ALL SELECT 'pages', count(*) FROM re WHERE event_type='page'
+      UNION ALL SELECT 'aliases', count(*) FROM re WHERE event_type='alias'
+      UNION ALL SELECT 'rudder_identity_merge_rules', count(DISTINCT
+          json_extract_string(payload,'$.mergeProperties[0].value') || '|' ||
+          json_extract_string(payload,'$.mergeProperties[1].value'))
+        FROM re WHERE event_type='merge'
+      UNION ALL SELECT 'rudder_identity_mappings', count(DISTINCT v) FROM (
+          SELECT json_extract_string(payload,'$.mergeProperties[0].value') AS v
+          FROM re WHERE event_type='merge'
+          UNION
+          SELECT json_extract_string(payload,'$.mergeProperties[1].value')
+          FROM re WHERE event_type='merge')
+    ) ORDER BY table_name
+    """,
+    doc="Structured-Streaming ingestion → dedup → fan-out, end-to-end. SURVEY §2.10",
+    tags=("rudder", "streaming"),
+)
+def q18(spark, sf):
+    import tempfile
+    from functools import reduce
+
+    from rudder_server_spark.streaming.pipeline import run_warehouse_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="rss_stream_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    subset = _load(spark, sf).where(F.col("message_id") < "msg-001000")
+    subset.coalesce(4).write.mode("overwrite").json(src)
+
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_warehouse_pipeline(spark, src, out, ckpt)
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    import os
+
+    counts = []
+    for name in sorted(os.listdir(out)):
+        t = spark.read.parquet(os.path.join(out, name))
+        counts.append(t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n"))
+    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")

@@ -1,0 +1,221 @@
+"""Structured-Streaming shell (SURVEY §2.10, M5).
+
+The reference's pipeline is a hand-built micro-batch loop: the processor
+picks ≤10k jobs per tick (processor/processor.go:800-833), runs the
+enrich/dedup/filter/transform stages, and writes router/batchrouter jobs in
+one transaction; the router delivers with per-key ordering and
+retry/backoff (router/worker.go:357-745, 1053); dedup state lives in a
+BadgerDB keystore committed only after the jobsdb txn
+(services/dedup/dedup.go:43-120).
+
+Spark-first mapping — the batch operators ARE the streaming operators:
+
+- ingestion        → ``spark.readStream`` file source (JSON-lines, the
+                     staging-file format S4) with a fixed envelope schema
+- micro-batching   → Structured Streaming triggers (`availableNow` in
+                     tests; `processingTime` in production),
+                     ``maxFilesPerTrigger`` for batch shaping
+- exact dedup (F1) → ``withWatermark(received_at) +
+                     dropDuplicatesWithinWatermark(message_id)`` — the
+                     keystore-with-TTL semantics, state-store-backed
+- pipeline stages  → the same envelope/flatten/fan-out functions used in
+                     batch, applied inside ``foreachBatch``
+- exactly-once-ish → checkpointing + idempotent parquet append per
+                     micro-batch (epoch-id-named output committed by the
+                     streaming checkpoint, like the reference's
+                     txn-then-keystore-commit ordering)
+- retry/backoff    → status tables: failed deliveries re-queued with
+                     ``retry_at = now + backoff(attempt)``; aborted after
+                     ``max_attempts`` → DLQ table (router/worker.go:1053)
+- per-key ordering → ``repartition(user) + sortWithinPartitions(seq)``
+                     before delivery inside each micro-batch
+
+At cluster scale the same program runs unchanged against object-storage
+paths; the state store (RocksDB) holds dedup keys and the checkpoint makes
+recovery exactly-once per sink table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from rudder_server_spark.operators.envelope import normalize_envelope
+
+ENVELOPE_SCHEMA = (
+    "message_id string, user_id long, anonymous_id string, event_type string, "
+    "event_name string, received_at timestamp, sent_at timestamp, "
+    "original_timestamp timestamp, payload string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = ENVELOPE_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S4 streaming scan: JSON-lines event files (gz transparent)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(source_dir)
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """F1 exact dedup with the reference's ~30d TTL window
+    (services/dedup/dedup.go: keystore TTL): state-store-backed, dropped
+    keys age out with the watermark instead of growing forever."""
+    return stream.withWatermark("received_at", watermark).dropDuplicatesWithinWatermark(
+        ["message_id"]
+    )
+
+
+def processed_stream(stream: DataFrame, watermark: str = "30 days") -> DataFrame:
+    """preprocess stage: dedup + envelope stamping (P2-P4), still a stream."""
+    return normalize_envelope(dedup_stream(stream, watermark))
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sinks
+
+
+def _write(df: DataFrame, path: str) -> None:
+    df.write.mode("append").parquet(path)
+
+
+def warehouse_sink(out_dir: str):
+    """foreachBatch: materialize the event fan-out tables per micro-batch.
+
+    Parquet append per table; the streaming checkpoint provides the
+    effectively-once guarantee the reference gets from its jobsdb txn.
+    """
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        for name, table in event_table_fanout(batch_df, materialize=True).items():
+            _write(table, os.path.join(out_dir, name))
+
+    return write_batch
+
+
+def router_sink(
+    out_dir: str,
+    deliver,
+    max_attempts: int = 3,
+    backoff_seconds: int = 60,
+):
+    """foreachBatch router with per-key ordering and retry/DLQ semantics.
+
+    ``deliver(df) -> df with boolean 'delivered'`` is the destination
+    adapter (HTTP in the reference — injected here so tests use a
+    deterministic mock). Within each micro-batch:
+
+      1. pending retries whose ``retry_at`` has passed are unioned in,
+      2. events are repartitioned by user and ordered by (user, seq) —
+         the reference's at-most-one-in-flight-per-key barrier
+         (router/internal/eventorder) per micro-batch,
+      3. failures append to ``router_retries`` with attempt+1 and
+         exponential backoff; attempts ≥ max_attempts go to ``router_dlq``
+         (terminal 'aborted', jobsdb state machine jobsdb.go:489-521).
+    """
+    retries_path = os.path.join(out_dir, "router_retries")
+    delivered_path = os.path.join(out_dir, "router_delivered")
+    dlq_path = os.path.join(out_dir, "router_dlq")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn("attempt", F.lit(0))
+        not_due = None
+        try:
+            # materialize BEFORE the end-of-batch overwrite of the same path
+            prev = spark.read.parquet(retries_path).localCheckpoint(eager=True)
+            now_ts = F.current_timestamp()
+            due = prev.where(F.col("retry_at") <= now_ts).drop("retry_at")
+            not_due = prev.where(F.col("retry_at") > now_ts)
+            batch = batch.unionByName(due, allowMissingColumns=False)
+        except Exception:
+            pass  # no retries yet
+        if batch.isEmpty():
+            return
+        # per-key ordering barrier: all of a user's events are delivered by
+        # one task, in (received_at, message_id) order, within this batch
+        ordered = batch.repartition(F.col("user_id")).sortWithinPartitions(
+            "user_id", "received_at", "message_id"
+        )
+        result = deliver(ordered).localCheckpoint(eager=True)
+        _write(result.where(F.col("delivered")).drop("delivered"), delivered_path)
+        failed = result.where(~F.col("delivered")).drop("delivered")
+        failed = failed.withColumn("attempt", F.col("attempt") + 1)
+        _write(
+            failed.where(F.col("attempt") >= max_attempts).withColumn(
+                "aborted_at", F.current_timestamp()
+            ),
+            dlq_path,
+        )
+        requeue = failed.where(F.col("attempt") < max_attempts).withColumn(
+            "retry_at",
+            F.current_timestamp()
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), F.lit(0),
+                (F.lit(backoff_seconds) * F.pow(F.lit(2), F.col("attempt") - 1)).cast("double"),
+            ),
+        )
+        if not_due is not None:
+            requeue = requeue.unionByName(not_due)
+        # drained retries leave the queue: rewrite the retry table (both
+        # inputs are materialized above, so overwriting the path we read
+        # from is safe). A Delta MERGE would do this transactionally.
+        requeue.write.mode("overwrite").parquet(retries_path)
+
+    return write_batch
+
+
+def run_warehouse_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 days",
+    available_now: bool = True,
+):
+    """End-to-end: stream JSON event files → dedup → envelope → fan-out
+    tables under ``out_dir``. Returns the StreamingQuery."""
+    stream = processed_stream(read_event_stream(spark, source_dir), watermark)
+    writer = (
+        stream.writeStream.foreachBatch(warehouse_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_router_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    deliver,
+    max_attempts: int = 3,
+    backoff_seconds: int = 60,
+    available_now: bool = True,
+):
+    """End-to-end: stream → dedup/envelope → ordered delivery with
+    retry/DLQ tables under ``out_dir``. Returns the StreamingQuery."""
+    stream = processed_stream(read_event_stream(spark, source_dir))
+    writer = (
+        stream.writeStream.foreachBatch(
+            router_sink(out_dir, deliver, max_attempts, backoff_seconds)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,152 @@
+"""Structured-Streaming shell tests (SURVEY §2.10): file-source ingestion,
+watermark dedup, warehouse fan-out sink, router retry/DLQ semantics.
+"""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.streaming.pipeline import (
+    router_sink,
+    run_router_pipeline,
+    run_warehouse_pipeline,
+)
+
+
+def _event(i, etype="track", name="Order Completed", user=None, dup_of=None):
+    user = user if user is not None else i % 5
+    return {
+        "message_id": f"msg-{dup_of if dup_of is not None else i:06d}",
+        "user_id": user,
+        "anonymous_id": f"anon-{i:04d}",
+        "event_type": etype,
+        "event_name": name if etype == "track" else None,
+        "received_at": f"2024-02-01T00:00:{i % 60:02d}.000Z",
+        "sent_at": f"2024-02-01T00:00:{(i - 2) % 60:02d}.000Z",
+        "original_timestamp": f"2024-02-01T00:00:{(i - 5) % 60:02d}.000Z",
+        "payload": json.dumps(
+            {
+                "type": etype,
+                "properties": {"price": 1.5 + i, "quantity": i % 3},
+                "context": {"ip": f"10.0.0.{i}", "library": {"name": "js", "version": "1"}},
+            }
+        ),
+    }
+
+
+def _write_events(path, events, fname="part-0.json"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def test_warehouse_stream_dedup_and_fanout(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # 10 tracks; two of them duplicate message_ids of earlier events (F1)
+    events = [_event(i) for i in range(10)]
+    events.append(_event(10, dup_of=0))
+    events.append(_event(11, dup_of=3))
+    _write_events(src, events)
+
+    q = run_warehouse_pipeline(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    tracks = spark.read.parquet(os.path.join(out, "tracks"))
+    assert tracks.count() == 10  # duplicates dropped by the watermark dedup
+    assert tracks.select("id").distinct().count() == 10
+    oc = spark.read.parquet(os.path.join(out, "order_completed"))
+    assert oc.count() == 10
+    assert "price" in oc.columns and "quantity" in oc.columns
+
+    # restart with the same checkpoint + no new files → no duplicate appends
+    q2 = run_warehouse_pipeline(spark, src, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "tracks")).count() == 10
+
+
+def _drain(spark, out, deliver, max_attempts):
+    """Empty router tick: picks up due retries only (idempotent when the
+    retry queue is empty). Production runs these on the trigger cadence."""
+    sink = router_sink(out, deliver, max_attempts=max_attempts, backoff_seconds=0)
+    empty = spark.read.parquet(os.path.join(out, "router_delivered")).limit(0)
+    empty = empty.drop("attempt") if "attempt" in empty.columns else empty
+    sink(empty, epoch_id=99)
+
+
+def test_router_retry_dlq(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(src, [_event(i, user=i) for i in range(6)])
+
+    # deterministic mock destination: odd users fail every attempt
+    def deliver(df):
+        return df.withColumn("delivered", F.col("user_id") % 2 == 0)
+
+    q = run_router_pipeline(
+        spark, src, out, ckpt, deliver, max_attempts=2, backoff_seconds=0
+    )
+    q.awaitTermination(120)
+    # with backoff=0 retries drain on subsequent ticks; force any leftovers
+    for _ in range(2):
+        _drain(spark, out, deliver, max_attempts=2)
+
+    delivered = spark.read.parquet(os.path.join(out, "router_delivered"))
+    assert delivered.count() == 3  # users 0,2,4 — exactly once each
+    dlq = spark.read.parquet(os.path.join(out, "router_dlq"))
+    assert dlq.count() == 3  # odd users aborted after max_attempts
+    assert dlq.agg(F.max("attempt")).head()[0] == 2
+    assert spark.read.parquet(os.path.join(out, "router_retries")).count() == 0
+
+
+def test_router_transient_failure_recovers(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(src, [_event(i, user=i) for i in range(4)])
+
+    # fails everyone on the first attempt, succeeds on retry
+    def deliver(df):
+        return df.withColumn("delivered", F.col("attempt") > 0)
+
+    q = run_router_pipeline(
+        spark, src, out, ckpt, deliver, max_attempts=3, backoff_seconds=0
+    )
+    q.awaitTermination(120)
+    for _ in range(2):
+        _drain(spark, out, deliver, max_attempts=3)
+
+    delivered = spark.read.parquet(os.path.join(out, "router_delivered"))
+    assert delivered.count() == 4  # all recovered on attempt 1
+    assert delivered.agg(F.max("attempt")).head()[0] == 1
+    assert spark.read.parquet(os.path.join(out, "router_retries")).count() == 0
+    assert not os.path.exists(os.path.join(out, "router_dlq")) or (
+        spark.read.parquet(os.path.join(out, "router_dlq")).count() == 0
+    )
+
+
+def test_router_per_key_ordering(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # one user, events out of order in the file
+    evs = [_event(i, user=7) for i in (5, 1, 3, 2, 4)]
+    _write_events(src, evs)
+
+    seen = []
+
+    def deliver(df):
+        # record the per-partition order the sink observes
+        rows = df.select("message_id", "received_at").collect()
+        seen.extend([r["message_id"] for r in rows])
+        return df.withColumn("delivered", F.lit(True))
+
+    q = run_router_pipeline(spark, src, out, ckpt, deliver)
+    q.awaitTermination(120)
+    # collect() preserves partition-internal order; all rows share one user
+    # → must arrive sorted by (received_at, message_id)
+    assert seen == sorted(seen, key=lambda m: m)
