@@ -328,3 +328,42 @@ def q18(spark, sf):
         t = spark.read.parquet(os.path.join(out, name))
         counts.append(t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n"))
     return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# Q19 geo enrichment — P9 (internal/enricher/geolocation.go:68-143): IP →
+# broadcast range-join against an in-code /24 range table (the MaxMind
+# lookup's Spark shape). The oracle reproduces the mapping arithmetically;
+# the engine actually executes the range join.
+@register(
+    "q19_geo_enrich",
+    f"""
+    WITH ip AS (
+      SELECT json_extract_string(payload, '$.context.ip') AS ip
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    SELECT coalesce('r' || CAST(CAST(string_split(ip, '.')[3] AS INT) % 16 AS VARCHAR),
+                    'unknown') AS region,
+           count(*) AS n
+    FROM ip GROUP BY 1 ORDER BY region
+    """,
+    doc="IP range-join geo enrichment. Ref: geolocation.go:68-143",
+    tags=("rudder",),
+)
+def q19(spark, sf):
+    from rudder_server_spark.operators.enrich import geo_enrich
+
+    df = _load(spark, sf).select(
+        F.get_json_object("payload", "$.context.ip").alias("context_ip")
+    )
+    ranges = spark.createDataFrame(
+        [(10 * 16777216 + net * 256, 10 * 16777216 + net * 256 + 255, f"r{net % 16}")
+         for net in range(256)],
+        "ip_lo long, ip_hi long, region string",
+    )
+    enriched = geo_enrich(df, ranges)
+    return (
+        enriched.groupBy(F.coalesce("region", F.lit("unknown")).alias("region"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("region")
+    )

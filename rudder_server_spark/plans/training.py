@@ -304,3 +304,33 @@ def _fixed_planes(dim: int, bits: int) -> list[list[float]]:
             p.append(((state >> 33) / float(2**31)) - 1.0)
         planes.append(p)
     return planes
+
+
+@register(
+    "t12_hll_tracked_users",
+    None,  # sketch estimates are algorithm-specific → rows-only check
+    doc=(
+        "A3 tracked-users HLL: mergeable DataSketches HLL per event_type, "
+        "union-merged to an ALL row (users_reporter.go:108-185 shape). "
+        "Exactness is pinned by q12 (exact COUNT DISTINCT oracle)."
+    ),
+    tags=("training", "sketches"),
+)
+def t12(spark, sf):
+    from rudder_server_spark.operators.sketches import (
+        merge_tracked_users,
+        tracked_users_sketches,
+    )
+
+    e = load_table(spark, sf, "events").select(
+        F.lit("w1").alias("workspace_id"),
+        F.col("event_type").alias("source_id"),
+        "user_id",
+        (F.col("user_id") % 500).cast("string").alias("anonymous_id"),
+    )
+    sk = tracked_users_sketches(e)
+    per_source = merge_tracked_users(sk, group_cols=("workspace_id", "source_id"))
+    alls = merge_tracked_users(sk, group_cols=("workspace_id",)).withColumn(
+        "source_id", F.lit("ALL")
+    )
+    return per_source.unionByName(alls).orderBy("source_id")

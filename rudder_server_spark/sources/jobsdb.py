@@ -1,0 +1,66 @@
+"""jobsdb-style scans over parquet job tables (reference S3/J1/J2/W1).
+
+The reference's jobsdb is PostgreSQL dataset pairs with a
+latest-status-per-job view (``DISTINCT ON (job_id) ... ORDER BY id DESC``,
+jobsdb/jobsdb_dataset_ddl.go:242) and ordered limited scans with
+state/parameter filters (jobsdb/jobsdb_get.go:343-675). On Spark the jobs
+log is a parquet/Delta table of status events; the view is a window.
+
+All helpers return lazy DataFrames — filters/limits push into the scan
+(dataset range pruning ≈ parquet min/max + partition pruning; SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_status(
+    statuses: DataFrame, job_id: str = "job_id", seq: str = "status_id"
+) -> DataFrame:
+    """W1/J1: one row per job — its latest status (the ``v_last_`` view)."""
+    w = Window.partitionBy(job_id).orderBy(F.col(seq).desc())
+    return (
+        statuses.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def unprocessed_jobs(
+    jobs: DataFrame,
+    statuses: DataFrame,
+    job_id: str = "job_id",
+    terminal_states: tuple = ("succeeded", "aborted", "migrated", "filtered"),
+    state_col: str = "job_state",
+) -> DataFrame:
+    """J2 pileup: jobs with no status row, or whose latest status is
+    non-terminal (jobsdb_get.go:86-133)."""
+    last = latest_status(statuses, job_id)
+    joined = jobs.join(last.select(job_id, state_col), [job_id], "left")
+    return joined.where(
+        F.col(state_col).isNull() | ~F.col(state_col).isin(list(terminal_states))
+    )
+
+
+def ordered_pickup(
+    jobs: DataFrame,
+    job_id: str = "job_id",
+    limit: int | None = None,
+    event_count_col: str | None = None,
+    max_events: int | None = None,
+) -> DataFrame:
+    """§2.7 ordered scan with job/event-count limits: ``ORDER BY job_id
+    LIMIT n`` plus the cumulative-event-count cap (one extra row kept so a
+    single oversized job still returns — jobsdb_get.go:550-570)."""
+    out = jobs.orderBy(job_id)
+    if event_count_col and max_events is not None:
+        w = Window.orderBy(job_id).rowsBetween(Window.unboundedPreceding, 0)
+        out = (
+            out.withColumn("_running", F.sum(event_count_col).over(w))
+            .where((F.col("_running") - F.col(event_count_col)) < max_events)
+            .drop("_running")
+        )
+    if limit is not None:
+        out = out.limit(limit)
+    return out

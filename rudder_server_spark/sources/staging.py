@@ -1,0 +1,64 @@
+"""Staging-file scan + load-file writers + archiver sink
+(reference S4/S5/S6/S10).
+
+- S4: warehouse slave workers stream gz JSON-lines staging files into typed
+  per-table rows (warehouse/slave/worker.go:246-395). Spark reads .json.gz
+  transparently; the schema comes from the upload's consolidated schema.
+- S5: load-file writers per destination format — CSV with sorted columns,
+  JSON-lines (BigQuery), Parquet (warehouse/encoding/encoding.go:71-75).
+- S6/S10: batchrouter object-storage dumps and the archiver both write
+  gz JSON grouped by source (router/batchrouter/handle.go:240-497,
+  archiver/archiver.go:97-197) → partitioned JSON writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_staging_files(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """S4: read gz JSON-lines staging files (schema'd when known — always
+    pass one in production: schema inference is a full extra pass)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_load_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "csv",
+    partition_by: tuple = (),
+    compress: bool = True,
+) -> None:
+    """S5: write load files in the destination's format.
+
+    CSV columns are emitted in sorted order — the reference sorts columns
+    so COPY column lists are stable (warehouse/encoding/csvloader).
+    """
+    out = df
+    if fmt == "csv":
+        out = df.select(*sorted(df.columns))
+    writer = out.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("compression", "gzip" if compress else "none").option(
+            "header", True
+        ).csv(path)
+    elif fmt == "json":
+        writer.option("compression", "gzip" if compress else "none").json(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unsupported load-file format: {fmt}")
+
+
+def archive_jobs(df: DataFrame, path: str, source_col: str = "source_id") -> None:
+    """S10: terminal jobs → gz JSON partitioned by source
+    (archiver/archiver.go:97-197). Partitioned layout gives per-source
+    pruning on replay reads."""
+    df.write.mode("append").partitionBy(source_col).option("compression", "gzip").json(path)

@@ -1,0 +1,139 @@
+"""Unit tests for enrichment (P9/P10), policy filters (F2/F3/F6/F7/F8) and
+HLL sketches (A3) — table-driven, mirroring the reference's per-package
+unit tests (eventfilter_test.go, bot_test, etc.).
+"""
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.operators.enrich import bot_flag, geo_enrich, ipv4_to_long
+from rudder_server_spark.operators.filters import (
+    block_events,
+    consent_filter,
+    fanout_to_destinations,
+    filter_supported_types,
+    integrations_allows,
+    suppress_users,
+)
+from rudder_server_spark.operators.sketches import (
+    merge_tracked_users,
+    tracked_users_sketches,
+)
+
+
+def test_ipv4_to_long(spark):
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("10.0.3.1",), ("255.255.255.255",), ("999.1.1.1",),
+         ("not-an-ip",), (None,)],
+        "ip string",
+    ).select(ipv4_to_long(F.col("ip")).alias("v"))
+    vals = [r["v"] for r in df.collect()]
+    assert vals == [0, 10 * 16777216 + 3 * 256 + 1, 4294967295, None, None, None]
+
+
+def test_geo_enrich_range_join(spark):
+    events = spark.createDataFrame(
+        [(1, "10.0.0.5"), (2, "10.0.1.200"), (3, "192.168.0.1"), (4, None)],
+        "id long, context_ip string",
+    )
+    ranges = spark.createDataFrame(
+        [(ipv4(10, 0, 0, 0), ipv4(10, 0, 0, 255), "zone-a"),
+         (ipv4(10, 0, 1, 0), ipv4(10, 0, 1, 255), "zone-b")],
+        "ip_lo long, ip_hi long, zone string",
+    )
+    out = {r["id"]: r["zone"] for r in geo_enrich(events, ranges).collect()}
+    assert out == {1: "zone-a", 2: "zone-b", 3: None, 4: None}
+
+
+def ipv4(a, b, c, d):
+    return a * 16777216 + b * 65536 + c * 256 + d
+
+
+def test_bot_flag(spark):
+    df = spark.createDataFrame(
+        [("Mozilla/5.0 (Macintosh)",), ("Googlebot/2.1",), ("curl/8.0",), (None,)],
+        "ua string",
+    ).select(bot_flag(F.col("ua")).alias("b"))
+    assert [r["b"] for r in df.collect()] == [False, True, True, False]
+
+
+def test_suppress_and_block(spark):
+    ev = spark.createDataFrame(
+        [(1, "track", "A"), (2, "track", "B"), (3, "page", None)],
+        "user_id long, event_type string, event_name string",
+    )
+    sup = spark.createDataFrame([(2,)], "user_id long")
+    assert {r["user_id"] for r in suppress_users(ev, sup).collect()} == {1, 3}
+    blocked = spark.createDataFrame([("track", "A")], "event_type string, event_name string")
+    assert {r["user_id"] for r in block_events(ev, blocked).collect()} == {2, 3}
+
+
+def test_integrations_filter_semantics(spark):
+    rows = [
+        ('{"All": true, "Amplitude": false}', "Amplitude", False),
+        ('{"All": true, "Amplitude": false}', "Braze", True),
+        ('{"All": false}', "Braze", False),
+        ("{}", "Braze", True),          # default allow
+        (None, "Braze", True),          # absent object → allow
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d, _ in rows], "integrations string, dest string"
+    ).select(integrations_allows(F.col("integrations"), F.col("dest")).alias("ok"))
+    assert [r["ok"] for r in df.collect()] == [e for _, _, e in rows]
+
+
+def test_fanout_and_supported_types(spark):
+    ev = spark.createDataFrame(
+        [(1, "s1", "track", '{"All": true, "D2": false}'),
+         (2, "s1", "identify", "{}"),
+         (3, "s2", "track", "{}")],
+        "id long, source_id string, event_type string, integrations string",
+    )
+    conns = spark.createDataFrame(
+        [("s1", "D1"), ("s1", "D2"), ("s2", "D3")],
+        "source_id string, destination_id string",
+    )
+    fan = fanout_to_destinations(ev, conns, integrations_col="integrations")
+    got = {(r["id"], r["destination_id"]) for r in fan.collect()}
+    # event 1 opted out of D2 via integrations
+    assert got == {(1, "D1"), (2, "D1"), (2, "D2"), (3, "D3")}
+
+    cfg = spark.createDataFrame(
+        [("D1", ["track"]), ("D2", ["track", "identify"]), ("D3", ["identify"])],
+        "destination_id string, supported_message_types array<string>",
+    )
+    st = filter_supported_types(fan, cfg)
+    status = {(r["id"], r["destination_id"]): r["status"] for r in st.collect()}
+    # filtered rows kept with state (F7), not dropped
+    assert status[(1, "D1")] == "ok"
+    assert status[(2, "D1")] == "filtered"
+    assert status[(2, "D2")] == "ok"
+    assert status[(3, "D3")] == "filtered"
+
+
+def test_consent_filter(spark):
+    df = spark.createDataFrame(
+        [(1, ["c1"], ["c1", "c2"]), (2, ["c3"], ["c1"]), (3, None, ["c1"]), (4, ["c1"], None)],
+        "id long, denied_consent_ids array<string>, consent_category_ids array<string>",
+    )
+    kept = {r["id"] for r in consent_filter(df).collect()}
+    assert kept == {2, 3, 4}  # only the overlapping pair is dropped
+
+
+def test_hll_sketches_merge_and_accuracy(spark):
+    n = 20000
+    df = spark.range(n).select(
+        F.lit("w1").alias("workspace_id"),
+        (F.col("id") % 4).cast("string").alias("source_id"),
+        F.col("id").alias("user_id"),
+        (F.col("id") % 997).cast("string").alias("anonymous_id"),
+        (F.col("id") % 60).alias("minute"),
+    )
+    # sketches built per (source, minute) then union-merged per source must
+    # estimate ≈ the true per-source distinct count (mergeability — the
+    # property the reference's per-minute rollup relies on)
+    fine = tracked_users_sketches(df, group_cols=("source_id", "minute"))
+    merged = merge_tracked_users(fine, group_cols=("source_id",)).collect()
+    for r in merged:
+        true_users = n / 4
+        assert abs(r["users_estimate"] - true_users) / true_users < 0.05
+        assert abs(r["anon_estimate"] - 997) / 997 < 0.05

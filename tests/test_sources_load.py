@@ -1,0 +1,125 @@
+"""Tests for staging/load-file/archiver IO (S4/S5/S10), jobsdb scans
+(S3/J1/J2/W1, §2.7 limits), MERGE loads (J6/W2) and schema consolidation.
+"""
+
+import glob
+import gzip
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.operators.load import (
+    consolidate_schemas,
+    consolidate_table_schemas,
+    dedup_staging,
+    merge_into,
+)
+from rudder_server_spark.sources.jobsdb import (
+    latest_status,
+    ordered_pickup,
+    unprocessed_jobs,
+)
+from rudder_server_spark.sources.staging import (
+    archive_jobs,
+    read_staging_files,
+    write_load_files,
+)
+
+
+def test_staging_gz_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "staging")
+    os.makedirs(p)
+    with gzip.open(os.path.join(p, "f1.json.gz"), "wt") as f:
+        f.write(json.dumps({"id": "a", "n": 1}) + "\n")
+        f.write(json.dumps({"id": "b", "n": 2}) + "\n")
+    df = read_staging_files(spark, p, "id string, n long")
+    assert {(r["id"], r["n"]) for r in df.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_load_file_writers(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "b long, a string")
+    base = str(tmp_path)
+    write_load_files(df, f"{base}/csv", fmt="csv")
+    write_load_files(df, f"{base}/json", fmt="json")
+    write_load_files(df, f"{base}/parquet", fmt="parquet")
+    # csv columns sorted for stable COPY lists
+    csv = spark.read.option("header", True).csv(f"{base}/csv")
+    assert csv.columns == ["a", "b"]
+    assert spark.read.json(f"{base}/json").count() == 2
+    assert spark.read.parquet(f"{base}/parquet").count() == 2
+    assert glob.glob(f"{base}/csv/*.csv.gz")  # gzip'd
+
+
+def test_archiver_partitioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("s1", 1), ("s1", 2), ("s2", 3)], "source_id string, job_id long"
+    )
+    p = str(tmp_path / "arch")
+    archive_jobs(df, p)
+    assert os.path.isdir(f"{p}/source_id=s1") and os.path.isdir(f"{p}/source_id=s2")
+    back = spark.read.json(p)
+    assert back.count() == 3
+
+
+def test_jobsdb_latest_status_and_pileup(spark):
+    jobs = spark.createDataFrame(
+        [(1, 2), (2, 5), (3, 1)], "job_id long, event_count long"
+    )
+    statuses = spark.createDataFrame(
+        [(1, 1, "executing"), (1, 2, "succeeded"), (2, 3, "failed")],
+        "job_id long, status_id long, job_state string",
+    )
+    last = {r["job_id"]: r["job_state"] for r in latest_status(statuses).collect()}
+    assert last == {1: "succeeded", 2: "failed"}
+    pile = {r["job_id"] for r in unprocessed_jobs(jobs, statuses).collect()}
+    assert pile == {2, 3}  # 2 failed (retryable), 3 never picked
+
+
+def test_ordered_pickup_event_limit(spark):
+    jobs = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 100)], "job_id long, event_count long"
+    )
+    got = [r["job_id"] for r in
+           ordered_pickup(jobs, event_count_col="event_count", max_events=8).collect()]
+    assert got == [1, 2]  # cumulative cap
+    # a single oversized job still returns (the reference's one-extra rule)
+    solo = ordered_pickup(
+        jobs.where(F.col("job_id") == 4), event_count_col="event_count", max_events=8
+    )
+    assert [r["job_id"] for r in solo.collect()] == [4]
+
+
+def test_merge_into_delete_insert(spark):
+    existing = spark.createDataFrame(
+        [("a", 1, "2024-01-01"), ("b", 1, "2024-01-01")], "id string, v long, received_at string"
+    )
+    staging = spark.createDataFrame(
+        [("b", 2, "2024-01-02"), ("b", 3, "2024-01-03"), ("c", 9, "2024-01-02")],
+        "id string, v long, received_at string",
+    )
+    out = {r["id"]: r["v"] for r in merge_into(existing, staging, pk=("id",)).collect()}
+    # b replaced by its LATEST staging row, a untouched, c inserted
+    assert out == {"a": 1, "b": 3, "c": 9}
+    assert dedup_staging(staging, pk=("id",)).count() == 2
+
+
+def test_schema_consolidation_rules():
+    s1 = {"price": "int", "note": "string"}
+    s2 = {"price": "float", "note": "text", "extra": "datetime"}
+    out = consolidate_schemas([s1, s2])
+    assert out["price"] == "int"      # first type wins
+    assert out["note"] == "text"      # text beats string
+    assert out["extra"] == "datetime"
+    # warehouse schema overrides
+    out2 = consolidate_schemas([s1, s2], warehouse_schema={"price": "float"})
+    assert out2["price"] == "float"
+
+
+def test_users_identifies_sync():
+    staging = [
+        {"identifies": {"age": "bigint", "email": "string"},
+         "users": {"age": "float", "email": "string"}},
+    ]
+    out = consolidate_table_schemas(staging)
+    assert out["users"]["age"] == "bigint"  # forced to identifies' type
