@@ -1,0 +1,101 @@
+"""Reporting / stats aggregates (reference A2/A5/A6/A8/A9) and the
+warehouse sync-window scheduler (§2.10).
+
+Each is a plain groupBy — partial (map-side) aggregation everywhere, so at
+100 TB the shuffle carries one row per group per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def reporting_rollup(
+    df: DataFrame,
+    label_cols: tuple,
+    ts_col: str = "reported_at",
+    count_col: str = "count",
+    bucket: str = "1 minute",
+) -> DataFrame:
+    """A2 (enterprise/reporting/reporting.go:262-334): metrics grouped by
+    the label set + minute bucket; sum counts, max reported_at, and the
+    last sample per group (max_by)."""
+    return df.groupBy(
+        *[F.col(c) for c in label_cols], F.window(ts_col, bucket).alias("bucket")
+    ).agg(
+        F.sum(count_col).alias("count"),
+        F.max(ts_col).alias("max_reported_at"),
+    )
+
+
+def staging_file_stats(
+    df: DataFrame,
+    file_col: str = "staging_file",
+    payload_col: str = "payload",
+    ts_col: str = "received_at",
+    table_col: str | None = None,
+) -> DataFrame:
+    """A5 (warehouse/internal/model/staging.go:15-40): per staging file —
+    TotalEvents, TotalBytes, FirstEventAt/LastEventAt (+ BytesPerTable when
+    a table column is present)."""
+    keys = [F.col(file_col)] + ([F.col(table_col)] if table_col else [])
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("total_events"),
+        F.sum(F.length(payload_col)).alias("total_bytes"),
+        F.min(ts_col).alias("first_event_at"),
+        F.max(ts_col).alias("last_event_at"),
+    )
+
+
+def table_upload_counts(
+    df: DataFrame, upload_col: str = "upload_id", table_col: str = "table_name"
+) -> DataFrame:
+    """A6 (warehouse/router/state_update_table_uploads.go): events per
+    (upload, table) to verify load completeness."""
+    return df.groupBy(upload_col, table_col).agg(F.count("*").alias("n"))
+
+
+def gateway_event_stats(
+    df: DataFrame,
+    cols=("source_id", "event_type", "event_name"),
+) -> DataFrame:
+    """A8 (processor/processor.go:1609-1651): counts by source/type/name."""
+    return df.groupBy(*[F.col(c) for c in cols]).agg(F.count("*").alias("n"))
+
+
+def schema_hash(payload: Column) -> Column:
+    """A9 key: hash of the payload's sorted top-level key set (the event
+    'schema version', schema-forwarder semantics)."""
+    return F.md5(F.to_json(F.array_sort(F.json_object_keys(payload))))
+
+
+def schema_version_counts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """A9 (processor/processor.go:2082-2101): frequency per schema hash,
+    one retained sample payload."""
+    return (
+        df.withColumn("_h", schema_hash(F.col(payload_col)))
+        .groupBy(F.col("_h").alias("schema_hash"))
+        .agg(F.count("*").alias("n"), F.min(payload_col).alias("sample"))
+    )
+
+
+def sync_window_start(
+    ts: Column, frequency_minutes: int, start_at_minutes: int = 0
+) -> Column:
+    """§2.10 tumbling sync windows (warehouse/router/scheduling.go:28-192):
+    the upload window a timestamp belongs to, anchored at ``syncStartAt``
+    past each UTC midnight."""
+    anchor = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(start_at_minutes), F.lit(0.0))
+    shifted = ts - anchor
+    win = F.window(shifted, f"{frequency_minutes} minutes")
+    return win.getField("start") + anchor
+
+
+def in_exclude_window(ts: Column, start_hour: int, end_hour: int) -> Column:
+    """scheduling.go excludeWindow: true when ts falls inside the
+    [start_hour, end_hour) local-day exclusion band (wraps midnight when
+    start > end)."""
+    h = F.hour(ts)
+    if start_hour <= end_hour:
+        return (h >= start_hour) & (h < end_hour)
+    return (h >= start_hour) | (h < end_hour)

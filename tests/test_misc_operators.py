@@ -1,0 +1,128 @@
+"""Tests for webhook adapters (S2), coercion+discards (P7), P11/F9/F10,
+reporting aggregates (A5/A6/A8/A9) and sync-window scheduling (§2.10).
+"""
+
+import datetime as dt
+import json
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.operators.coerce import (
+    coerce_with_discards,
+    drop_transient_sources,
+    expire_jobs,
+    strip_reserved_metadata,
+)
+from rudder_server_spark.operators.reporting import (
+    gateway_event_stats,
+    in_exclude_window,
+    schema_version_counts,
+    staging_file_stats,
+    sync_window_start,
+)
+from rudder_server_spark.sources.webhook import adapt_webhook
+
+T0 = dt.datetime(2024, 2, 1, 10, 30, 0)
+
+
+def test_webhook_generic_adapter(spark):
+    df = spark.createDataFrame(
+        [(json.dumps({"event": "Signed Up", "userId": "u1", "plan": "pro"}), T0)],
+        "body string, received_at timestamp",
+    )
+    out = adapt_webhook(df, "generic").head()
+    assert out["event_type"] == "track" and out["event_name"] == "Signed Up"
+    assert out["user_id"] == "u1"
+    assert json.loads(out["payload"])["properties"]["plan"] == "pro"
+
+
+def test_webhook_batch_adapter_explodes(spark):
+    body = json.dumps(
+        {"events": [json.dumps({"event": f"E{i}", "userId": str(i)}) for i in range(3)]}
+    )
+    df = spark.createDataFrame([(body, T0)], "body string, received_at timestamp")
+    out = adapt_webhook(df, "generic_batch")
+    assert sorted(r["event_name"] for r in out.collect()) == ["E0", "E1", "E2"]
+
+
+def test_coerce_with_discards(spark):
+    df = spark.createDataFrame(
+        [(1, "42", "x"), (2, "not-a-number", "y"), (3, None, "z")],
+        "id long, v string, s string",
+    )
+    coerced, discards = coerce_with_discards(df, {"v": "bigint", "s": "string"})
+    got = {r["id"]: r["v"] for r in coerced.collect()}
+    assert got == {1: 42, 2: None, 3: None}
+    d = discards.collect()
+    assert len(d) == 1
+    assert d[0]["row_id"] == 2 and d[0]["column_name"] == "v"
+    assert d[0]["column_value"] == "not-a-number"
+    assert d[0]["reason"] == "incompatible schema conversion"
+
+
+def test_strip_reserved_metadata(spark):
+    payload = json.dumps(
+        {"context": {"activation": {"fingerprint": "fp1", "origin": "o1"}, "ip": "1.1.1.1"}}
+    )
+    df = spark.createDataFrame([(payload,)], "payload string")
+    out = json.loads(strip_reserved_metadata(df).head()["payload"])
+    assert out["context"]["activation"] == {}
+    assert out["context"]["ip"] == "1.1.1.1"
+
+
+def test_transient_and_expiry(spark):
+    df = spark.createDataFrame(
+        [("s1", T0), ("s2", T0), ("s3", T0 - dt.timedelta(days=40))],
+        "source_id string, created_at timestamp",
+    )
+    transient = spark.createDataFrame([("s2",)], "source_id string")
+    assert {r["source_id"] for r in drop_transient_sources(df, transient).collect()} == {"s1", "s3"}
+    fresh = expire_jobs(df, F.lit(T0).cast("timestamp"), max_age_days=30)
+    assert {r["source_id"] for r in fresh.collect()} == {"s1", "s2"}
+
+
+def test_staging_stats_and_gateway_stats(spark):
+    df = spark.createDataFrame(
+        [("f1", "abc", T0, "s1", "track", "A"),
+         ("f1", "defgh", T0 + dt.timedelta(60), "s1", "track", "A"),
+         ("f2", "x", T0, "s1", "page", None)],
+        "staging_file string, payload string, received_at timestamp, "
+        "source_id string, event_type string, event_name string",
+    )
+    st = {r["staging_file"]: r for r in staging_file_stats(df).collect()}
+    assert st["f1"]["total_events"] == 2 and st["f1"]["total_bytes"] == 8
+    assert st["f1"]["first_event_at"] == T0
+    assert st["f1"]["last_event_at"] == T0 + dt.timedelta(60)
+
+    gw = {(r["event_type"], r["event_name"]): r["n"] for r in gateway_event_stats(df).collect()}
+    assert gw[("track", "A")] == 2 and gw[("page", None)] == 1
+
+
+def test_schema_version_counts(spark):
+    df = spark.createDataFrame(
+        [(json.dumps({"a": 1, "b": 2}),),
+         (json.dumps({"b": 5, "a": 9}),),   # same key set → same hash
+         (json.dumps({"a": 1}),)],
+        "payload string",
+    )
+    out = schema_version_counts(df).collect()
+    counts = sorted(r["n"] for r in out)
+    assert counts == [1, 2]
+
+
+def test_sync_windows(spark):
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 1, 10, 44),), (dt.datetime(2024, 2, 1, 10, 46),)],
+        "ts timestamp",
+    )
+    # 30-min windows anchored at :15 → [10:15, 10:45), [10:45, 11:15)
+    out = df.select(
+        sync_window_start(F.col("ts"), 30, start_at_minutes=15).alias("w")
+    ).collect()
+    assert out[0]["w"] == dt.datetime(2024, 2, 1, 10, 15)
+    assert out[1]["w"] == dt.datetime(2024, 2, 1, 10, 45)
+
+    ex = df.select(in_exclude_window(F.col("ts"), 22, 2).alias("e")).collect()
+    assert [r["e"] for r in ex] == [False, False]
+    late = spark.createDataFrame([(dt.datetime(2024, 2, 1, 23, 5),)], "ts timestamp")
+    assert late.select(in_exclude_window(F.col("ts"), 22, 2).alias("e")).head()["e"]
