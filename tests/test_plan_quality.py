@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the properties that make these plans
+hold at 100 TB, pinned via `.explain` so a refactor can't silently lose
+them (SURVEY §4 — pushdown/pruning/broadcast are the scale levers).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.plans.registry import load_all
+from rudder_server_spark.sources.fixtures import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+REG = load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q20_broadcasts_customer_side(spark):
+    """TPC-H Q3: the filtered customer dim must broadcast — a shuffle join
+    of lineitem×orders×customer at 100 TB dies on the customer exchange."""
+    df = REG["q20_tpch_q3"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    """Predicate pushdown: event_type filter lands in PushedFilters, so
+    row-group stats prune the payload decode (the q8/q9 scale win)."""
+    e = load_table(spark, SF_DIR, "events").where(F.col("event_type") == "click")
+    plan = _plan(e.select("event_id"))
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    """A 2-column projection must scan 2 columns, not 6 (ReadSchema)."""
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    plan = _plan(e)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "event_id" in read and "user_id" in read
+    assert "props" not in read and "event_type" not in read
+
+
+def test_q2_single_shuffle_window(spark):
+    """Latest-status: exactly one exchange (the window partition-by) —
+    a second exchange would mean the sort isn't reusing the partitioning."""
+    df = REG["q2_latest_status"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = plan.count("Exchange ")
+    # one hashpartitioning for the window + one rangepartitioning for the
+    # final ORDER BY — anything more is a regression
+    assert n_exchanges <= 2, plan
+
+
+def test_geo_range_join_broadcasts(spark):
+    """P9: the IP-range dimension must broadcast (nested-loop on the
+    range predicate) — never shuffle the event side."""
+    df = REG["q19_geo_enrich"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_suppression_broadcast_anti_join(spark):
+    df = REG["q5_suppression"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q21_partial_aggregation(spark):
+    """Rollup: map-side partial agg before the exchange (the shuffle must
+    carry one row per group per partition, not raw rows)."""
+    df = REG["q21_rollup"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    # partial (map-side) agg + final agg: two HashAggregates, the upstream
+    # one running partial_sum before any exchange moves data
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flatten_single_json_parse(spark):
+    """Q1: the projection must contain exactly ONE from_json of the payload
+    (the single-parse design) — per-column re-parsing is the 100 TB killer."""
+    from rudder_server_spark.operators.flatten import flatten_events
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    df = spark.read.parquet(rudder_events_path(SF_DIR))
+    flat = flatten_events(df, detect_timestamps=False)
+    opt = _optimized(flat)
+    assert opt.count("from_json") == 1, opt
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """The dedup/shingle hot path stays inside WholeStageCodegen (no
+    interpreted higher-order functions)."""
+    from rudder_server_spark.operators.dedup import shingle_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    plan = _plan(shingle_table(d))
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact plan
+    assert "*(1)" in plan
+    # and the shingle expression itself is regex-based, not a higher-order
+    # transform() (those evaluate interpreted, outside codegen)
+    assert "regexp_extract_all" in plan and "transform(" not in plan
