@@ -514,3 +514,65 @@ def q25(spark, sf):
             / F.lit(1000.0)
         ).alias("seconds_between"),
     ).orderBy("purchase_event_id")
+
+
+# --------------------------------------------------------------------------
+# Q29 sessionization — gap-based sessions (30-min inactivity) per user:
+# new-session marker via lag(), session number via running sum, then a
+# per-session rollup. The reference has no sessionizer (§2.10 notes
+# session_window as Spark-native surface); this pins the full pattern —
+# at scale it is two window passes over one (user_id) partitioning plus a
+# partial-agg'd groupBy, no extra shuffle between them.
+@register(
+    "q29_sessionize",
+    """
+    WITH marks AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM marks
+    )
+    SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, sess_no
+    ORDER BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity) + per-session rollup.",
+)
+def q29(spark, sf):
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(30), F.lit(0.0))
+    marks = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+            1,
+        ).otherwise(0),
+    )
+    sess = marks.withColumn(
+        "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(
+            F.min("event_id").alias("session_id"),
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .drop("sess_no")
+        .orderBy("user_id", "session_id")
+    )

@@ -334,3 +334,33 @@ def t12(spark, sf):
         "source_id", F.lit("ALL")
     )
     return per_source.unionByName(alls).orderBy("source_id")
+
+
+@register(
+    "t13_token_topk",
+    r"""
+    SELECT token, count(*) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]'))
+             AS token
+      FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="Corpus token top-k: explode(regexp tokens) → count → top-20 (the "
+        "distributed vocabulary-building primitive).",
+    tags=("training", "text"),
+)
+def t13(spark, sf):
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), 0
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
