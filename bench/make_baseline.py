@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Regenerate bench/baseline_sf*.json: wall-clock of each BENCH query's
+DuckDB oracle at the target scale — the single-node reference the 2× bench
+gate compares against (BASELINE.md "project bench gate").
+
+Usage: python bench/make_baseline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    from bench import BENCH_QUERIES  # the headline list, single source of truth
+    from rudder_server_spark.plans.registry import load_all
+    from rudder_server_spark.sources.fixtures import TABLES
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    rudder_events_path(sf_dir)  # materialize the fixture outside timing
+    reg = load_all()
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        qd = reg.get(name)
+        if qd is None or qd.oracle is None:
+            continue
+        sql = qd.oracle.replace("rudder_events_sf0.01.parquet", f"rudder_events_{sf_name}.parquet")
+        con.sql(sql).fetchall()  # warm (page cache + duckdb compile)
+        t0 = time.time()
+        con.sql(sql).fetchall()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
+
+    out = {
+        "engine": "duckdb",
+        "sf": float(sf_name.replace("sf", "")),
+        "threads": os.cpu_count(),
+        "queries": timings,
+        "total": round(sum(timings.values()), 3),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"baseline_{sf_name}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

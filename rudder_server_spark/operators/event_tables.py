@@ -21,11 +21,37 @@ reference's physical table-per-event design).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+class _LazyTables(Mapping):
+    """Mapping of table name → DataFrame where some entries build on first
+    access (those whose CONSTRUCTION runs Spark jobs, e.g. the iterative
+    identity resolution)."""
+
+    def __init__(self, ready: dict, deferred: dict):
+        self._ready = ready
+        self._deferred = deferred
+
+    def __getitem__(self, key):
+        if key not in self._ready:
+            self._ready[key] = self._deferred[key]()
+        return self._ready[key]
+
+    def __iter__(self):
+        # snapshot: __getitem__ during iteration (Mapping.items) moves
+        # deferred entries into _ready
+        keys = list(self._ready) + [k for k in self._deferred if k not in self._ready]
+        return iter(keys)
+
+    def __len__(self):
+        return sum(1 for _ in self)
 
 from rudder_server_spark.functions.names import safe_table_name
 from rudder_server_spark.operators.envelope import normalize_envelope
-from rudder_server_spark.operators.flatten import discover_flat_schema, flatten_events
+from rudder_server_spark.operators.flatten import discover_group_schemas, flatten_events
 from rudder_server_spark.operators.identity import connected_components
 
 ENVELOPE_COLS = (
@@ -88,25 +114,26 @@ def event_table_fanout(
 
     # Per-table schema consolidation, as the reference does per staging batch
     # (warehouse/schema/schema.go:294-343): context is shared across all
-    # event types; properties/userProperties are discovered on track rows,
-    # page properties on page rows, traits on identify rows. Each discovery
-    # scan is pruned to its event type by the parquet row-group stats.
+    # event types; properties/userProperties consolidate over track rows,
+    # page properties over page rows, traits over identify rows — all five
+    # aliases discovered in ONE scan/parse via filtered aggregates.
     et = F.col("event_type")
-    ctx_schema = discover_flat_schema(
-        env, payload_col, groups=("context",), discovery_limit=discovery_limit
+    per_alias = discover_group_schemas(
+        env,
+        [
+            ("ctx", "context", None),
+            ("track_props", "properties", et == "track"),
+            ("track_uprops", "userProperties", et == "track"),
+            ("page_props", "properties", et == "page"),
+            ("traits", "traits", et == "identify"),
+        ],
+        payload_col,
+        discovery_limit=discovery_limit,
     )
-    track_schema = discover_flat_schema(
-        env.where(et == "track"), payload_col,
-        groups=("properties", "userProperties"), discovery_limit=discovery_limit,
-    )
-    page_schema = discover_flat_schema(
-        env.where(et == "page"), payload_col,
-        groups=("properties",), discovery_limit=discovery_limit,
-    )
-    traits_schema = discover_flat_schema(
-        env.where(et == "identify"), payload_col,
-        groups=("traits",), discovery_limit=discovery_limit,
-    )
+    ctx_schema = per_alias["ctx"]
+    track_schema = per_alias["track_props"] + per_alias["track_uprops"]
+    page_schema = per_alias["page_props"]
+    traits_schema = per_alias["traits"]
     # union for the single shared projection; first-wins on name conflicts
     # (the reference's first-type-wins consolidation)
     schema, seen = [], set()
@@ -224,35 +251,39 @@ def event_table_fanout(
     )
     tables["rudder_identity_merge_rules"] = rules.drop("received_at").distinct()
 
-    comps = connected_components(
-        rules.select(
-            F.col("merge_property_1_value").alias("src"),
-            F.col("merge_property_2_value").alias("dst"),
-        )
-    )
-    idents = (
-        rules.select(
-            F.col("merge_property_1_type").alias("merge_property_type"),
-            F.col("merge_property_1_value").alias("merge_property_value"),
-            "received_at",
-        )
-        .unionByName(
+    def _mappings() -> DataFrame:
+        # connected_components runs Spark jobs in its convergence loop, so
+        # the mappings table is built lazily — callers that only want
+        # tracks/identifies never pay for identity resolution
+        comps = connected_components(
             rules.select(
-                F.col("merge_property_2_type").alias("merge_property_type"),
-                F.col("merge_property_2_value").alias("merge_property_value"),
-                "received_at",
+                F.col("merge_property_1_value").alias("src"),
+                F.col("merge_property_2_value").alias("dst"),
             )
         )
-        .groupBy("merge_property_type", "merge_property_value")
-        .agg(F.max("received_at").alias("updated_at"))
-    )
-    tables["rudder_identity_mappings"] = idents.join(
-        comps, idents.merge_property_value == comps.identifier, "left"
-    ).select(
-        "merge_property_type",
-        "merge_property_value",
-        F.coalesce("component", "merge_property_value").alias("rudder_id"),
-        "updated_at",
-    )
+        idents = (
+            rules.select(
+                F.col("merge_property_1_type").alias("merge_property_type"),
+                F.col("merge_property_1_value").alias("merge_property_value"),
+                "received_at",
+            )
+            .unionByName(
+                rules.select(
+                    F.col("merge_property_2_type").alias("merge_property_type"),
+                    F.col("merge_property_2_value").alias("merge_property_value"),
+                    "received_at",
+                )
+            )
+            .groupBy("merge_property_type", "merge_property_value")
+            .agg(F.max("received_at").alias("updated_at"))
+        )
+        return idents.join(
+            comps, idents.merge_property_value == comps.identifier, "left"
+        ).select(
+            "merge_property_type",
+            "merge_property_value",
+            F.coalesce("component", "merge_property_value").alias("rudder_id"),
+            "updated_at",
+        )
 
-    return tables
+    return _LazyTables(tables, {"rudder_identity_mappings": _mappings})

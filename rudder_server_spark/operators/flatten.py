@@ -75,6 +75,7 @@ def discover_flat_schema(
     groups=DEFAULT_GROUPS,
     max_depth: int = 3,
     discovery_limit: int | None = None,
+    group_filters: dict | None = None,
 ) -> list[tuple[str, list[str], str]]:
     """Phase 1: returns [(column_name, json_path_parts, target_type), ...].
 
@@ -85,10 +86,34 @@ def discover_flat_schema(
     incremental, order-dependent consolidation the reference applies
     (first-type-wins per staging batch, warehouse/schema/schema.go:294-343);
     a full-corpus exact pass (None) is never what runs at 100 TB.
+
+    group_filters maps a group name to a boolean Column restricting which
+    rows contribute to that group's schema (per-event-type consolidation,
+    P8) — all groups still share ONE scan and ONE JSON parse.
     """
-    # parse each payload ONCE into a variant column, then aggregate — with
-    # parse_json inlined per group expression the payload would be re-parsed
-    # len(groups)× per row
+    specs = [(g, g, (group_filters or {}).get(g)) for g in groups]
+    per_alias = discover_group_schemas(df, specs, payload_col, max_depth, discovery_limit)
+    out: list[tuple[str, list[str], str]] = []
+    for g in groups:
+        out.extend(per_alias[g])
+    return sorted(out)
+
+
+def discover_group_schemas(
+    df: DataFrame,
+    specs: list[tuple],
+    payload_col: str = "payload",
+    max_depth: int = 3,
+    discovery_limit: int | None = None,
+) -> dict[str, list[tuple[str, list[str], str]]]:
+    """One-pass, multi-alias schema discovery.
+
+    ``specs`` is ``[(alias, json_key, filter_cond_or_None), ...]`` — the same
+    json key may appear under several aliases with different row filters
+    (e.g. track-properties vs page-properties). ONE scan, ONE JSON parse,
+    one wide ``schema_of_variant_agg`` aggregate; returns
+    ``{alias: [(column_name, path_parts, target_type), ...]}``.
+    """
     scan = df
     if discovery_limit:
         n = df.count()  # parquet metadata count — no data scan
@@ -96,33 +121,41 @@ def discover_flat_schema(
             # seeded sample keeps discovery parallel (a limit() would collapse
             # the scan to one partition) and deterministic
             scan = df.sample(fraction=discovery_limit / n, seed=42)
-    parsed = scan.select(F.parse_json(F.col(payload_col)).alias("_v"))
-    agg = parsed.agg(
-        *[
-            F.schema_of_variant_agg(F.try_variant_get(F.col("_v"), f"$.{g}", "variant")).alias(g)
-            for g in groups
-        ]
-    ).head()
-    out: list[tuple[str, list[str], str]] = []
-    for g in groups:
-        ddl = agg[g]
-        if ddl is None or ddl == "VOID":
-            continue
-        # schema_of_variant_agg prints OBJECT<...>; parse as STRUCT DDL
-        struct_ddl = re.sub(r"\bOBJECT<", "STRUCT<", ddl)
-        try:
-            parsed = T._parse_datatype_string(struct_ddl)
-        except Exception:
-            continue
-        if not isinstance(parsed, T.StructType):
-            continue
-        for path, dt in _leaf_paths(parsed, [g], 1, max_depth):
-            tgt = _target_type(dt)
-            if tgt is None:
-                continue
-            col_name = safe_column_name("_".join(path))
-            out.append((col_name, path, tgt))
-    return sorted(out)
+    filter_cols = sorted(
+        {c for _, _, cond in specs if cond is not None for c in scan.columns if c != payload_col}
+    )
+    # parse each payload ONCE into a variant column, then aggregate — with
+    # parse_json inlined per alias the payload would be re-parsed per spec
+    parsed = scan.select(
+        F.parse_json(F.col(payload_col)).alias("_v"), *[F.col(c) for c in filter_cols]
+    )
+
+    def spec_expr(alias: str, key: str, cond):
+        v = F.try_variant_get(F.col("_v"), f"$.{key}", "variant")
+        if cond is not None:
+            v = F.when(cond, v)
+        return F.schema_of_variant_agg(v).alias(alias)
+
+    agg = parsed.agg(*[spec_expr(a, k, c) for a, k, c in specs]).head()
+    out: dict[str, list[tuple[str, list[str], str]]] = {}
+    for alias, key, _ in specs:
+        entries: list[tuple[str, list[str], str]] = []
+        ddl = agg[alias]
+        if ddl is not None and ddl != "VOID":
+            # schema_of_variant_agg prints OBJECT<...>; parse as STRUCT DDL
+            struct_ddl = re.sub(r"\bOBJECT<", "STRUCT<", ddl)
+            try:
+                parsed_t = T._parse_datatype_string(struct_ddl)
+            except Exception:
+                parsed_t = None
+            if isinstance(parsed_t, T.StructType):
+                for path, dt in _leaf_paths(parsed_t, [key], 1, max_depth):
+                    tgt = _target_type(dt)
+                    if tgt is None:
+                        continue
+                    entries.append((safe_column_name("_".join(path)), path, tgt))
+        out[alias] = sorted(entries)
+    return out
 
 
 def flatten_events(
@@ -178,31 +211,42 @@ def flatten_events(
         staged_cols.append(F.parse_json(F.col(payload_col)).alias("_v"))
     staged = df.select(*staged_cols)
 
+    promote: set = set()
+    str_entries = [(n, p) for n, p, tgt in schema if tgt == "string"]
+    if detect_timestamps and str_entries:
+        # timestamp promotion decided on the SAME bounded sample as schema
+        # discovery (datatype.go:15-17 decides per value at load; a sampled
+        # column-level vote + try_cast for stragglers matches that without a
+        # full-corpus pass). Crucially this keeps the main projection free
+        # of any checkpoint, so callers' filters push down into the scan.
+        scan = df
+        if discovery_limit:
+            n = df.count()
+            if n > discovery_limit:
+                scan = df.sample(fraction=discovery_limit / n, seed=42)
+        sample_flat = scan.select(
+            F.from_json(F.col(payload_col), to_struct(root)).alias("_s")
+        ).select(
+            *[F.col("_s." + ".".join(p)).alias(n) for n, p in str_entries]
+        )
+        checks = sample_flat.agg(
+            *[
+                F.min(F.when(F.col(c).isNotNull(), F.col(c).rlike(TS_REGEX))).alias(c)
+                for c, _ in str_entries
+            ]
+        ).head()
+        promote = {c for c, _ in str_entries if checks[c] is True}
+
+    def scalar_expr(name: str, path: list[str]):
+        e = F.col("_s." + ".".join(path))
+        if name in promote:
+            e = e.try_cast("timestamp")
+        return e.alias(name)
+
     cols = [F.col(c) for c in keep_cols]
-    cols += [F.col("_s." + ".".join(path)).alias(name) for name, path, _ in scalar]
+    cols += [scalar_expr(name, path) for name, path, _ in scalar]
     cols += [
         F.to_json(F.try_variant_get(F.col("_v"), "$." + ".".join(path), "variant")).alias(name)
         for name, path, _ in jsonly
     ]
-    flat = staged.select(*cols)
-
-    if detect_timestamps:
-        str_cols = [name for name, _, tgt in schema if tgt == "string"]
-        if str_cols:
-            # materialize the parsed projection once so the promotion check
-            # and the final result share one JSON parse instead of two
-            flat = flat.localCheckpoint(eager=False)
-            checks = flat.agg(
-                *[
-                    (
-                        F.min(
-                            F.when(F.col(c).isNotNull(), F.col(c).rlike(TS_REGEX))
-                        ).alias(c)
-                    )
-                    for c in str_cols
-                ]
-            ).head()
-            promote = [c for c in str_cols if checks[c] is True]
-            for c in promote:
-                flat = flat.withColumn(c, F.col(c).cast("timestamp"))
-    return flat
+    return staged.select(*cols)

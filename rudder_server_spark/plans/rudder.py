@@ -210,7 +210,9 @@ _TS_EXPR = (
 def q16(spark, sf):
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
-    tables = event_table_fanout(_load(spark, sf))
+    tables = event_table_fanout(_load(spark, sf), materialize=False)
+    # single-table access: no checkpoint, so the event_type filter pushes
+    # into the parquet scan and only track row groups decode payloads
     return tables["tracks"].orderBy("id")
 
 
