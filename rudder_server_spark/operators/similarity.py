@@ -92,3 +92,85 @@ def lsh_topk(
     bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     cand = bucketed.where(F.col("_bucket") == q_bucket)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path: k-means
+# centroids partition the corpus; a query probes only the nprobe nearest
+# cells. At 100 TB: train on a sample, broadcast the (k × dim) centroid
+# matrix, assign via a narrow map, and physically partition/bucket the
+# corpus by cell so each probe is a partition-pruned scan.
+
+
+def ivf_train(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Train the coarse quantizer (Spark ML k-means, seeded/deterministic).
+
+    Returns the centroid list (small: k × dim floats, broadcastable).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid — pure column expressions
+    over broadcast centroid literals (argmin of squared L2), codegen'd."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    best = F.least(*dists)
+    cell = F.lit(None).cast("int")
+    # reversed so ties pick the lowest cell index
+    for i in reversed(range(len(dists))):
+        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
+    return df.withColumn(cell_col, cell)
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Probe the nprobe nearest cells, exact cosine inside them.
+
+    With the corpus partitioned by cell this reads nprobe/k of the data;
+    recall grows with nprobe (nprobe=k is exact search).
+    """
+    d2 = [
+        sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c)) for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
+    cand = df_assigned.where(F.col(cell_col).isin(probe))
+    return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -364,3 +364,21 @@ def t13(spark, sf):
         .orderBy(F.desc("cnt"), "token")
         .limit(20)
     )
+
+
+@register(
+    "t14_ann_ivf",
+    None,  # approximate probing (recall < 1) → rows-only; recall pinned in unit test
+    doc=(
+        "ANN top-10 via IVF coarse quantizer (k-means cells, nprobe=4 of 8): "
+        "the partition-pruned scale path; recall vs q27's exact top-k is "
+        "unit-tested ≥ 0.8."
+    ),
+    tags=("training", "similarity"),
+)
+def t14(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = S.ivf_train(e, k=8)
+    assigned = S.ivf_assign(e.where(F.col("vec_id") != 0), cents)
+    return S.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)

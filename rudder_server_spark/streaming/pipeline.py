@@ -219,3 +219,40 @@ def run_router_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (SURVEY §2.10 "state stores"): arbitrary per-key
+# running state via applyInPandasWithState — the Spark shape for operators
+# the reference keeps in BadgerDB/Postgres (per-user counters, throttle
+# buckets, order barriers). State lives in the checkpointed state store
+# (RocksDB at scale), keyed by the grouping column.
+
+
+def stateful_user_totals(stream: DataFrame):
+    """Running per-user (event count, value total) maintained across
+    micro-batches. Emits the updated totals for every user seen in a batch.
+
+    The closure is self-contained (cloudpickle by value) — workers don't
+    need this package importable.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum()) if "value" in pdf else 0.0
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -137,3 +137,22 @@ def test_hll_sketches_merge_and_accuracy(spark):
         true_users = n / 4
         assert abs(r["users_estimate"] - true_users) / true_users < 0.05
         assert abs(r["anon_estimate"] - 997) / 997 < 0.05
+
+
+def test_ivf_ann_recall(spark):
+    from rudder_server_spark.operators import similarity as S
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = {r["vec_id"] for r in
+             S.brute_force_topk(e.where(F.col("vec_id") != 0), qvec, k=10).collect()}
+
+    cents = S.ivf_train(e, k=8)
+    assigned = S.ivf_assign(e.where(F.col("vec_id") != 0), cents)
+    approx = {r["vec_id"] for r in S.ivf_topk(assigned, cents, qvec, k=10, nprobe=4).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+    # nprobe = k degenerates to exact search
+    full = {r["vec_id"] for r in S.ivf_topk(assigned, cents, qvec, k=10, nprobe=8).collect()}
+    assert full == exact

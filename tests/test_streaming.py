@@ -150,3 +150,54 @@ def test_router_per_key_ordering(spark, tmp_path):
     # collect() preserves partition-internal order; all rows share one user
     # → must arrive sorted by (received_at, message_id)
     assert seen == sorted(seen, key=lambda m: m)
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    from rudder_server_spark.streaming.pipeline import stateful_user_totals
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → with maxFilesPerTrigger=1, two micro-batches; user 1
+    # appears in both, so its state must accumulate across batches
+    _write_events(src, [
+        {"user_id": 1, "value": 10.0}, {"user_id": 2, "value": 5.0},
+    ], fname="b1.json")
+    _write_events(src, [
+        {"user_id": 1, "value": 7.0},
+    ], fname="b2.json")
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    totals = stateful_user_totals(stream)
+
+    def sink(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql import Window
+
+    res = spark.read.parquet(out)
+    # the LAST emission per user carries the accumulated running totals
+    last = (
+        res.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("epoch"))),
+        )
+        .where("rn = 1")
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in last}
+    assert got[1] == (2, 17.0)  # state carried across micro-batches
+    assert got[2] == (1, 5.0)
