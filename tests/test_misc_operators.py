@@ -126,3 +126,22 @@ def test_sync_windows(spark):
     assert [r["e"] for r in ex] == [False, False]
     late = spark.createDataFrame([(dt.datetime(2024, 2, 1, 23, 5),)], "ts timestamp")
     assert late.select(in_exclude_window(F.col("ts"), 22, 2).alias("e")).head()["e"]
+
+
+def test_salted_join_and_count(spark):
+    from rudder_server_spark.operators.skew import salted_count, salted_join
+
+    # skewed big side: one hot key (90%) + tail
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, "hot").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k950", "T")], "k string, label string"
+    )
+    out = salted_join(big, small, on=["k"], buckets=4)
+    agg = {r["label"]: r["n"] for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert agg == {"H": 900, "T": 1}  # same result as a plain join
+
+    counts = {r["k"]: r["n"] for r in salted_count(big, ["k"], buckets=8).collect()}
+    assert counts["hot"] == 900 and counts["k999"] == 1
