@@ -167,6 +167,7 @@ def flatten_events(
     detect_timestamps: bool = True,
     discovery_limit: int | None = 200_000,
     schema: list[tuple[str, list[str], str]] | None = None,
+    json_paths: tuple = (),
 ) -> DataFrame:
     """Phase 2: project the discovered schema into flattened typed columns.
 
@@ -179,9 +180,31 @@ def flatten_events(
     Pass a precomputed ``schema`` (from :func:`discover_flat_schema`) to
     skip the discovery pass — e.g. when one discovery feeds several
     projections (the P8 fan-out).
+
+    ``json_paths`` lists dotted paths (e.g. ``"properties.items"``) whose
+    subtree must stay a JSON string instead of flattening — the reference's
+    configured jsonpaths (embedded/warehouse/jsonpaths.go): columns a
+    customer declares as opaque JSON documents.
     """
     if schema is None:
         schema = discover_flat_schema(df, payload_col, groups, max_depth, discovery_limit)
+    if json_paths:
+        forced = [tuple(p.split(".")) for p in json_paths]
+
+        def under(path: list[str]):
+            return next((f for f in forced if tuple(path[: len(f)]) == f), None)
+
+        collapsed: dict[tuple, tuple] = {}
+        for name, path, tgt in schema:
+            hit = under(path)
+            if hit is None:
+                collapsed[tuple(path)] = (name, path, tgt)
+            else:
+                # collapse every leaf below a forced path to ONE json column
+                from rudder_server_spark.functions.names import safe_column_name
+
+                collapsed[hit] = (safe_column_name("_".join(hit)), list(hit), "json")
+        schema = sorted(collapsed.values())
 
     scalar = [(n, p, t) for n, p, t in schema if t != "json"]
     jsonly = [(n, p, t) for n, p, t in schema if t == "json"]

@@ -156,3 +156,26 @@ def test_users_latest_nonnull_traits(spark):
     assert u["name"] == "N"          # latest non-null
     assert u["email"] == "old@x.com" # null skipped, falls back to earlier
     assert u["received_at"] == T0 + dt.timedelta(60)
+
+
+def test_flatten_json_paths_config(spark):
+    """P5 configured jsonpaths: a declared subtree stays one JSON column."""
+    import json as _json
+
+    from rudder_server_spark.operators.flatten import flatten_events
+
+    rows = [
+        (0, _json.dumps({"properties": {"items": {"a": 1, "b": {"c": 2}}, "price": 9.5}})),
+        (1, _json.dumps({"properties": {"items": {"a": 3}, "price": 1.0}})),
+    ]
+    df = spark.createDataFrame(rows, "idx long, payload string")
+    flat = flatten_events(
+        df, keep_cols=("idx",), detect_timestamps=False, discovery_limit=None,
+        json_paths=("properties.items",),
+    )
+    assert "properties_items" in flat.columns
+    assert "properties_items_a" not in flat.columns
+    assert "properties_price" in flat.columns
+    got = {r["idx"]: r for r in flat.collect()}
+    assert _json.loads(got[0]["properties_items"]) == {"a": 1, "b": {"c": 2}}
+    assert got[1]["properties_price"] == 1.0
