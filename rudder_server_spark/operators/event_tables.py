@@ -91,18 +91,42 @@ def _strip_prefix(name: str, prefix: str) -> str:
     return name[len(prefix) :] if name.startswith(prefix) else name
 
 
+def discover_fanout_schemas(
+    df: DataFrame, payload_col: str = "payload", discovery_limit: int | None = 200_000
+) -> dict:
+    """The fan-out's per-table schema consolidation (one scan — see
+    event_table_fanout). Cacheable by the caller: schemas evolve with the
+    corpus, not per query, so engines persist them (the reference's
+    wh_schemas table) instead of re-deriving per read."""
+    et = F.col("event_type")
+    return discover_group_schemas(
+        df,
+        [
+            ("ctx", "context", None),
+            ("track_props", "properties", et == "track"),
+            ("track_uprops", "userProperties", et == "track"),
+            ("page_props", "properties", et == "page"),
+            ("traits", "traits", et == "identify"),
+        ],
+        payload_col,
+        discovery_limit=discovery_limit,
+    )
+
+
 def event_table_fanout(
     df: DataFrame,
     payload_col: str = "payload",
     discovery_limit: int | None = 200_000,
     materialize: bool = True,
+    schemas: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Fan an envelope+payload event frame out into warehouse tables.
 
     Returns ``{table_name: DataFrame}``. ``df`` must carry the envelope
     columns of FIXTURES.md §2 (message_id, user_id, anonymous_id,
     event_type, event_name, received_at, sent_at, original_timestamp) and a
-    JSON ``payload`` column.
+    JSON ``payload`` column. Pass ``schemas`` (from
+    :func:`discover_fanout_schemas`) to reuse a cached consolidation.
     """
     env = normalize_envelope(df)
     # top-level scalar payload fields used by pages/aliases — one extra
@@ -117,18 +141,8 @@ def event_table_fanout(
     # event types; properties/userProperties consolidate over track rows,
     # page properties over page rows, traits over identify rows — all five
     # aliases discovered in ONE scan/parse via filtered aggregates.
-    et = F.col("event_type")
-    per_alias = discover_group_schemas(
-        env,
-        [
-            ("ctx", "context", None),
-            ("track_props", "properties", et == "track"),
-            ("track_uprops", "userProperties", et == "track"),
-            ("page_props", "properties", et == "page"),
-            ("traits", "traits", et == "identify"),
-        ],
-        payload_col,
-        discovery_limit=discovery_limit,
+    per_alias = schemas if schemas is not None else discover_fanout_schemas(
+        env, payload_col, discovery_limit
     )
     ctx_schema = per_alias["ctx"]
     track_schema = per_alias["track_props"] + per_alias["track_uprops"]

@@ -74,3 +74,34 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         if changed == 0:
             break
     return labels.select(F.col("node").alias("identifier"), F.col("lbl").alias("component"))
+
+
+def apply_merge_rules(
+    mappings: DataFrame | None,
+    rules: DataFrame,
+    src: str = "merge_property_1_value",
+    dst: str = "merge_property_2_value",
+) -> DataFrame:
+    """Incremental identity resolution (identity.go:79-207): fold a NEW
+    batch of merge rules into the EXISTING mappings table.
+
+    The existing (identifier → rudder_id) assignments are themselves edges —
+    unioning them with the new rule edges and re-running components yields
+    exactly the state a from-scratch run over all rules ever seen would
+    produce (min-identifier labels are stable: an old component's rudder_id
+    is its min member, which stays the min unless a new rule merges it with
+    a smaller component — the same rewrite the reference performs when a
+    rule unions two components).
+
+    At scale the work is proportional to the ACTIVE subgraph: existing
+    components enter as star edges (depth 1), so label propagation
+    converges in O(log) rounds over |new rules| + |touched mappings|.
+    """
+    edges = rules.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if mappings is not None:
+        edges = edges.unionByName(
+            mappings.select(
+                F.col("identifier").alias("src"), F.col("component").alias("dst")
+            )
+        )
+    return connected_components(edges)

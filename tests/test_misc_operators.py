@@ -145,3 +145,22 @@ def test_salted_join_and_count(spark):
 
     counts = {r["k"]: r["n"] for r in salted_count(big, ["k"], buckets=8).collect()}
     assert counts["hot"] == 900 and counts["k999"] == 1
+
+
+def test_incremental_identity_merge(spark):
+    from rudder_server_spark.operators.identity import apply_merge_rules
+
+    cols = "merge_property_1_value string, merge_property_2_value string"
+    batch1 = spark.createDataFrame([("a", "b"), ("c", "d")], cols)
+    batch2 = spark.createDataFrame([("b", "c"), ("e", "f")], cols)  # merges {a,b}∪{c,d}
+
+    m1 = apply_merge_rules(None, batch1)
+    assert {r["identifier"]: r["component"] for r in m1.collect()} == {
+        "a": "a", "b": "a", "c": "c", "d": "c",
+    }
+    m2 = apply_merge_rules(m1, batch2)
+    got = {r["identifier"]: r["component"] for r in m2.collect()}
+    # incremental result == from-scratch over all rules
+    full = apply_merge_rules(None, batch1.unionByName(batch2))
+    assert got == {r["identifier"]: r["component"] for r in full.collect()}
+    assert got["d"] == "a" and got["e"] == "e" and got["f"] == "e"
