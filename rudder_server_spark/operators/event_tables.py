@@ -129,12 +129,7 @@ def event_table_fanout(
     :func:`discover_fanout_schemas`) to reuse a cached consolidation.
     """
     env = normalize_envelope(df)
-    # top-level scalar payload fields used by pages/aliases — one extra
-    # from_json walk of a 2-field struct, not a full parse
-    env = env.withColumn(
-        "_top", F.from_json(F.col(payload_col), "name string, previousId string")
-    )
-    keep = [c for c in ENVELOPE_COLS if c in env.columns] + ["_top"]
+    keep = [c for c in ENVELOPE_COLS if c in env.columns]
 
     # Per-table schema consolidation, as the reference does per staging batch
     # (warehouse/schema/schema.go:294-343): context is shared across all
@@ -156,6 +151,11 @@ def event_table_fanout(
             if name not in seen:
                 seen.add(name)
                 schema.append((name, path, tgt))
+    # top-level scalar payload fields used by pages/aliases ride the SAME
+    # from_json parse as the flattened groups (one JSON walk per row total,
+    # not a second 2-field parse of every payload)
+    schema.append(("_evt_name", ["name"], "string"))
+    schema.append(("_evt_previous_id", ["previousId"], "string"))
 
     flat = flatten_events(
         env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema
@@ -239,14 +239,14 @@ def event_table_fanout(
     ]
     tables["pages"] = pages_base.select(
         *common(),
-        F.col("_top.name").alias("name"),
+        F.col("_evt_name").alias("name"),
         *[F.col(c) for c in ctx_cols],
         *[F.col(c).alias(short) for c, short in page_props],
     )
 
     # ---- aliases -------------------------------------------------------
     tables["aliases"] = flat.where(F.col("event_type") == "alias").select(
-        *common(), F.col("_top.previousId").alias("previous_id")
+        *common(), F.col("_evt_previous_id").alias("previous_id")
     )
 
     # ---- identity tables ----------------------------------------------
