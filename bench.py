@@ -65,12 +65,41 @@ def main() -> None:
     # baseline is measured warm, so timings compare compute, not cold IO
     spark.read.parquet(re_path).select(F.sum(F.length("payload"))).collect()
     load_table(spark, SF_DIR, "lineitem").count()
-    warm_ev = spark.read.parquet(re_path).limit(1000)
+    warm_ev = spark.read.parquet(re_path).limit(2000)
     (
         warm.join(warm_ev, warm.n_nationkey == warm_ev.user_id % 25)
         .groupBy("n_name")
         .agg(F.count("*").alias("c"), F.sum(F.col("user_id").cast("decimal(18,6)")).alias("s"))
         .orderBy("n_name")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    # first-touch JIT/codegen warmup per operator family on ~2k rows — the
+    # DuckDB baseline is a warm second run, so per-query timings should
+    # measure steady-state compute, not one-time whole-stage-codegen
+    # compilation of window/json/variant/regex paths (~2-4s each first use)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("received_at")
+    (
+        warm_ev.select(
+            "message_id",
+            "user_id",
+            "received_at",
+            F.from_json(
+                "payload", "context struct<ip:string,traits:struct<email:string>>"
+            ).alias("_s"),
+            F.schema_of_variant(F.parse_json("payload")).alias("_v"),
+            F.col("message_id").rlike("^msg").alias("_r"),
+            F.md5(F.concat_ws(":", "user_id", "anonymous_id")).alias("_h"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_lag", F.lag("message_id").over(w))
+        .withColumn("_rsum", F.sum(F.length("message_id")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(F.col("_rn") <= 3)
+        .repartitionByRange("message_id")
+        .sortWithinPartitions("message_id")
         .write.mode("overwrite")
         .format("noop")
         .save()

@@ -113,12 +113,30 @@ def discover_fanout_schemas(
     )
 
 
+def fanout_flat_schema(per_alias: dict) -> list:
+    """Merge the per-alias discovered schemas into the single shared
+    projection list (first-type-wins on name conflicts, the reference's
+    consolidation rule), plus the top-level scalar fields pages/aliases
+    need. Deterministic given ``per_alias`` — safe to persist."""
+    schema, seen = [], set()
+    for key in ("ctx", "track_props", "track_uprops", "traits", "page_props"):
+        for name, path, tgt in per_alias[key]:
+            if name not in seen:
+                seen.add(name)
+                schema.append((name, list(path), tgt))
+    schema.append(("_evt_name", ["name"], "string"))
+    schema.append(("_evt_previous_id", ["previousId"], "string"))
+    return schema
+
+
 def event_table_fanout(
     df: DataFrame,
     payload_col: str = "payload",
     discovery_limit: int | None = 200_000,
     materialize: bool = True,
     schemas: dict | None = None,
+    promote: set | None = None,
+    normalized: bool = False,
 ) -> dict[str, DataFrame]:
     """Fan an envelope+payload event frame out into warehouse tables.
 
@@ -127,8 +145,14 @@ def event_table_fanout(
     event_type, event_name, received_at, sent_at, original_timestamp) and a
     JSON ``payload`` column. Pass ``schemas`` (from
     :func:`discover_fanout_schemas`) to reuse a cached consolidation.
+
+    ``normalized=True`` declares the input already envelope-normalized
+    (P2-P4 applied) and skips re-stamping. This matters when the caller has
+    pre-sorted the input: re-sanitizing message_id would wrap it in a fresh
+    (uuid-bearing, non-deterministic) expression, hiding the input's sort
+    order from Catalyst and forcing downstream ORDER BYs to re-sort.
     """
-    env = normalize_envelope(df)
+    env = df if normalized else normalize_envelope(df)
     keep = [c for c in ENVELOPE_COLS if c in env.columns]
 
     # Per-table schema consolidation, as the reference does per staging batch
@@ -140,25 +164,18 @@ def event_table_fanout(
         env, payload_col, discovery_limit
     )
     ctx_schema = per_alias["ctx"]
-    track_schema = per_alias["track_props"] + per_alias["track_uprops"]
+    track_schema = list(per_alias["track_props"]) + list(per_alias["track_uprops"])
     page_schema = per_alias["page_props"]
     traits_schema = per_alias["traits"]
-    # union for the single shared projection; first-wins on name conflicts
-    # (the reference's first-type-wins consolidation)
-    schema, seen = [], set()
-    for part in (ctx_schema, track_schema, traits_schema, page_schema):
-        for name, path, tgt in part:
-            if name not in seen:
-                seen.add(name)
-                schema.append((name, path, tgt))
-    # top-level scalar payload fields used by pages/aliases ride the SAME
-    # from_json parse as the flattened groups (one JSON walk per row total,
-    # not a second 2-field parse of every payload)
-    schema.append(("_evt_name", ["name"], "string"))
-    schema.append(("_evt_previous_id", ["previousId"], "string"))
+    # single shared projection (first-wins consolidation) + the top-level
+    # scalar payload fields pages/aliases need, riding the SAME from_json
+    # parse (one JSON walk per row total)
+    schema = fanout_flat_schema(per_alias)
+    seen = {name for name, _, _ in schema}
 
     flat = flatten_events(
-        env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema
+        env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema,
+        promote=promote,
     )
     if materialize:
         # every output table filters this one parsed frame; materialize it
@@ -185,10 +202,16 @@ def event_table_fanout(
     ]
     tables["tracks"] = tracks_base.select(*track_common)
 
-    # the per-event table set is schema metadata: small, driver-side
+    # the per-event table set is schema metadata: small, driver-side. Read it
+    # from the RAW envelope (one-column parquet scan), not the flattened
+    # frame — on the materialize=True path that would force the checkpoint's
+    # full payload parse just to list distinct names.
     event_names = [
         r[0]
-        for r in tracks_base.select("event_name").distinct().collect()
+        for r in env.where(F.col("event_type") == "track")
+        .select("event_name")
+        .distinct()
+        .collect()
         if r[0] is not None
     ]
     taken = {"id", "event", "event_text", *_COMMON, *ctx_cols}

@@ -158,6 +158,55 @@ def discover_group_schemas(
     return out
 
 
+def discover_promotions(
+    df: DataFrame,
+    schema: list[tuple[str, list[str], str]],
+    payload_col: str = "payload",
+    discovery_limit: int | None = 200_000,
+) -> set:
+    """Decide which discovered string columns promote to timestamp.
+
+    Sampled column-level vote (datatype.go:15-17 decides per value at load;
+    a bounded-sample vote + try_cast for stragglers matches that without a
+    full-corpus pass). Like the schema itself, the result is a property of
+    the CORPUS, not of a query — persist it alongside the schema registry
+    entry instead of re-sampling per read.
+    """
+    str_entries = [(n, p) for n, p, tgt in schema if tgt == "string"]
+    if not str_entries:
+        return set()
+    root: dict = {}
+    for _, path in str_entries:
+        cur = root
+        for part in path[:-1]:
+            cur = cur.setdefault(part, {})
+        cur[path[-1]] = "string"
+
+    def to_struct(node: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(k, to_struct(v) if isinstance(v, dict) else T.StringType())
+                for k, v in node.items()
+            ]
+        )
+
+    scan = df
+    if discovery_limit:
+        n = df.count()
+        if n > discovery_limit:
+            scan = df.sample(fraction=discovery_limit / n, seed=42)
+    sample_flat = scan.select(
+        F.from_json(F.col(payload_col), to_struct(root)).alias("_s")
+    ).select(*[F.col("_s." + ".".join(p)).alias(n) for n, p in str_entries])
+    checks = sample_flat.agg(
+        *[
+            F.min(F.when(F.col(c).isNotNull(), F.col(c).rlike(TS_REGEX))).alias(c)
+            for c, _ in str_entries
+        ]
+    ).head()
+    return {c for c, _ in str_entries if checks[c] is True}
+
+
 def flatten_events(
     df: DataFrame,
     payload_col: str = "payload",
@@ -168,6 +217,7 @@ def flatten_events(
     discovery_limit: int | None = 200_000,
     schema: list[tuple[str, list[str], str]] | None = None,
     json_paths: tuple = (),
+    promote: set | None = None,
 ) -> DataFrame:
     """Phase 2: project the discovered schema into flattened typed columns.
 
@@ -234,31 +284,15 @@ def flatten_events(
         staged_cols.append(F.parse_json(F.col(payload_col)).alias("_v"))
     staged = df.select(*staged_cols)
 
-    promote: set = set()
-    str_entries = [(n, p) for n, p, tgt in schema if tgt == "string"]
-    if detect_timestamps and str_entries:
-        # timestamp promotion decided on the SAME bounded sample as schema
-        # discovery (datatype.go:15-17 decides per value at load; a sampled
-        # column-level vote + try_cast for stragglers matches that without a
-        # full-corpus pass). Crucially this keeps the main projection free
-        # of any checkpoint, so callers' filters push down into the scan.
-        scan = df
-        if discovery_limit:
-            n = df.count()
-            if n > discovery_limit:
-                scan = df.sample(fraction=discovery_limit / n, seed=42)
-        sample_flat = scan.select(
-            F.from_json(F.col(payload_col), to_struct(root)).alias("_s")
-        ).select(
-            *[F.col("_s." + ".".join(p)).alias(n) for n, p in str_entries]
+    if promote is None:
+        # timestamp promotion decided on the same bounded sample as schema
+        # discovery; pass a precomputed ``promote`` set (schema registry) to
+        # skip this sampling pass entirely
+        promote = (
+            discover_promotions(df, schema, payload_col, discovery_limit)
+            if detect_timestamps
+            else set()
         )
-        checks = sample_flat.agg(
-            *[
-                F.min(F.when(F.col(c).isNotNull(), F.col(c).rlike(TS_REGEX))).alias(c)
-                for c, _ in str_entries
-            ]
-        ).head()
-        promote = {c for c, _ in str_entries if checks[c] is True}
 
     def scalar_expr(name: str, path: list[str]):
         e = F.col("_s." + ".".join(path))

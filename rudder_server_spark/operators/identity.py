@@ -23,11 +23,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
     """Compute connected components over an undirected string-node graph.
 
     Returns (identifier, component) where component is the lexicographically
     smallest identifier in the node's component.
+
+    Like AQE switching a shuffle join to broadcast when a side turns out
+    small, the DEDUPED edge set's size picks the strategy at runtime:
+    at or below ``broadcast_threshold`` distinct edges the component labels
+    are computed with a driver-side union-find in one pass (the iterative
+    shuffle loop costs ~8 scheduled jobs — pure overhead for a graph that
+    fits in MBs); above it, distributed min-label propagation with pointer
+    jumping runs unchanged at any scale. Both paths produce byte-identical
+    labels (unit-tested); set ``broadcast_threshold=0`` to force the
+    distributed path.
     """
     # Undirected: symmetrize, drop self-loops/nulls, dedup.
     e = (
@@ -41,6 +57,30 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if broadcast_threshold and sym.count() <= 2 * broadcast_threshold:
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in sym.collect():
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for v in parent:
+            r = find(v)
+            if comp_min.get(r) is None or v < comp_min[r]:
+                comp_min[r] = v
+        rows = [(v, comp_min[find(v)]) for v in parent]
+        return spark.createDataFrame(rows, "identifier string, component string")
 
     # label(node) starts as min(node, min neighbor)
     labels = (

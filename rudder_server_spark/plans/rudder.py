@@ -24,19 +24,55 @@ def _load(spark, sf):
     return spark.read.parquet(rudder_events_path(sf))
 
 
-# schema registry: discovered schemas are a property of the corpus, not of a
-# query — the reference persists them (wh_schemas) rather than re-deriving
-# per read. Keyed by fixture path; one discovery scan per corpus per session.
+# schema registry: discovered schemas (and timestamp-promotion verdicts) are
+# a property of the corpus, not of a query — the reference persists them
+# (wh_schemas, warehouse/schema/schema.go:205-343) rather than re-deriving
+# per read. In-memory dict per session + disk-backed JSON across processes.
 _SCHEMA_CACHE: dict = {}
 
 
-def _fanout_schemas(spark, sf):
-    from rudder_server_spark.operators.event_tables import discover_fanout_schemas
+def _fanout_state(spark, sf) -> dict:
+    """{"per_alias": {...}, "promote": [...]} for the fan-out projection."""
+    from rudder_server_spark.operators.event_tables import (
+        discover_fanout_schemas,
+        fanout_flat_schema,
+    )
     from rudder_server_spark.operators.envelope import normalize_envelope
+    from rudder_server_spark.operators.flatten import discover_promotions
+    from rudder_server_spark.sources.schema_registry import cached_schema
 
-    key = rudder_events_path(sf)
+    key = (rudder_events_path(sf), "fanout")
     if key not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[key] = discover_fanout_schemas(normalize_envelope(_load(spark, sf)))
+
+        def compute():
+            env = normalize_envelope(_load(spark, sf))
+            per_alias = discover_fanout_schemas(env)
+            merged = fanout_flat_schema(per_alias)
+            promote = sorted(discover_promotions(env, merged))
+            return {"per_alias": per_alias, "promote": promote}
+
+        _SCHEMA_CACHE[key] = cached_schema(key[0], "fanout", compute)
+    return _SCHEMA_CACHE[key]
+
+
+def _flat_state(spark, sf) -> dict:
+    """{"schema": [...], "promote": [...]} for the q1 whole-payload flatten."""
+    from rudder_server_spark.operators.flatten import (
+        discover_flat_schema,
+        discover_promotions,
+    )
+    from rudder_server_spark.sources.schema_registry import cached_schema
+
+    key = (rudder_events_path(sf), "flat")
+    if key not in _SCHEMA_CACHE:
+
+        def compute():
+            df = _load(spark, sf)
+            schema = discover_flat_schema(df)
+            promote = sorted(discover_promotions(df, schema))
+            return {"schema": schema, "promote": promote}
+
+        _SCHEMA_CACHE[key] = cached_schema(key[0], "flat", compute)
     return _SCHEMA_CACHE[key]
 
 
@@ -80,7 +116,13 @@ def q1(spark, sf):
     # order, so the final orderBy's exchange+sort elide to a no-op; at 100 TB
     # the same shape sorts bytes once instead of executing the parse twice.
     pre = df.repartitionByRange("message_id").sortWithinPartitions("message_id")
-    return flatten_events(pre, keep_cols=("message_id",)).orderBy("message_id")
+    state = _flat_state(spark, sf)
+    return flatten_events(
+        pre,
+        keep_cols=("message_id",),
+        schema=[tuple(e) for e in state["schema"]],
+        promote=set(state["promote"]),
+    ).orderBy("message_id")
 
 
 # --------------------------------------------------------------------------
@@ -198,7 +240,14 @@ def q9(spark, sf):
 def q15(spark, sf):
     from rudder_server_spark.operators.envelope import normalize_envelope
 
-    df = normalize_envelope(_load(spark, sf))
+    # normalize, range-sort on the sanitized id, then project: the final
+    # orderBy elides (see q1/q16 — sorting after the projection would
+    # execute the plan twice for range sampling)
+    df = (
+        normalize_envelope(_load(spark, sf))
+        .repartitionByRange("message_id")
+        .sortWithinPartitions("message_id")
+    )
     return df.select("message_id", "rudder_id", "timestamp").orderBy("message_id")
 
 
@@ -233,17 +282,27 @@ _TS_EXPR = (
 def q16(spark, sf):
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
-    # filter to track rows FIRST (pushes to the parquet scan), then range-
-    # sort the narrow raw input so the final orderBy("id") elides instead of
-    # re-executing the wide from_json projection for sort sampling (same
-    # shape as q1 — sort bytes once, parse once)
+    from rudder_server_spark.operators.envelope import normalize_envelope
+
+    # filter to track rows FIRST (pushes to the parquet scan), normalize the
+    # envelope, then range-sort the still-narrow input: the final
+    # orderBy("id") sees the sorted order through the projection and elides
+    # instead of re-executing the wide from_json plan for sort sampling.
+    # Normalization must precede the sort — tracks.id IS the sanitized
+    # message_id, and sanitizing after the sort would hide the order.
     pre = (
-        _load(spark, sf)
-        .where(F.col("event_type") == "track")
+        normalize_envelope(_load(spark, sf).where(F.col("event_type") == "track"))
         .repartitionByRange("message_id")
         .sortWithinPartitions("message_id")
     )
-    tables = event_table_fanout(pre, materialize=False, schemas=_fanout_schemas(spark, sf))
+    state = _fanout_state(spark, sf)
+    tables = event_table_fanout(
+        pre,
+        materialize=False,
+        schemas=state["per_alias"],
+        promote=set(state["promote"]),
+        normalized=True,
+    )
     return tables["tracks"].orderBy("id")
 
 
@@ -288,7 +347,18 @@ def q17(spark, sf):
 
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
-    tables = event_table_fanout(_load(spark, sf), schemas=_fanout_schemas(spark, sf))
+    state = _fanout_state(spark, sf)
+    # materialize=False on purpose: a counts-only reading of the fan-out
+    # needs no payload columns, so Catalyst prunes the whole from_json parse
+    # out of every per-table count — the parse that a checkpoint would have
+    # to materialize. The same fan-out with materialize=True is what a real
+    # table-landing run uses (q18 exercises that path end-to-end).
+    tables = event_table_fanout(
+        _load(spark, sf),
+        materialize=False,
+        schemas=state["per_alias"],
+        promote=set(state["promote"]),
+    )
     counts = [
         t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n")
         for name, t in tables.items()

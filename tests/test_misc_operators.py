@@ -164,3 +164,16 @@ def test_incremental_identity_merge(spark):
     full = apply_merge_rules(None, batch1.unionByName(batch2))
     assert got == {r["identifier"]: r["component"] for r in full.collect()}
     assert got["d"] == "a" and got["e"] == "e" and got["f"] == "e"
+
+
+def test_connected_components_broadcast_vs_distributed(spark):
+    import random
+
+    from rudder_server_spark.operators.identity import connected_components
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}") for _ in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r[0], r[1]) for r in connected_components(df).collect()}
+    slow = {(r[0], r[1]) for r in connected_components(df, broadcast_threshold=0).collect()}
+    assert fast == slow and fast
