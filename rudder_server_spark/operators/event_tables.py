@@ -173,14 +173,31 @@ def event_table_fanout(
     schema = fanout_flat_schema(per_alias)
     seen = {name for name, _, _ in schema}
 
-    flat = flatten_events(
-        env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema,
-        promote=promote,
-    )
     if materialize:
         # every output table filters this one parsed frame; materialize it
         # once instead of re-parsing JSON per table
-        flat = flat.localCheckpoint(eager=False)
+        flat_full = flatten_events(
+            env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema,
+            promote=promote,
+        ).localCheckpoint(eager=False)
+
+        def flat_for(names) -> DataFrame:
+            return flat_full
+
+    else:
+        # lazy path: each table parses ONLY its own fields. Catalyst cannot
+        # prune the shared from_json for us — the parsed struct is referenced
+        # once per leaf column, so CollapseProject refuses to inline the
+        # expensive parse and the full schema would be decoded for every
+        # table. Hand the projection a per-table sub-schema instead; at
+        # 100 TB this is the difference between decoding every JSON key of
+        # every event and decoding the 5 context keys `tracks` needs.
+        def flat_for(names) -> DataFrame:
+            sub = [e for e in schema if e[0] in names]
+            return flatten_events(
+                env, payload_col=payload_col, keep_cols=tuple(keep), schema=sub,
+                promote=promote,
+            )
 
     ctx_cols = _group_cols(ctx_schema, "context")
     prop_cols = [n for n, p, _ in track_schema if p[0] == "properties" and n in seen]
@@ -194,13 +211,14 @@ def event_table_fanout(
     tables: dict[str, DataFrame] = {}
 
     # ---- tracks + per-event tables ------------------------------------
-    tracks_base = flat.where(F.col("event_type") == "track")
     track_common = common() + [
         F.col("event_name").alias("event_text"),
         snake_expr(F.col("event_name")).alias("event"),
         *[F.col(c) for c in ctx_cols],
     ]
-    tables["tracks"] = tracks_base.select(*track_common)
+    tables["tracks"] = (
+        flat_for(set(ctx_cols)).where(F.col("event_type") == "track").select(*track_common)
+    )
 
     # the per-event table set is schema metadata: small, driver-side. Read it
     # from the RAW envelope (one-column parquet scan), not the flattened
@@ -222,27 +240,35 @@ def event_table_fanout(
     for c in uprop_cols:
         short = _strip_prefix(c, "user_properties_")
         unprefixed.append((c, short if short not in taken else c))
+    events_base = flat_for(set(ctx_cols) | {c for c, _ in unprefixed}).where(
+        F.col("event_type") == "track"
+    )
     for ev in sorted(event_names):
         tbl = safe_table_name(ev.strip().replace(" ", "_").lower())
-        tables[tbl] = tracks_base.where(F.col("event_name") == ev).select(
+        tables[tbl] = events_base.where(F.col("event_name") == ev).select(
             *track_common, *[F.col(c).alias(short) for c, short in unprefixed]
         )
 
     # ---- identifies + users -------------------------------------------
-    identifies_base = flat.where(F.col("event_type") == "identify")
     trait_renames = []
     for c in trait_cols:
         short = _strip_prefix(c, "traits_")
         trait_renames.append((c, short if short not in taken else c))
-    tables["identifies"] = identifies_base.select(
-        *common(), *[F.col(c) for c in ctx_cols],
-        *[F.col(c).alias(short) for c, short in trait_renames],
+    tables["identifies"] = (
+        flat_for(set(ctx_cols) | set(trait_cols))
+        .where(F.col("event_type") == "identify")
+        .select(
+            *common(), *[F.col(c) for c in ctx_cols],
+            *[F.col(c).alias(short) for c, short in trait_renames],
+        )
     )
     # users: one row per user, latest non-null value per trait — the
     # aggregation rewrite of FIRST_VALUE IGNORE NULLS (SURVEY §4.6): a single
     # partial-agg shuffle instead of a full window sort.
     tables["users"] = (
-        identifies_base.where(F.col("user_id").isNotNull())
+        flat_for(set(trait_cols))
+        .where(F.col("event_type") == "identify")
+        .where(F.col("user_id").isNotNull())
         .groupBy(F.col("user_id").alias("id"))
         .agg(
             F.max("received_at").alias("received_at"),
@@ -254,22 +280,27 @@ def event_table_fanout(
     )
 
     # ---- pages ---------------------------------------------------------
-    pages_base = flat.where(F.col("event_type") == "page")
     page_props = [
         (c, _strip_prefix(c, "properties_"))
         for c in page_prop_cols
         if _strip_prefix(c, "properties_") not in taken | {"name"}
     ]
-    tables["pages"] = pages_base.select(
-        *common(),
-        F.col("_evt_name").alias("name"),
-        *[F.col(c) for c in ctx_cols],
-        *[F.col(c).alias(short) for c, short in page_props],
+    tables["pages"] = (
+        flat_for(set(ctx_cols) | set(page_prop_cols) | {"_evt_name"})
+        .where(F.col("event_type") == "page")
+        .select(
+            *common(),
+            F.col("_evt_name").alias("name"),
+            *[F.col(c) for c in ctx_cols],
+            *[F.col(c).alias(short) for c, short in page_props],
+        )
     )
 
     # ---- aliases -------------------------------------------------------
-    tables["aliases"] = flat.where(F.col("event_type") == "alias").select(
-        *common(), F.col("_evt_previous_id").alias("previous_id")
+    tables["aliases"] = (
+        flat_for({"_evt_previous_id"})
+        .where(F.col("event_type") == "alias")
+        .select(*common(), F.col("_evt_previous_id").alias("previous_id"))
     )
 
     # ---- identity tables ----------------------------------------------
