@@ -106,7 +106,9 @@ def discover_fanout_schemas(
             ("track_props", "properties", et == "track"),
             ("track_uprops", "userProperties", et == "track"),
             ("page_props", "properties", et == "page"),
+            ("screen_props", "properties", et == "screen"),
             ("traits", "traits", et == "identify"),
+            ("group_traits", "traits", et == "group"),
         ],
         payload_col,
         discovery_limit=discovery_limit,
@@ -119,13 +121,22 @@ def fanout_flat_schema(per_alias: dict) -> list:
     consolidation rule), plus the top-level scalar fields pages/aliases
     need. Deterministic given ``per_alias`` — safe to persist."""
     schema, seen = [], set()
-    for key in ("ctx", "track_props", "track_uprops", "traits", "page_props"):
-        for name, path, tgt in per_alias[key]:
+    for key in (
+        "ctx",
+        "track_props",
+        "track_uprops",
+        "traits",
+        "page_props",
+        "screen_props",
+        "group_traits",
+    ):
+        for name, path, tgt in per_alias.get(key, []):
             if name not in seen:
                 seen.add(name)
                 schema.append((name, list(path), tgt))
     schema.append(("_evt_name", ["name"], "string"))
     schema.append(("_evt_previous_id", ["previousId"], "string"))
+    schema.append(("_evt_group_id", ["groupId"], "string"))
     return schema
 
 
@@ -166,7 +177,9 @@ def event_table_fanout(
     ctx_schema = per_alias["ctx"]
     track_schema = list(per_alias["track_props"]) + list(per_alias["track_uprops"])
     page_schema = per_alias["page_props"]
+    screen_schema = per_alias.get("screen_props", [])
     traits_schema = per_alias["traits"]
+    group_schema = per_alias.get("group_traits", [])
     # single shared projection (first-wins consolidation) + the top-level
     # scalar payload fields pages/aliases need, riding the SAME from_json
     # parse (one JSON walk per row total)
@@ -293,6 +306,42 @@ def event_table_fanout(
             F.col("_evt_name").alias("name"),
             *[F.col(c) for c in ctx_cols],
             *[F.col(c).alias(short) for c, short in page_props],
+        )
+    )
+
+    # ---- screens (events.go: page/screen symmetric) --------------------
+    screen_prop_cols = _group_cols(screen_schema, "properties")
+    screen_props = [
+        (c, _strip_prefix(c, "properties_"))
+        for c in screen_prop_cols
+        if _strip_prefix(c, "properties_") not in taken | {"name"}
+    ]
+    tables["screens"] = (
+        flat_for(set(ctx_cols) | set(screen_prop_cols) | {"_evt_name"})
+        .where(F.col("event_type") == "screen")
+        .select(
+            *common(),
+            F.col("_evt_name").alias("name"),
+            *[F.col(c) for c in ctx_cols],
+            *[F.col(c).alias(short) for c, short in screen_props],
+        )
+    )
+
+    # ---- groups (events.go: group traits keyed by groupId) -------------
+    group_trait_cols = _group_cols(group_schema, "traits")
+    group_renames = [
+        (c, _strip_prefix(c, "traits_"))
+        for c in group_trait_cols
+        if _strip_prefix(c, "traits_") not in taken | {"group_id"}
+    ]
+    tables["groups"] = (
+        flat_for(set(ctx_cols) | set(group_trait_cols) | {"_evt_group_id"})
+        .where(F.col("event_type") == "group")
+        .select(
+            *common(),
+            F.col("_evt_group_id").alias("group_id"),
+            *[F.col(c) for c in ctx_cols],
+            *[F.col(c).alias(short) for c, short in group_renames],
         )
     )
 

@@ -218,6 +218,7 @@ def flatten_events(
     schema: list[tuple[str, list[str], str]] | None = None,
     json_paths: tuple = (),
     promote: set | None = None,
+    string_like: tuple = ("context.traits",),
 ) -> DataFrame:
     """Phase 2: project the discovered schema into flattened typed columns.
 
@@ -294,14 +295,67 @@ def flatten_events(
             else set()
         )
 
+    # "string-like objects" (set.go:30-31, stringlikeobject.go): an object
+    # whose keys are consecutive non-negative integers starting at 0 or 1 and
+    # whose values are all single-character strings re-joins to ONE string
+    # column named by its prefix (a JS SDK spreading a string: {"0":"a",
+    # "1":"b"} -> "ab"). The reference decides per event; here the schema
+    # gates which subtrees CAN be string-like (all integer-named string
+    # leaves) and a row-level predicate decides per row, vectorized:
+    # qualifying rows collapse, non-qualifying rows keep indexed columns.
+    # Scope matches the reference: context.traits only (set.go:64-82).
+    strlike: dict[tuple, list] = {}
+    for sl in string_like:
+        parts = tuple(sl.split("."))
+        subtree = [
+            (n, p, t)
+            for n, p, t in scalar
+            if len(p) == len(parts) + 1 and tuple(p[: len(parts)]) == parts
+        ]
+        if subtree and all(p[-1].isdigit() and t == "string" for _, p, t in subtree):
+            strlike[parts] = sorted(subtree, key=lambda e: int(e[1][-1]))
+
+    strlike_names = {n for entries in strlike.values() for n, _, _ in entries}
+    strlike_quals: dict[str, object] = {}
+    collapsed_cols: list = []
+    for parts, entries in strlike.items():
+        from rudder_server_spark.functions.names import safe_column_name
+
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(int(p[-1])).alias("i"),
+                    F.col("_s." + ".".join(p)).alias("v"),
+                )
+                for _, p, _ in entries
+            ]
+        )
+        nn = F.filter(pairs, lambda s: s.getField("v").isNotNull())
+        idxs = F.transform(nn, lambda s: s.getField("i"))
+        qual = (
+            (F.size(nn) > 0)
+            & F.forall(nn, lambda s: F.length(s.getField("v")) == 1)
+            & F.array_min(idxs).isin(0, 1)
+            & ((F.array_max(idxs) - F.array_min(idxs) + 1) == F.size(nn))
+        )
+        for n, _, _ in entries:
+            strlike_quals[n] = qual
+        collapsed_cols.append(
+            F.when(qual, F.concat_ws("", F.transform(nn, lambda s: s.getField("v"))))
+            .alias(safe_column_name("_".join(parts)))
+        )
+
     def scalar_expr(name: str, path: list[str]):
         e = F.col("_s." + ".".join(path))
+        if name in strlike_names:
+            e = F.when(~strlike_quals[name], e)
         if name in promote:
             e = e.try_cast("timestamp")
         return e.alias(name)
 
     cols = [F.col(c) for c in keep_cols]
     cols += [scalar_expr(name, path) for name, path, _ in scalar]
+    cols += collapsed_cols
     cols += [
         F.to_json(F.try_variant_get(F.col("_v"), "$." + ".".join(path), "variant")).alias(name)
         for name, path, _ in jsonly

@@ -51,7 +51,9 @@ def _fanout_state(spark, sf) -> dict:
             promote = sorted(discover_promotions(env, merged))
             return {"per_alias": per_alias, "promote": promote}
 
-        _SCHEMA_CACHE[key] = cached_schema(key[0], "fanout", compute)
+        # kind carries a schema-spec version: bump when the discovery spec
+        # gains aliases so stale registry entries invalidate
+        _SCHEMA_CACHE[key] = cached_schema(key[0], "fanout2", compute)
     return _SCHEMA_CACHE[key]
 
 
@@ -326,6 +328,8 @@ def q16(spark, sf):
       UNION ALL SELECT 'users', count(DISTINCT user_id) FROM re
         WHERE event_type='identify' AND user_id IS NOT NULL
       UNION ALL SELECT 'pages', count(*) FROM re WHERE event_type='page'
+      UNION ALL SELECT 'screens', count(*) FROM re WHERE event_type='screen'
+      UNION ALL SELECT 'groups', count(*) FROM re WHERE event_type='group'
       UNION ALL SELECT 'aliases', count(*) FROM re WHERE event_type='alias'
       UNION ALL SELECT 'rudder_identity_merge_rules', count(DISTINCT
           json_extract_string(payload,'$.mergeProperties[0].value') || '|' ||
@@ -389,6 +393,8 @@ def q17(spark, sf):
       UNION ALL SELECT 'users', count(DISTINCT user_id) FROM re
         WHERE event_type='identify' AND user_id IS NOT NULL
       UNION ALL SELECT 'pages', count(*) FROM re WHERE event_type='page'
+      UNION ALL SELECT 'screens', count(*) FROM re WHERE event_type='screen'
+      UNION ALL SELECT 'groups', count(*) FROM re WHERE event_type='group'
       UNION ALL SELECT 'aliases', count(*) FROM re WHERE event_type='alias'
       UNION ALL SELECT 'rudder_identity_merge_rules', count(DISTINCT
           json_extract_string(payload,'$.mergeProperties[0].value') || '|' ||

@@ -93,8 +93,9 @@ def test_message_id_sanitize(spark):
 def test_fanout_tables(spark):
     tables = event_table_fanout(_mk_events(spark), discovery_limit=None)
     assert set(tables) == {
-        "tracks", "order_completed", "identifies", "users", "pages", "aliases",
-        "rudder_identity_merge_rules", "rudder_identity_mappings",
+        "tracks", "order_completed", "identifies", "users", "pages", "screens",
+        "groups", "aliases", "rudder_identity_merge_rules",
+        "rudder_identity_mappings",
     }
 
     tr = tables["tracks"].collect()
@@ -179,3 +180,64 @@ def test_flatten_json_paths_config(spark):
     got = {r["idx"]: r for r in flat.collect()}
     assert _json.loads(got[0]["properties_items"]) == {"a": 1, "b": {"c": 2}}
     assert got[1]["properties_price"] == 1.0
+
+
+def test_string_like_object_collapse(spark):
+    """set.go:30-31 + stringlikeobject.go golden cases
+    (transformer_test.go:346-400): context.traits with consecutive
+    integer keys and single-char string values re-joins to ONE
+    `context_traits` string column; properties with the same shape do NOT
+    collapse; non-qualifying rows keep their indexed columns."""
+    from rudder_server_spark.operators.flatten import flatten_events
+
+    rows = [
+        ("m1", '{"context":{"traits":{"0":"a","1":"b","2":"c"},"ip":"1.2.3.4"}}'),
+        # value longer than one char -> not string-like for this row
+        ("m2", '{"context":{"traits":{"0":"ab","1":"c"},"ip":"1.2.3.5"}}'),
+        # integer-keyed *properties* stay flattened (rule scope is
+        # context.traits only, set.go:64-82)
+        ("m3", '{"properties":{"0":"x","1":"y"}}'),
+    ]
+    df = spark.createDataFrame(rows, "message_id string, payload string")
+    flat = flatten_events(df, keep_cols=("message_id",), detect_timestamps=False)
+    got = {r["message_id"]: r.asDict() for r in flat.collect()}
+    assert got["m1"]["context_traits"] == "abc"
+    assert got["m1"]["context_traits_0"] is None
+    assert got["m2"]["context_traits"] is None
+    assert got["m2"]["context_traits_0"] == "ab"
+    assert got["m2"]["context_traits_1"] == "c"
+    assert "properties_0" in flat.columns and got["m3"]["properties_0"] == "x"
+    assert got["m3"]["context_traits"] is None
+
+
+def test_screens_and_groups_tables(spark):
+    """events.go: screen events land in `screens` (page-symmetric) and
+    group events in `groups` keyed by groupId with flattened traits."""
+    rows = [
+        (
+            "m1", 7, "anon-7", "screen", None, T0, T0, T0,
+            '{"type":"screen","name":"Home","properties":{"referrer":"app"},'
+            '"context":{"ip":"10.0.0.9"}}',
+        ),
+        (
+            "m2", 8, "anon-8", "group", None, T0, T0, T0,
+            '{"type":"group","groupId":"g-1","traits":{"plan":"pro","seats":4},'
+            '"context":{"ip":"10.0.0.8"}}',
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string,"
+        " event_name string, received_at timestamp, sent_at timestamp,"
+        " original_timestamp timestamp, payload string",
+    )
+    tables = event_table_fanout(df, discovery_limit=None)
+    screens = tables["screens"].collect()
+    assert len(screens) == 1
+    s = screens[0].asDict()
+    assert s["id"] == "m1" and s["name"] == "Home" and s["referrer"] == "app"
+    groups = tables["groups"].collect()
+    assert len(groups) == 1
+    g = groups[0].asDict()
+    assert g["id"] == "m2" and g["group_id"] == "g-1"
+    assert g["plan"] == "pro" and g["seats"] == 4
