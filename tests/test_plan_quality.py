@@ -108,3 +108,23 @@ def test_whole_stage_codegen_on_hot_path(spark):
     # and the shingle expression itself is regex-based, not a higher-order
     # transform() (those evaluate interpreted, outside codegen)
     assert "regexp_extract_all" in plan and "transform(" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables join with ZERO exchanges — the stored-data
+    answer to the reference's murmur3 user partitioning (jobsdb.go:590):
+    at 100 TB every repeated user-keyed join (identity, suppression,
+    latest-traits) skips its shuffle entirely."""
+    from rudder_server_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    ev = load_table(spark, SF_DIR, "events")
+    try:
+        write_bucketed(ev.select("event_id", "user_id", "value"), "b_events", ["user_id"], 8)
+        write_bucketed(ev.groupBy("user_id").count(), "b_users", ["user_id"], 8)
+        j = bucketed_join(spark, "b_events", "b_users", ["user_id"])
+        plan = _plan(j)
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")

@@ -123,3 +123,18 @@ def test_users_identifies_sync():
     ]
     out = consolidate_table_schemas(staging)
     assert out["users"]["age"] == "bigint"  # forced to identifies' type
+
+
+def test_compact_datasets(spark, tmp_path):
+    from rudder_server_spark.sources.jobsdb import compact_datasets
+    import pyspark.sql.functions as F
+
+    d1, d2 = str(tmp_path / "ds1"), str(tmp_path / "ds2")
+    spark.range(0, 500).withColumn("state", F.lit("succeeded")).write.parquet(d1)
+    spark.range(500, 700).withColumn("state", F.lit("failed")).write.parquet(d2)
+    out = str(tmp_path / "compacted")
+    n = compact_datasets(spark, [d1, d2], out, keep=F.col("state") != "succeeded")
+    kept = spark.read.parquet(out)
+    assert kept.count() == 200
+    assert kept.agg(F.min("id")).head()[0] == 500
+    assert n >= 1
