@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "t2_ngram_jaccard",
     "t3_minhash_lsh",
     "t13_token_topk",
+    "t15_hash_split",
 ]
 
 

@@ -90,3 +90,33 @@ def fingerprint(text: Column) -> Column:
     portable whole-document fingerprint both engines share.)
     """
     return F.md5(F.lower(F.regexp_replace(text, "[^A-Za-z0-9 ]", "")))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    splits: dict | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash.
+
+    A training-data curation primitive with no reference counterpart: each
+    row lands in a named split according to its md5(key) bucket out of 16
+    (first hex nibble), so the assignment is stable across runs, engines,
+    partitionings, and cluster sizes — resharding or re-ingesting the corpus
+    never moves a document between train and eval (leakage safety). Pure
+    codegen'd expressions; at 100 TB this is a free narrow map.
+
+    ``splits`` maps name → number of 16ths (must sum to ≤16; remainder goes
+    to the FIRST split). Default: {"train": 14, "val": 1, "test": 1}.
+    """
+    splits = splits or {"train": 14, "val": 1, "test": 1}
+    nibble = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 1), 16, 10).cast("int")
+    bounds = []
+    lo = 0
+    for name, width in splits.items():
+        bounds.append((name, lo, lo + width))
+        lo += width
+    expr = F.lit(next(iter(splits)))
+    for name, a, b in bounds[1:]:
+        expr = F.when((nibble >= a) & (nibble < b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

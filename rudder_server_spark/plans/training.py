@@ -382,3 +382,46 @@ def t14(spark, sf):
     cents = S.ivf_train(e, k=8)
     assigned = S.ivf_assign(e.where(F.col("vec_id") != 0), cents)
     return S.ivf_topk(assigned, cents, qvec, k=10, nprobe=4)
+
+
+@register(
+    "t15_hash_split",
+    """
+    SELECT split, count(*) AS n,
+           CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(18,6))) / count(*), 3) AS DOUBLE)
+             AS avg_chars
+    FROM (
+      SELECT n_chars,
+             CASE
+               WHEN nib >= 14 AND nib < 15 THEN 'val'
+               WHEN nib >= 15 AND nib < 16 THEN 'test'
+               ELSE 'train'
+             END AS split
+      FROM (
+        SELECT n_chars,
+               CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+                 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+                 ELSE CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+               END AS nib
+        FROM documents)
+    ) GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic md5-bucket train/val/test split (14/1/1 sixteenths) "
+        "with per-split doc counts and mean length — the leakage-safe "
+        "split assignment a training pipeline pins to content ids.",
+    tags=("training", "text"),
+)
+def t15(spark, sf):
+    d = load_table(spark, sf, "documents")
+    split = X.hash_split(d, key_col="doc_id")
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(18,6)")) / F.count("*"), 3
+            ).cast("double").alias("avg_chars"),
+        )
+        .orderBy("split")
+    )

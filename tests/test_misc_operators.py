@@ -177,3 +177,21 @@ def test_connected_components_broadcast_vs_distributed(spark):
     fast = {(r[0], r[1]) for r in connected_components(df).collect()}
     slow = {(r[0], r[1]) for r in connected_components(df, broadcast_threshold=0).collect()}
     assert fast == slow and fast
+
+
+def test_hash_split_deterministic(spark):
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.text import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    # stable under repartitioning — assignment depends only on the key
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7)).collect()}
+    assert a == b
+    counts = {}
+    for v in a.values():
+        counts[v] = counts.get(v, 0) + 1
+    # 14/1/1 sixteenths, roughly
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert set(counts) == {"train", "val", "test"}
