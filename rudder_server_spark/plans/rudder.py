@@ -347,27 +347,13 @@ def q16(spark, sf):
     tags=("rudder",),
 )
 def q17(spark, sf):
-    from functools import reduce
+    from rudder_server_spark.operators.event_tables import fanout_table_counts
 
-    from rudder_server_spark.operators.event_tables import event_table_fanout
-
-    state = _fanout_state(spark, sf)
-    # materialize=False on purpose: a counts-only reading of the fan-out
-    # needs no payload columns, so Catalyst prunes the whole from_json parse
-    # out of every per-table count — the parse that a checkpoint would have
-    # to materialize. The same fan-out with materialize=True is what a real
-    # table-landing run uses (q18 exercises that path end-to-end).
-    tables = event_table_fanout(
-        _load(spark, sf),
-        materialize=False,
-        schemas=state["per_alias"],
-        promote=set(state["promote"]),
-    )
-    counts = [
-        t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n")
-        for name, t in tables.items()
-    ]
-    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")
+    # One-pass A6-style completeness counts (see fanout_table_counts): every
+    # table's cardinality from a single narrow scan instead of counting each
+    # fan-out DataFrame (12 scans + the identity components loop just to
+    # count mapping rows). Content parity of the fan-out itself is q16/q18.
+    return fanout_table_counts(_load(spark, sf))
 
 
 # --------------------------------------------------------------------------
