@@ -73,8 +73,18 @@ def ngram_jaccard_pairs(
     id; no cross join. Hot shingles (stopword runs) are the skew risk at
     scale — AQE skew-join handles moderate skew; beyond that, drop shingles
     with document-frequency above a cap (standard trick) before the join.
+
+    Shingles are 64-bit-hashed before the join: the shuffle and the
+    checkpoint carry 8-byte keys instead of ~n-word strings (the dominant
+    byte volume at corpus scale). A hash collision merges two shingles
+    across the whole corpus — probability ~ distinct_shingles²/2⁶⁵,
+    negligible against the threshold test even at 100 TB.
     """
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .select("sid", F.xxhash64("sh").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("sid").alias("a"), "sh")
     b = sh.select(F.col("sid").alias("b"), "sh")
