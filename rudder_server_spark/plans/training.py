@@ -217,7 +217,7 @@ def t7(spark, sf):
     f"""
     SELECT source, count(*) AS cnt,
            SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS total_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE) / count(*) AS avg_tokens
+           CAST(ROUND(CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE) / count(*), 3) AS DOUBLE) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
     doc="Token counting rollup per source.",
@@ -232,7 +232,9 @@ def t8(spark, sf):
         .agg(
             F.count("*").alias("cnt"),
             F.sum("_tc").alias("total_tokens"),
-            (F.sum("_tc").cast("double") / F.count("*")).alias("avg_tokens"),
+            F.round(F.sum("_tc").cast("double") / F.count("*"), 3)
+            .cast("double")
+            .alias("avg_tokens"),
         )
         .orderBy("source")
     )
