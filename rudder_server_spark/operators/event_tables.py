@@ -51,7 +51,12 @@ class _LazyTables(Mapping):
 
 from rudder_server_spark.functions.names import safe_table_name
 from rudder_server_spark.operators.envelope import normalize_envelope
-from rudder_server_spark.operators.flatten import discover_group_schemas, flatten_events
+from rudder_server_spark.operators.flatten import (
+    discover_group_schemas,
+    discover_promotions,
+    flatten_events,
+    string_like_collapsed,
+)
 from rudder_server_spark.operators.identity import connected_components
 
 ENVELOPE_COLS = (
@@ -186,6 +191,14 @@ def event_table_fanout(
     schema = fanout_flat_schema(per_alias)
     seen = {name for name, _, _ in schema}
 
+    # timestamp-promotion verdicts are corpus-level state, like the schema:
+    # decide ONCE over the merged schema here. Leaving promote=None would
+    # make every flat_for call below re-run discover_promotions' sampling
+    # pass (≥1 count + 1 agg job each) and could even reach different
+    # verdicts per sub-schema sample.
+    if promote is None:
+        promote = discover_promotions(env, schema, payload_col, discovery_limit)
+
     if materialize:
         # every output table filters this one parsed frame; materialize it
         # once instead of re-parsing JSON per table
@@ -212,7 +225,15 @@ def event_table_fanout(
                 promote=promote,
             )
 
-    ctx_cols = _group_cols(ctx_schema, "context")
+    # string-like collapse (set.go:30-31): when flatten_events will synthesize
+    # a collapsed context column (e.g. context_traits from context_traits_0..n),
+    # the fan-out tables must select it too — the reference writes the joined
+    # string to the context_traits column. The indexed source columns stay in
+    # ctx_cols as well (non-qualifying rows keep their values there).
+    ctx_collapsed = [
+        name for name, parts in string_like_collapsed(schema).items() if parts[0] == "context"
+    ]
+    ctx_cols = _group_cols(ctx_schema, "context") + ctx_collapsed
     prop_cols = [n for n, p, _ in track_schema if p[0] == "properties" and n in seen]
     uprop_cols = _group_cols(track_schema, "userProperties")
     trait_cols = _group_cols(traits_schema, "traits")
@@ -256,9 +277,15 @@ def event_table_fanout(
     events_base = flat_for(set(ctx_cols) | {c for c, _ in unprefixed}).where(
         F.col("event_type") == "track"
     )
+    # two raw names can normalize to the same table ('Order Completed' and
+    # 'order_completed' both land in order_completed — the reference keys the
+    # physical table by the snake_cased name), so group names per table and
+    # union them via IN instead of last-wins overwriting
+    by_table: dict[str, list] = {}
     for ev in sorted(event_names):
-        tbl = safe_table_name(ev.strip().replace(" ", "_").lower())
-        tables[tbl] = events_base.where(F.col("event_name") == ev).select(
+        by_table.setdefault(safe_table_name(ev.strip().replace(" ", "_").lower()), []).append(ev)
+    for tbl, evs in sorted(by_table.items()):
+        tables[tbl] = events_base.where(F.col("event_name").isin(evs)).select(
             *track_common, *[F.col(c).alias(short) for c, short in unprefixed]
         )
 
@@ -446,9 +473,13 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
         F.count_if(et == "group").alias("groups"),
         F.count_if(et == "alias").alias("aliases"),
     ]
+    # group raw names by normalized table (see event_table_fanout: colliding
+    # names union into one table, so their counts union too)
+    by_table: dict[str, list] = {}
     for ev in sorted(event_names):
-        tbl = safe_table_name(ev.strip().replace(" ", "_").lower())
-        aggs.append(F.count_if(track & (F.col("event_name") == ev)).alias(tbl))
+        by_table.setdefault(safe_table_name(ev.strip().replace(" ", "_").lower()), []).append(ev)
+    for tbl, evs in sorted(by_table.items()):
+        aggs.append(F.count_if(track & F.col("event_name").isin(evs)).alias(tbl))
 
     wide = df.agg(*aggs)
     names = [f.name for f in wide.schema.fields]

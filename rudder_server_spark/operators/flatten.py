@@ -207,6 +207,39 @@ def discover_promotions(
     return {c for c, _ in str_entries if checks[c] is True}
 
 
+def _string_like_subtrees(
+    scalar: list[tuple[str, list[str], str]], string_like: tuple
+) -> dict[tuple, list]:
+    """Subtrees of ``scalar`` entries that CAN collapse as string-like
+    objects (set.go:30-31): every direct leaf is a digit-named string.
+    Returns {path_parts: [entries sorted by index]}."""
+    strlike: dict[tuple, list] = {}
+    for sl in string_like:
+        parts = tuple(sl.split("."))
+        subtree = [
+            (n, p, t)
+            for n, p, t in scalar
+            if len(p) == len(parts) + 1 and tuple(p[: len(parts)]) == parts
+        ]
+        if subtree and all(p[-1].isdigit() and t == "string" for _, p, t in subtree):
+            strlike[parts] = sorted(subtree, key=lambda e: int(e[1][-1]))
+    return strlike
+
+
+def string_like_collapsed(
+    schema: list[tuple[str, list[str], str]], string_like: tuple = ("context.traits",)
+) -> dict[str, tuple]:
+    """Names of the columns :func:`flatten_events` will synthesize from
+    string-like subtrees of ``schema`` — {collapsed_column_name: path_parts}.
+    Callers projecting flatten_events output (the P8 fan-out) use this to
+    include the collapsed column in their selects."""
+    scalar = [(n, p, t) for n, p, t in schema if t != "json"]
+    return {
+        safe_column_name("_".join(parts)): parts
+        for parts in _string_like_subtrees(scalar, string_like)
+    }
+
+
 def flatten_events(
     df: DataFrame,
     payload_col: str = "payload",
@@ -304,16 +337,7 @@ def flatten_events(
     # leaves) and a row-level predicate decides per row, vectorized:
     # qualifying rows collapse, non-qualifying rows keep indexed columns.
     # Scope matches the reference: context.traits only (set.go:64-82).
-    strlike: dict[tuple, list] = {}
-    for sl in string_like:
-        parts = tuple(sl.split("."))
-        subtree = [
-            (n, p, t)
-            for n, p, t in scalar
-            if len(p) == len(parts) + 1 and tuple(p[: len(parts)]) == parts
-        ]
-        if subtree and all(p[-1].isdigit() and t == "string" for _, p, t in subtree):
-            strlike[parts] = sorted(subtree, key=lambda e: int(e[1][-1]))
+    strlike = _string_like_subtrees(scalar, string_like)
 
     strlike_names = {n for entries in strlike.values() for n, _, _ in entries}
     strlike_quals: dict[str, object] = {}

@@ -29,6 +29,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     broadcast_threshold: int = 1_000_000,
+    broadcast_bytes: int = 256 * 2**20,
 ) -> DataFrame:
     """Compute connected components over an undirected string-node graph.
 
@@ -37,13 +38,15 @@ def connected_components(
 
     Like AQE switching a shuffle join to broadcast when a side turns out
     small, the DEDUPED edge set's size picks the strategy at runtime:
-    at or below ``broadcast_threshold`` distinct edges the component labels
-    are computed with a driver-side union-find in one pass (the iterative
-    shuffle loop costs ~8 scheduled jobs — pure overhead for a graph that
-    fits in MBs); above it, distributed min-label propagation with pointer
-    jumping runs unchanged at any scale. Both paths produce byte-identical
-    labels (unit-tested); set ``broadcast_threshold=0`` to force the
-    distributed path.
+    at or below ``broadcast_threshold`` distinct edges AND an estimated
+    driver footprint below ``broadcast_bytes`` (row counts alone don't bound
+    memory — long identifier strings could blow the driver), the component
+    labels are computed with a driver-side union-find in one pass (the
+    iterative shuffle loop costs ~8 scheduled jobs — pure overhead for a
+    graph that fits in MBs); otherwise, distributed min-label propagation
+    with pointer jumping runs unchanged at any scale. Both paths produce
+    byte-identical labels (unit-tested); set ``broadcast_threshold=0`` to
+    force the distributed path.
     """
     # Undirected: symmetrize, drop self-loops/nulls, dedup.
     e = (
@@ -58,7 +61,17 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    if broadcast_threshold and sym.count() <= 2 * broadcast_threshold:
+    fits_driver = False
+    if broadcast_threshold:
+        stats = sym.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("a") + F.length("b")).alias("chars"),
+        ).head()
+        # ~120B of CPython object/dict overhead per edge on top of the chars
+        est_bytes = (stats["chars"] or 0) + 120 * (stats["n"] or 0)
+        fits_driver = stats["n"] <= 2 * broadcast_threshold and est_bytes <= broadcast_bytes
+
+    if fits_driver:
         spark = edges.sparkSession
         parent: dict = {}
 

@@ -369,26 +369,29 @@ def q21(spark, sf):
     #    the pre-aggregated handful of rows is semantically identical and
     #    skips the 3x Expand over the fact table. At 100 TB this is the
     #    difference between shuffling 3x the table and shuffling ~KB.
-    # 2. Sum fixed-point longs (micro-units) instead of decimal(18,6): the
-    #    decimal sum widens to precision 28, leaving Spark's fast long-backed
-    #    decimal path for BigDecimal. Inputs have <=2 fractional digits, so
-    #    round(x*1e6) is exact; final division back to decimal happens on the
-    #    rolled-up rows only. (4.0s -> 0.6s at sf0.1; oracle-verified.)
+    # 2. Sum fixed-point values (centi-units; inputs have <=2 fractional
+    #    digits so round(x*100) is exact). Bounded columns (l_quantity<=50,
+    #    l_discount<=0.1 per row) sum as longs — overflow needs >1.8e15 rows
+    #    per group, beyond 100 TB. l_extendedprice is unbounded-ish (~1e7
+    #    centi-units/row → long overflow near ~1e12 rows/group, inside 100 TB
+    #    territory), so it sums as decimal(18,0) — Spark widens the sum to
+    #    decimal(28,0), overflow-safe to 1e28, per-row values stay long-backed.
+    #    Final division back to decimal happens on the rolled-up rows only.
     l = load_table(spark, sf, "lineitem")
-    micro = lambda c: F.sum(F.round(F.col(c) * 1000000).cast("long"))
+    centi = lambda c: F.round(F.col(c) * 100)
     base = l.groupBy("l_returnflag", "l_linestatus").agg(
-        micro("l_quantity").alias("sq"),
-        micro("l_extendedprice").alias("sp"),
-        micro("l_discount").alias("sd"),
+        F.sum(centi("l_quantity").cast("long")).alias("sq"),
+        F.sum(centi("l_extendedprice").cast("decimal(18,0)")).alias("sp"),
+        F.sum(centi("l_discount").cast("long")).alias("sd"),
         F.count("*").alias("c"),
     )
-    unscale = lambda c, d: F.round(F.sum(c).cast("decimal(38,6)") / 1000000, d).cast("double")
+    unscale = lambda c, d: F.round(F.sum(c).cast("decimal(38,6)") / 100, d).cast("double")
     return (
         base.rollup("l_returnflag", "l_linestatus")
         .agg(
             unscale("sq", 2).alias("sum_qty"),
             unscale("sp", 2).alias("sum_price"),
-            F.round(F.sum("sd").cast("decimal(38,6)") / 1000000 / F.sum("c"), 6)
+            F.round(F.sum("sd").cast("decimal(38,6)") / 100 / F.sum("c"), 6)
             .cast("double")
             .alias("avg_disc"),
             F.sum("c").alias("cnt"),
@@ -480,7 +483,9 @@ def q24(spark, sf):
     o = load_table(spark, sf, "orders")
     ok = o.select("o_custkey")
     n_inter = c.intersect(ok.withColumnRenamed("o_custkey", "c_custkey")).count()
-    n_exc = c.exceptAll(ok.withColumnRenamed("o_custkey", "c_custkey")).distinct().count()
+    # subtract IS EXCEPT DISTINCT — states the intent directly (exceptAll+
+    # distinct only coincided because c_custkey is unique)
+    n_exc = c.subtract(ok.withColumnRenamed("o_custkey", "c_custkey")).count()
     hi = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
     lo = o.where(F.col("o_totalprice") < 50000).select("o_orderkey")
     n_union = hi.union(lo).distinct().count()

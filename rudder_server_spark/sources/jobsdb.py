@@ -93,16 +93,25 @@ def compact_datasets(
     if keep is not None:
         df = df.where(keep)
     # size from the SOURCE bytes (cheap, driver-side listing) scaled by the
-    # survival fraction estimated from parquet row counts — avoids a full
-    # scan just to size the output
+    # survival fraction of the keep predicate — without the scaling a
+    # selective predicate would emit many near-empty files, recreating the
+    # small-files problem compaction exists to fix. Total rows come from
+    # parquet footers (no data scan); kept rows are one column-pruned
+    # filtered count, cheap next to the rewrite itself.
     src_bytes = 0
+    parquet_files = []
     for p in in_paths:
         for root, _, files in os.walk(p):
-            src_bytes += sum(
-                os.path.getsize(os.path.join(root, f))
-                for f in files
-                if f.endswith(".parquet")
-            )
-    n_files = max(1, math.ceil(src_bytes / (target_file_mb * 1024 * 1024)))
+            for f in files:
+                if f.endswith(".parquet"):
+                    parquet_files.append(os.path.join(root, f))
+                    src_bytes += os.path.getsize(os.path.join(root, f))
+    survival = 1.0
+    if keep is not None:
+        import pyarrow.parquet as pq
+
+        total_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in parquet_files)
+        survival = (df.count() / total_rows) if total_rows else 1.0
+    n_files = max(1, math.ceil(src_bytes * survival / (target_file_mb * 1024 * 1024)))
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

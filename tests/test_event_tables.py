@@ -241,3 +241,66 @@ def test_screens_and_groups_tables(spark):
     g = groups[0].asDict()
     assert g["id"] == "m2" and g["group_id"] == "g-1"
     assert g["plan"] == "pro" and g["seats"] == 4
+
+
+def test_fanout_carries_collapsed_string_like_traits(spark):
+    """When the corpus's context.traits subtree collapses as a string-like
+    object (set.go:30-31), the fan-out tables must select the synthesized
+    `context_traits` column — the reference writes the joined string there
+    (ADVICE r1: the collapse used to null the indexed columns while no table
+    selected the collapsed one, silently dropping the value)."""
+    rows = [
+        (
+            "m1", 1, "anon-1", "track", "Order Completed", T0, T0, T0,
+            '{"type":"track","properties":{"price":1.5},'
+            '"context":{"ip":"10.0.0.1","traits":{"0":"h","1":"i"}}}',
+        ),
+        (
+            "m2", 2, "anon-2", "track", "Order Completed", T0, T0, T0,
+            '{"type":"track","properties":{"price":2.5},'
+            '"context":{"ip":"10.0.0.2","traits":{"0":"x","1":"y","2":"z"}}}',
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string,"
+        " event_name string, received_at timestamp, sent_at timestamp,"
+        " original_timestamp timestamp, payload string",
+    )
+    for materialize in (True, False):
+        tables = event_table_fanout(df, discovery_limit=None, materialize=materialize)
+        got = {r["id"]: r.asDict() for r in tables["tracks"].collect()}
+        assert got["m1"]["context_traits"] == "hi", materialize
+        assert got["m2"]["context_traits"] == "xyz", materialize
+        oc = {r["id"]: r.asDict() for r in tables["order_completed"].collect()}
+        assert oc["m1"]["context_traits"] == "hi", materialize
+
+
+def test_fanout_colliding_event_names_union(spark):
+    """Two raw event names normalizing to the same snake_cased table land in
+    ONE table together (the reference keys physical tables by the normalized
+    name); counts agree (ADVICE r1: last-wins dict dropped the earlier name's
+    rows and duplicate agg aliases broke fanout_table_counts)."""
+    from rudder_server_spark.operators.event_tables import fanout_table_counts
+
+    rows = [
+        ("m1", 1, "a1", "track", "Order Completed", T0, T0, T0,
+         '{"type":"track","properties":{"price":1.0},"context":{"ip":"10.0.0.1"}}'),
+        ("m2", 2, "a2", "track", "order_completed", T0, T0, T0,
+         '{"type":"track","properties":{"price":2.0},"context":{"ip":"10.0.0.2"}}'),
+        ("m3", 3, "a3", "track", "order completed", T0, T0, T0,
+         '{"type":"track","properties":{"price":3.0},"context":{"ip":"10.0.0.3"}}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string,"
+        " event_name string, received_at timestamp, sent_at timestamp,"
+        " original_timestamp timestamp, payload string",
+    )
+    tables = event_table_fanout(df, discovery_limit=None)
+    oc = tables["order_completed"].collect()
+    assert {r["id"] for r in oc} == {"m1", "m2", "m3"}
+
+    counts = {r["table_name"]: r["n"] for r in fanout_table_counts(df).collect()}
+    assert counts["order_completed"] == 3
+    assert counts["tracks"] == 3

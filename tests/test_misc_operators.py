@@ -179,6 +179,43 @@ def test_connected_components_broadcast_vs_distributed(spark):
     assert fast == slow and fast
 
 
+def test_q9_distributed_path_matches_oracle(spark):
+    """The driver's q9 run at small SF takes the driver-side union-find fast
+    path; this pins the DISTRIBUTED min-label path against the same DuckDB
+    oracle so both stay green (VERDICT r1 #7)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.identity import connected_components
+    from rudder_server_spark.plans.registry import load_all
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+    from tests.oracle import compare, duck_connect
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = (
+        spark.read.parquet(rudder_events_path(sf_dir))
+        .where(F.col("event_type") == "merge")
+    )
+    mp = "mergeProperties array<struct<type:string,value:string>>"
+    edges = df.select(F.from_json(F.col("payload"), mp).alias("_s")).select(
+        F.element_at("_s.mergeProperties", 1).getField("value").alias("src"),
+        F.element_at("_s.mergeProperties", 2).getField("value").alias("dst"),
+    )
+    out = connected_components(edges, broadcast_threshold=0).orderBy("identifier")
+
+    sql = load_all()["q9_identity_graph"].oracle.replace(
+        "rudder_events_sf0.01.parquet",
+        f"rudder_events_{os.path.basename(os.path.normpath(sf_dir))}.parquet",
+    )
+    con = duck_connect(sf_dir)
+    try:
+        ok, msg = compare(out, con, sql)
+    finally:
+        con.close()
+    assert ok, msg
+
+
 def test_hash_split_deterministic(spark):
     import pyspark.sql.functions as F
 
