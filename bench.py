@@ -131,6 +131,41 @@ def main() -> None:
         warm[name] = run_once(name)
         print(f"# {name}: {timings[name]:.2f}s warm {warm[name]:.2f}s", file=sys.stderr, flush=True)
 
+    # measure this run's per-query scheduling floor: a near-zero-WORK query
+    # with the STAGE SHAPE of a typical declared query (scan → shuffle agg →
+    # global sort → noop sink, 32-partition stages). Sub-second queries are
+    # dominated by this scheduling cost on local[32]; it vanishes relative
+    # to work on a real cluster, so raw ratios vs an in-process single-node
+    # baseline drown real regressions in constant overhead.
+    floor_df = (
+        load_table(spark, SF_DIR, "nation")
+        .repartition(32)
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("c"))
+        .orderBy("n_regionkey")
+    )
+    floors = []
+    for _ in range(3):
+        t0 = time.time()
+        floor_df.write.mode("overwrite").format("noop").save()
+        floors.append(time.time() - t0)
+    floor = round(min(floors), 3)
+
+    # floor-adjusted ratio vs the committed DuckDB-warm baseline: subtract
+    # the scheduling floor from each warm timing (clamped at 0) so the ratio
+    # reflects COMPUTE, comparable round over round
+    floor_adjusted = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench",
+                             f"baseline_sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)["queries"]
+        floor_adjusted = {
+            name: round(max(warm[name] - floor, 0.0) / base[name], 2)
+            for name in warm
+            if name in base and base[name] > 0
+        }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(
@@ -142,6 +177,8 @@ def main() -> None:
                 "queries": timings,
                 "warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "floor_sec": floor,
+                "floor_adjusted_ratio": floor_adjusted,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -80,10 +80,13 @@ def ngram_jaccard_pairs(
     across the whole corpus — probability ~ distinct_shingles²/2⁶⁵,
     negligible against the threshold test even at 100 TB.
     """
+    # lazy checkpoint: materializes inside the first action and its blocks
+    # are shared by the three consumers (sizes/a/b) — eager=True would spend
+    # a whole extra scheduled job just to materialize before the query runs
     sh = (
         shingle_table(df, id_col, text_col, n)
         .select("sid", F.xxhash64("sh").alias("sh"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("sid").alias("a"), "sh")
@@ -108,9 +111,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 64, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame | None = None,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
-    """num_hashes MinHash values per doc: min over shingles of xxhash64(shingle, i).
+    """num_hashes MinHash values per doc: min over shingles of
+    xxhash64(shingle, i).
 
     Shape: explode shingles once, compute all num_hashes hashes as plain
     codegen'd columns, take num_hashes `min` aggregates per doc. Array-fold
@@ -118,8 +127,12 @@ def minhash_signatures(
     higher-order functions sit outside whole-stage codegen — and benched an
     order of magnitude slower. The wide partial agg combines map-side, so
     the shuffle carries one num_hashes-wide row per doc per partition.
+
+    Pass ``shingle_df`` (sid, sh) to reuse an existing shingle table — the
+    shingle values may be strings or already-64-bit-hashed longs; both feed
+    xxhash64(sh, i) as a valid min-wise hash family.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
     mins = sh.groupBy("sid").agg(
         *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
     )
@@ -160,11 +173,21 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold."""
+    """MinHash-LSH candidates verified by exact Jaccard ≥ threshold.
+
+    ONE shingle table feeds both the signatures and the verification tier
+    (hashed to 8-byte keys — see ngram_jaccard_pairs on collisions), and all
+    checkpoints are lazy: everything materializes once inside the single
+    final job instead of spending a scheduled job per eager checkpoint.
+    """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .select("sid", F.xxhash64("sh").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(num_hashes=num_hashes, shingle_df=sh).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sigs, bands, rows)
-    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     # verify only candidate pairs: attach a's shingles, then equi-join on
     # BOTH (b, sh) — joining on b alone would cross a's shingles with all of

@@ -29,18 +29,36 @@ from pyspark.sql import Column, DataFrame, functions as F
 class _LazyTables(Mapping):
     """Mapping of table name → DataFrame where some entries build on first
     access (those whose CONSTRUCTION runs Spark jobs, e.g. the iterative
-    identity resolution)."""
+    identity resolution), and whose KEY SET may itself be partly discovered
+    on demand (the per-event tables: listing them runs a distinct scan —
+    callers that only touch fixed tables like ``tracks`` never pay it)."""
 
-    def __init__(self, ready: dict, deferred: dict):
+    def __init__(self, ready: dict, deferred: dict, discover=None):
         self._ready = ready
         self._deferred = deferred
+        self._discover = discover  # () -> dict of extra deferred entries
+
+    def _discover_now(self):
+        if self._discover is not None:
+            extra, self._discover = self._discover(), None
+            for k, thunk in extra.items():
+                self._deferred.setdefault(k, thunk)
 
     def __getitem__(self, key):
         if key not in self._ready:
+            if key not in self._deferred:
+                self._discover_now()
             self._ready[key] = self._deferred[key]()
         return self._ready[key]
 
+    def __contains__(self, key):
+        if key in self._ready or key in self._deferred:
+            return True
+        self._discover_now()
+        return key in self._deferred
+
     def __iter__(self):
+        self._discover_now()
         # snapshot: __getitem__ during iteration (Mapping.items) moves
         # deferred entries into _ready
         keys = list(self._ready) + [k for k in self._deferred if k not in self._ready]
@@ -192,23 +210,33 @@ def event_table_fanout(
     seen = {name for name, _, _ in schema}
 
     # timestamp-promotion verdicts are corpus-level state, like the schema:
-    # decide ONCE over the merged schema here. Leaving promote=None would
-    # make every flat_for call below re-run discover_promotions' sampling
-    # pass (≥1 count + 1 agg job each) and could even reach different
-    # verdicts per sub-schema sample.
-    if promote is None:
-        promote = discover_promotions(env, schema, payload_col, discovery_limit)
+    # decided ONCE over the merged schema, on first use (it costs a sampling
+    # job). Leaving promote=None down in flatten_events would make every
+    # flat_for call re-run discover_promotions — and could even reach
+    # different verdicts per sub-schema sample.
+    _promote: list = [promote]
+
+    def get_promote() -> set:
+        if _promote[0] is None:
+            _promote[0] = discover_promotions(env, schema, payload_col, discovery_limit)
+        return _promote[0]
 
     if materialize:
         # every output table filters this one parsed frame; materialize it
-        # once instead of re-parsing JSON per table
-        flat_full = flatten_events(
-            env, payload_col=payload_col, keep_cols=tuple(keep), schema=schema,
-            promote=promote,
-        ).localCheckpoint(eager=False)
+        # once instead of re-parsing JSON per table. Built on first use —
+        # the full-schema expression tree costs real driver/Catalyst time,
+        # and callers touching one table shouldn't pay it eagerly.
+        _flat_full: list = []
 
         def flat_for(names) -> DataFrame:
-            return flat_full
+            if not _flat_full:
+                _flat_full.append(
+                    flatten_events(
+                        env, payload_col=payload_col, keep_cols=tuple(keep),
+                        schema=schema, promote=get_promote(),
+                    ).localCheckpoint(eager=False)
+                )
+            return _flat_full[0]
 
     else:
         # lazy path: each table parses ONLY its own fields. Catalyst cannot
@@ -222,7 +250,7 @@ def event_table_fanout(
             sub = [e for e in schema if e[0] in names]
             return flatten_events(
                 env, payload_col=payload_col, keep_cols=tuple(keep), schema=sub,
-                promote=promote,
+                promote=get_promote(),
             )
 
     # string-like collapse (set.go:30-31): when flatten_events will synthesize
@@ -242,7 +270,11 @@ def event_table_fanout(
     def common(sel_id: Column = F.col("message_id")) -> list[Column]:
         return [sel_id.alias("id")] + [F.col(c) for c in _COMMON]
 
-    tables: dict[str, DataFrame] = {}
+    # Every table below is a DEFERRED thunk: building a table's DataFrame
+    # costs real driver/Catalyst time (wide from_json expression trees,
+    # analysis round-trips), so a caller touching only `tracks` (the q16
+    # projection) pays for exactly one table's plan, not ten.
+    deferred: dict = {}
 
     # ---- tracks + per-event tables ------------------------------------
     track_common = common() + [
@@ -250,22 +282,10 @@ def event_table_fanout(
         snake_expr(F.col("event_name")).alias("event"),
         *[F.col(c) for c in ctx_cols],
     ]
-    tables["tracks"] = (
+    deferred["tracks"] = lambda: (
         flat_for(set(ctx_cols)).where(F.col("event_type") == "track").select(*track_common)
     )
 
-    # the per-event table set is schema metadata: small, driver-side. Read it
-    # from the RAW envelope (one-column parquet scan), not the flattened
-    # frame — on the materialize=True path that would force the checkpoint's
-    # full payload parse just to list distinct names.
-    event_names = [
-        r[0]
-        for r in env.where(F.col("event_type") == "track")
-        .select("event_name")
-        .distinct()
-        .collect()
-        if r[0] is not None
-    ]
     taken = {"id", "event", "event_text", *_COMMON, *ctx_cols}
     unprefixed = []
     for c in prop_cols:
@@ -274,27 +294,49 @@ def event_table_fanout(
     for c in uprop_cols:
         short = _strip_prefix(c, "user_properties_")
         unprefixed.append((c, short if short not in taken else c))
-    events_base = flat_for(set(ctx_cols) | {c for c, _ in unprefixed}).where(
-        F.col("event_type") == "track"
-    )
-    # two raw names can normalize to the same table ('Order Completed' and
-    # 'order_completed' both land in order_completed — the reference keys the
-    # physical table by the snake_cased name), so group names per table and
-    # union them via IN instead of last-wins overwriting
-    by_table: dict[str, list] = {}
-    for ev in sorted(event_names):
-        by_table.setdefault(safe_table_name(ev.strip().replace(" ", "_").lower()), []).append(ev)
-    for tbl, evs in sorted(by_table.items()):
-        tables[tbl] = events_base.where(F.col("event_name").isin(evs)).select(
-            *track_common, *[F.col(c).alias(short) for c, short in unprefixed]
-        )
+
+    # the per-event table set is schema metadata: small, driver-side — but
+    # LISTING it runs a distinct scan, so it is discovered lazily on first
+    # iteration/miss (callers that only touch fixed tables — the q16 tracks
+    # projection — never pay that job). Names are read from the RAW envelope
+    # (one-column parquet scan), not the flattened frame — on the
+    # materialize=True path that would force the checkpoint's full payload
+    # parse just to list distinct names.
+    def _discover_event_tables() -> dict:
+        event_names = [
+            r[0]
+            for r in env.where(F.col("event_type") == "track")
+            .select("event_name")
+            .distinct()
+            .collect()
+            if r[0] is not None
+        ]
+        # two raw names can normalize to the same table ('Order Completed'
+        # and 'order_completed' both land in order_completed — the reference
+        # keys the physical table by the snake_cased name), so group names
+        # per table and union them via IN instead of last-wins overwriting
+        by_table: dict[str, list] = {}
+        for ev in sorted(event_names):
+            by_table.setdefault(
+                safe_table_name(ev.strip().replace(" ", "_").lower()), []
+            ).append(ev)
+
+        def make(evs):
+            return lambda: (
+                flat_for(set(ctx_cols) | {c for c, _ in unprefixed})
+                .where(F.col("event_type") == "track")
+                .where(F.col("event_name").isin(evs))
+                .select(*track_common, *[F.col(c).alias(short) for c, short in unprefixed])
+            )
+
+        return {tbl: make(evs) for tbl, evs in sorted(by_table.items())}
 
     # ---- identifies + users -------------------------------------------
     trait_renames = []
     for c in trait_cols:
         short = _strip_prefix(c, "traits_")
         trait_renames.append((c, short if short not in taken else c))
-    tables["identifies"] = (
+    deferred["identifies"] = lambda: (
         flat_for(set(ctx_cols) | set(trait_cols))
         .where(F.col("event_type") == "identify")
         .select(
@@ -305,7 +347,7 @@ def event_table_fanout(
     # users: one row per user, latest non-null value per trait — the
     # aggregation rewrite of FIRST_VALUE IGNORE NULLS (SURVEY §4.6): a single
     # partial-agg shuffle instead of a full window sort.
-    tables["users"] = (
+    deferred["users"] = lambda: (
         flat_for(set(trait_cols))
         .where(F.col("event_type") == "identify")
         .where(F.col("user_id").isNotNull())
@@ -325,7 +367,7 @@ def event_table_fanout(
         for c in page_prop_cols
         if _strip_prefix(c, "properties_") not in taken | {"name"}
     ]
-    tables["pages"] = (
+    deferred["pages"] = lambda: (
         flat_for(set(ctx_cols) | set(page_prop_cols) | {"_evt_name"})
         .where(F.col("event_type") == "page")
         .select(
@@ -343,7 +385,7 @@ def event_table_fanout(
         for c in screen_prop_cols
         if _strip_prefix(c, "properties_") not in taken | {"name"}
     ]
-    tables["screens"] = (
+    deferred["screens"] = lambda: (
         flat_for(set(ctx_cols) | set(screen_prop_cols) | {"_evt_name"})
         .where(F.col("event_type") == "screen")
         .select(
@@ -361,7 +403,7 @@ def event_table_fanout(
         for c in group_trait_cols
         if _strip_prefix(c, "traits_") not in taken | {"group_id"}
     ]
-    tables["groups"] = (
+    deferred["groups"] = lambda: (
         flat_for(set(ctx_cols) | set(group_trait_cols) | {"_evt_group_id"})
         .where(F.col("event_type") == "group")
         .select(
@@ -373,46 +415,64 @@ def event_table_fanout(
     )
 
     # ---- aliases -------------------------------------------------------
-    tables["aliases"] = (
+    deferred["aliases"] = lambda: (
         flat_for({"_evt_previous_id"})
         .where(F.col("event_type") == "alias")
         .select(*common(), F.col("_evt_previous_id").alias("previous_id"))
     )
 
     # ---- identity tables ----------------------------------------------
-    merges = df.where(F.col("event_type") == "merge").select(
-        F.from_json(
-            F.col(payload_col), "mergeProperties array<struct<type:string,value:string>>"
-        ).alias("_m"),
-        F.col("received_at"),
-    )
-    rules = merges.select(
-        F.element_at("_m.mergeProperties", 1).getField("type").alias("merge_property_1_type"),
-        F.element_at("_m.mergeProperties", 1).getField("value").alias("merge_property_1_value"),
-        F.element_at("_m.mergeProperties", 2).getField("type").alias("merge_property_2_type"),
-        F.element_at("_m.mergeProperties", 2).getField("value").alias("merge_property_2_value"),
-        "received_at",
-    )
-    tables["rudder_identity_merge_rules"] = rules.drop("received_at").distinct()
+    _rules: list = []
+
+    def rules() -> DataFrame:
+        if not _rules:
+            merges = df.where(F.col("event_type") == "merge").select(
+                F.from_json(
+                    F.col(payload_col),
+                    "mergeProperties array<struct<type:string,value:string>>",
+                ).alias("_m"),
+                F.col("received_at"),
+            )
+            _rules.append(
+                merges.select(
+                    F.element_at("_m.mergeProperties", 1)
+                    .getField("type")
+                    .alias("merge_property_1_type"),
+                    F.element_at("_m.mergeProperties", 1)
+                    .getField("value")
+                    .alias("merge_property_1_value"),
+                    F.element_at("_m.mergeProperties", 2)
+                    .getField("type")
+                    .alias("merge_property_2_type"),
+                    F.element_at("_m.mergeProperties", 2)
+                    .getField("value")
+                    .alias("merge_property_2_value"),
+                    "received_at",
+                )
+            )
+        return _rules[0]
+
+    deferred["rudder_identity_merge_rules"] = lambda: rules().drop("received_at").distinct()
 
     def _mappings() -> DataFrame:
         # connected_components runs Spark jobs in its convergence loop, so
         # the mappings table is built lazily — callers that only want
         # tracks/identifies never pay for identity resolution
+        r = rules()
         comps = connected_components(
-            rules.select(
+            r.select(
                 F.col("merge_property_1_value").alias("src"),
                 F.col("merge_property_2_value").alias("dst"),
             )
         )
         idents = (
-            rules.select(
+            r.select(
                 F.col("merge_property_1_type").alias("merge_property_type"),
                 F.col("merge_property_1_value").alias("merge_property_value"),
                 "received_at",
             )
             .unionByName(
-                rules.select(
+                r.select(
                     F.col("merge_property_2_type").alias("merge_property_type"),
                     F.col("merge_property_2_value").alias("merge_property_value"),
                     "received_at",
@@ -430,7 +490,8 @@ def event_table_fanout(
             "updated_at",
         )
 
-    return _LazyTables(tables, {"rudder_identity_mappings": _mappings})
+    deferred["rudder_identity_mappings"] = _mappings
+    return _LazyTables({}, deferred, discover=_discover_event_tables)
 
 
 def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -441,53 +502,62 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
     rather than by scanning each landed table. Same idea here: counting the
     fan-out's outputs via ``event_table_fanout`` would scan the corpus once
     per table (and build the identity mapping's connected components just to
-    count its rows). Every table's cardinality is instead a conditional
-    aggregate over three narrow envelope columns, so this computes all of
-    them in ONE scan that never touches ``payload``, plus one small
-    payload-parsing subtree over merge rows only (predicate pushed to the
-    scan) for the two identity tables. At 100 TB this is the difference
-    between one column-pruned pass and a dozen full-corpus scans.
+    count its rows). Instead ONE groupBy(event_type, event_name) over three
+    narrow envelope columns yields every non-identity table's count — the
+    group set is bounded by event-name cardinality (schema metadata), the
+    identify group carries the users count_distinct, and the per-event-name
+    discovery rides the SAME aggregate instead of its own distinct scan —
+    plus one small payload-parsing subtree over merge rows only (predicate
+    pushed to the scan) for the two identity tables. At 100 TB this is the
+    difference between one column-pruned pass and a dozen full-corpus scans.
 
     Returns a DataFrame ``(table_name, n)`` ordered by table_name, matching
     ``{name: t.count() for name, t in event_table_fanout(df).items()}``.
     """
     et = F.col("event_type")
-    track = et == "track"
 
-    # per-event table set = driver-side schema metadata (same discovery the
-    # fan-out does; one pruned-column scan)
-    event_names = [
-        r[0]
-        for r in df.where(track).select("event_name").distinct().collect()
-        if r[0] is not None
-    ]
-
-    aggs = [
-        F.count_if(track).alias("tracks"),
-        F.count_if(et == "identify").alias("identifies"),
-        F.count_distinct(
-            F.when((et == "identify") & F.col("user_id").isNotNull(), F.col("user_id"))
-        ).alias("users"),
-        F.count_if(et == "page").alias("pages"),
-        F.count_if(et == "screen").alias("screens"),
-        F.count_if(et == "group").alias("groups"),
-        F.count_if(et == "alias").alias("aliases"),
-    ]
-    # group raw names by normalized table (see event_table_fanout: colliding
-    # names union into one table, so their counts union too)
-    by_table: dict[str, list] = {}
-    for ev in sorted(event_names):
-        by_table.setdefault(safe_table_name(ev.strip().replace(" ", "_").lower()), []).append(ev)
-    for tbl, evs in sorted(by_table.items()):
-        aggs.append(F.count_if(track & F.col("event_name").isin(evs)).alias(tbl))
-
-    wide = df.agg(*aggs)
-    names = [f.name for f in wide.schema.fields]
-    counts = wide.select(
-        F.explode(
-            F.array(*[F.struct(F.lit(n).alias("table_name"), F.col(n).alias("n")) for n in names])
-        ).alias("row")
-    ).select("row.*")
+    # one partial-agg shuffle of a bounded group set; identify rows all share
+    # one group, so its count_distinct(user_id) IS the global users count
+    groups = (
+        df.groupBy("event_type", "event_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct(F.when(F.col("user_id").isNotNull(), F.col("user_id"))).alias("nu"),
+        )
+        .collect()
+    )
+    plural = {
+        "track": "tracks", "identify": "identifies", "page": "pages",
+        "screen": "screens", "group": "groups", "alias": "aliases",
+    }
+    counts_map: dict[str, int] = {t: 0 for t in plural.values()}
+    counts_map["users"] = 0
+    n_identify_groups = 0
+    for r in groups:
+        tname = plural.get(r["event_type"])
+        if tname is None:
+            continue  # merge rows → identity subtree below
+        counts_map[tname] += r["n"]
+        if r["event_type"] == "identify":
+            counts_map["users"] += r["nu"]
+            n_identify_groups += 1
+        if r["event_type"] == "track" and r["event_name"] is not None:
+            # colliding raw names union into one table (see event_table_fanout)
+            tbl = safe_table_name(r["event_name"].strip().replace(" ", "_").lower())
+            counts_map[tbl] = counts_map.get(tbl, 0) + r["n"]
+    if n_identify_groups > 1:
+        # per-group distinct sums overcount a user seen under two event_name
+        # values; identify events carry no name so this never happens in
+        # practice — exact fallback job for the pathological corpus that does
+        counts_map["users"] = (
+            df.where((et == "identify") & F.col("user_id").isNotNull())
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+    counts = df.sparkSession.createDataFrame(
+        sorted(counts_map.items()), "table_name string, n bigint"
+    )
 
     # identity tables: parse only the two merge properties of merge rows.
     # Distinctness mirrors the tables themselves: rules are distinct on all

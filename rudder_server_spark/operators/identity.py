@@ -54,11 +54,13 @@ def connected_components(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
     )
     # materialize once — every loop iteration joins against the edges, and
-    # without this the upstream scan (parquet + JSON parse) re-runs per round
+    # without this the upstream scan (parquet + JSON parse) re-runs per
+    # round. Lazy: the stats/first-labels job below persists the blocks —
+    # eager=True would spend an extra scheduled job on materialization.
     sym = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     fits_driver = False
@@ -100,7 +102,7 @@ def connected_components(
         sym.groupBy("a")
         .agg(F.least(F.first("a"), F.min("b")).alias("lbl"))
         .select(F.col("a").alias("node"), "lbl")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # propagate: candidate label for node = min over neighbors' labels ∪ own
@@ -115,7 +117,7 @@ def connected_components(
         new_labels = (
             cand.join(lk, cand.lbl == F.col("_ln"), "left")
             .select("node", F.least("lbl", F.coalesce("_ll", "lbl")).alias("lbl"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the `changed` job materializes it
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
