@@ -10,6 +10,8 @@ shapes in FIXTURES.md §3):
 - ``alias``    → ``aliases``
 - ``merge``    → ``rudder_identity_merge_rules`` +
                  ``rudder_identity_mappings`` (connected components, J4)
+- ``extract``  → one ``<snake_cased_event>`` table keyed by record_id
+                 (retl record stream; events.go:166-243, ExtractRules)
 
 Spark-first shape: ONE schema discovery + ONE ``from_json`` parse over the
 corpus (shared via lazy localCheckpoint), then each output table is a
@@ -83,6 +85,7 @@ ENVELOPE_COLS = (
     "anonymous_id",
     "event_type",
     "event_name",
+    "record_id",
     "received_at",
     "sent_at",
     "original_timestamp",
@@ -130,6 +133,7 @@ def discover_fanout_schemas(
             ("track_uprops", "userProperties", et == "track"),
             ("page_props", "properties", et == "page"),
             ("screen_props", "properties", et == "screen"),
+            ("extract_props", "properties", et == "extract"),
             ("traits", "traits", et == "identify"),
             ("group_traits", "traits", et == "group"),
         ],
@@ -151,6 +155,7 @@ def fanout_flat_schema(per_alias: dict) -> list:
         "traits",
         "page_props",
         "screen_props",
+        "extract_props",
         "group_traits",
     ):
         for name, path, tgt in per_alias.get(key, []):
@@ -201,6 +206,7 @@ def event_table_fanout(
     track_schema = list(per_alias["track_props"]) + list(per_alias["track_uprops"])
     page_schema = per_alias["page_props"]
     screen_schema = per_alias.get("screen_props", [])
+    extract_schema = per_alias.get("extract_props", [])
     traits_schema = per_alias["traits"]
     group_schema = per_alias.get("group_traits", [])
     # single shared projection (first-wins consolidation) + the top-level
@@ -302,24 +308,67 @@ def event_table_fanout(
     # (one-column parquet scan), not the flattened frame — on the
     # materialize=True path that would force the checkpoint's full payload
     # parse just to list distinct names.
+    # extract (retl/warehouse-as-source, embedded/warehouse/events.go:166-243
+    # + rules.go ExtractRules): each extract event lands ONLY in the table
+    # named by its event, keyed by record_id (the metadata sidecar,
+    # processor.go:1079-1083) with delete+insert load semantics — modeled
+    # here as W2 staging dedup (latest received_at per record_id), the same
+    # post-load state the `users` table models. Columns: id=record_id,
+    # received_at, event, context_* and unprefixed properties; no user_id
+    # (events.go extractOutput sets userId "").
+    ex_prop_cols = [n for n, p, _ in extract_schema if p[0] == "properties" and n in seen]
+    ex_unprefixed = []
+    for c in ex_prop_cols:
+        short = _strip_prefix(c, "properties_")
+        ex_unprefixed.append((c, short if short not in taken | {"id", "event"} else c))
+    has_record_id = "record_id" in env.columns
+
+    def make_extract(evs):
+        def build():
+            from pyspark.sql import Window
+
+            base = (
+                flat_for(set(ctx_cols) | {c for c, _ in ex_unprefixed})
+                .where(F.col("event_type") == "extract")
+                .where(F.col("event_name").isin(evs))
+                .where(F.col("record_id").isNotNull())
+            )
+            w = Window.partitionBy("record_id").orderBy(
+                F.col("received_at").desc(), F.col("message_id").desc()
+            )
+            return (
+                base.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(
+                    F.col("record_id").alias("id"),
+                    F.col("received_at"),
+                    snake_expr(F.col("event_name")).alias("event"),
+                    *[F.col(c) for c in ctx_cols],
+                    *[F.col(c).alias(short) for c, short in ex_unprefixed],
+                )
+            )
+
+        return build
+
     def _discover_event_tables() -> dict:
-        event_names = [
-            r[0]
-            for r in env.where(F.col("event_type") == "track")
-            .select("event_name")
+        types = ["track", "extract"] if has_record_id else ["track"]
+        name_rows = (
+            env.where(F.col("event_type").isin(types))
+            .select("event_type", "event_name")
             .distinct()
             .collect()
-            if r[0] is not None
-        ]
+        )
         # two raw names can normalize to the same table ('Order Completed'
         # and 'order_completed' both land in order_completed — the reference
         # keys the physical table by the snake_cased name), so group names
         # per table and union them via IN instead of last-wins overwriting
         by_table: dict[str, list] = {}
-        for ev in sorted(event_names):
-            by_table.setdefault(
-                safe_table_name(ev.strip().replace(" ", "_").lower()), []
-            ).append(ev)
+        ex_by_table: dict[str, list] = {}
+        named = [r for r in name_rows if r["event_name"] is not None]
+        for r in sorted(named, key=lambda r: (r["event_type"], r["event_name"])):
+            tbl = safe_table_name(r["event_name"].strip().replace(" ", "_").lower())
+            tgt = by_table if r["event_type"] == "track" else ex_by_table
+            tgt.setdefault(tbl, []).append(r["event_name"])
 
         def make(evs):
             return lambda: (
@@ -329,7 +378,9 @@ def event_table_fanout(
                 .select(*track_common, *[F.col(c).alias(short) for c, short in unprefixed])
             )
 
-        return {tbl: make(evs) for tbl, evs in sorted(by_table.items())}
+        out = {tbl: make(evs) for tbl, evs in sorted(by_table.items())}
+        out.update({tbl: make_extract(evs) for tbl, evs in sorted(ex_by_table.items())})
+        return out
 
     # ---- identifies + users -------------------------------------------
     trait_renames = []
@@ -517,12 +568,20 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
     et = F.col("event_type")
 
     # one partial-agg shuffle of a bounded group set; identify rows all share
-    # one group, so its count_distinct(user_id) IS the global users count
+    # one group, so its count_distinct(user_id) IS the global users count,
+    # and extract groups carry count_distinct(record_id) — the landed table
+    # size after recordId-keyed delete+insert dedup
+    has_record_id = "record_id" in df.columns
     groups = (
         df.groupBy("event_type", "event_name")
         .agg(
             F.count("*").alias("n"),
             F.count_distinct(F.when(F.col("user_id").isNotNull(), F.col("user_id"))).alias("nu"),
+            (
+                F.count_distinct("record_id")
+                if has_record_id
+                else F.lit(0).cast("bigint")
+            ).alias("nr"),
         )
         .collect()
     )
@@ -534,6 +593,10 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
     counts_map["users"] = 0
     n_identify_groups = 0
     for r in groups:
+        if r["event_type"] == "extract" and has_record_id and r["event_name"] is not None:
+            tbl = safe_table_name(r["event_name"].strip().replace(" ", "_").lower())
+            counts_map[tbl] = counts_map.get(tbl, 0) + r["nr"]
+            continue
         tname = plural.get(r["event_type"])
         if tname is None:
             continue  # merge rows → identity subtree below

@@ -53,7 +53,7 @@ def _fanout_state(spark, sf) -> dict:
 
         # kind carries a schema-spec version: bump when the discovery spec
         # gains aliases so stale registry entries invalidate
-        _SCHEMA_CACHE[key] = cached_schema(key[0], "fanout2", compute)
+        _SCHEMA_CACHE[key] = cached_schema(key[0], "fanout3", compute)
     return _SCHEMA_CACHE[key]
 
 
@@ -335,6 +335,10 @@ def q16(spark, sf):
           json_extract_string(payload,'$.mergeProperties[0].value') || '|' ||
           json_extract_string(payload,'$.mergeProperties[1].value'))
         FROM re WHERE event_type='merge'
+      UNION ALL SELECT 'product_export', count(DISTINCT record_id) FROM re
+        WHERE event_type='extract' AND event_name='Product Export'
+      UNION ALL SELECT 'user_snapshot', count(DISTINCT record_id) FROM re
+        WHERE event_type='extract' AND event_name='user_snapshot'
       UNION ALL SELECT 'rudder_identity_mappings', count(DISTINCT v) FROM (
           SELECT json_extract_string(payload,'$.mergeProperties[0].value') AS v
           FROM re WHERE event_type='merge'
@@ -423,6 +427,56 @@ def q18(spark, sf):
         t = spark.read.parquet(os.path.join(out, name))
         counts.append(t.agg(F.count("*").alias("n")).select(F.lit(name).alias("table_name"), "n"))
     return reduce(lambda a, b: a.unionByName(b), counts).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# Q30 extract table — P8 extract fan-out (embedded/warehouse/events.go:
+# 166-243 + rules.go ExtractRules): retl/warehouse-as-source records land in
+# the table named by `event`, keyed by record_id (metadata sidecar,
+# processor.go:1079-1083) with delete+insert load semantics — modeled as W2
+# staging dedup (latest received_at per record_id, snowflake.go:478-490).
+@register(
+    "q30_extract_table",
+    f"""
+    WITH e AS (
+      SELECT record_id, received_at, event_name, message_id, payload,
+             ROW_NUMBER() OVER (PARTITION BY record_id
+                                ORDER BY received_at DESC, message_id DESC) AS rn
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE event_type='extract' AND event_name='Product Export'
+        AND record_id IS NOT NULL
+    )
+    SELECT record_id AS id, received_at,
+      regexp_replace(lower(regexp_replace(trim(event_name), '[^a-zA-Z0-9]+', '_', 'g')),
+                     '^_+|_+$', '', 'g') AS event,
+      json_extract_string(payload, '$.context.ip') AS context_ip,
+      json_extract_string(payload, '$.context.library.name') AS context_library_name,
+      json_extract_string(payload, '$.context.library.version') AS context_library_version,
+      json_extract_string(payload, '$.context.traits.email') AS context_traits_email,
+      CAST(json_extract(payload, '$.context.traits.logins') AS BIGINT) AS context_traits_logins,
+      json_extract_string(payload, '$.properties.currency') AS currency,
+      CAST(json_extract(payload, '$.properties.price') AS DOUBLE) AS price,
+      CAST(json_extract(payload, '$.properties.quantity') AS BIGINT) AS quantity,
+      CAST(json_extract(payload, '$.properties.shipped') AS BOOLEAN) AS shipped
+    FROM e WHERE rn = 1 ORDER BY id
+    """,
+    doc="P8 extract fan-out: recordId-keyed table. Ref: events.go:166-243, rules.go:101-108",
+    tags=("rudder",),
+)
+def q30(spark, sf):
+    from rudder_server_spark.operators.envelope import normalize_envelope
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+
+    pre = normalize_envelope(_load(spark, sf).where(F.col("event_type") == "extract"))
+    state = _fanout_state(spark, sf)
+    tables = event_table_fanout(
+        pre,
+        materialize=False,
+        schemas=state["per_alias"],
+        promote=set(state["promote"]),
+        normalized=True,
+    )
+    return tables["product_export"].orderBy("id")
 
 
 # --------------------------------------------------------------------------

@@ -95,6 +95,24 @@ def _payload(i: int, user_id: int, etype: str, event_name: str | None, anon: str
             "previousId": f"anon-{i % 500:04d}",
             "userId": str(user_id),
         }
+    elif etype == "extract":
+        # retl/warehouse-as-source record (gateway/handle_http_retl.go):
+        # recordId rides the metadata sidecar (envelope record_id column);
+        # `event` names the target table; properties reuse the track keys so
+        # the corpus-wide discovered schema (q1 oracle) stays unchanged
+        body = {
+            "type": "extract",
+            "event": event_name,
+            "recordId": f"rec-{(i * 13) % 997:06d}",
+            "properties": {
+                "price": round((i % 50000) / 100.0, 2),
+                "quantity": 1 + i % 5,
+                "currency": "USD",
+                "shipped": i % 2 == 0,
+                "coupon": None,
+            },
+            "context": ctx,
+        }
     else:  # merge
         body = {
             "type": "merge",
@@ -110,14 +128,24 @@ _TYPE_BY_MOD = ["track"] * 5 + ["identify"] * 2 + ["page", "alias", "merge"]
 
 
 def _generate(out_path: str, n: int) -> None:
+    # n base rows (i = 0..n-1, unchanged layout) + 5% appended extract rows
+    # (retl record stream, i = n..): appended AFTER the base corpus so every
+    # pre-extract query's input multiset is identical to the original spec.
+    # recordId stride 13 mod 997 repeats ids → recordId-keyed dedup (W2) is
+    # exercised with real duplicates.
+    n_extract = n // 20
+    total = n + n_extract
     rs = np.random.RandomState(42)
-    user_ids = rs.randint(0, 150, n)
-    idx = np.arange(n)
+    user_ids = np.concatenate([rs.randint(0, 150, n), rs.randint(0, 150, n_extract)])
+    idx = np.arange(total)
 
     message_id = [f"msg-{i:06d}" for i in idx]
     anonymous_id = ["" if i % 20 == 13 else f"anon-{i % 500:04d}" for i in idx]
-    event_type = [_TYPE_BY_MOD[i % 10] for i in idx]
-    event_name = [_EVENT_NAMES[i % 3] if i % 10 < 5 else None for i in idx]
+    event_type = [_TYPE_BY_MOD[i % 10] for i in idx[:n]] + ["extract"] * n_extract
+    event_name = [_EVENT_NAMES[i % 3] if i % 10 < 5 else None for i in idx[:n]] + [
+        ("Product Export" if i % 2 == 0 else "user_snapshot") for i in range(n, total)
+    ]
+    record_id = [None] * n + [f"rec-{(i * 13) % 997:06d}" for i in range(n, total)]
     received_at = _BASE_TS + idx.astype("timedelta64[s]").astype("timedelta64[us]")
     sent_at = received_at - np.timedelta64(2_000_000, "us")
     original_timestamp = received_at - np.timedelta64(5_000_000, "us")
@@ -143,6 +171,7 @@ def _generate(out_path: str, n: int) -> None:
             "anonymous_id": pa.array(take(anonymous_id), pa.string()),
             "event_type": pa.array(take(event_type), pa.string()),
             "event_name": pa.array(take(event_name), pa.string()),
+            "record_id": pa.array(take(record_id), pa.string()),
             "received_at": pa.array(received_at[order], pa.timestamp("us")),
             "sent_at": pa.array(sent_at[order], pa.timestamp("us")),
             "original_timestamp": pa.array(original_timestamp[order], pa.timestamp("us")),

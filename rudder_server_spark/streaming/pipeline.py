@@ -45,7 +45,7 @@ from rudder_server_spark.operators.envelope import normalize_envelope
 
 ENVELOPE_SCHEMA = (
     "message_id string, user_id long, anonymous_id string, event_type string, "
-    "event_name string, received_at timestamp, sent_at timestamp, "
+    "event_name string, record_id string, received_at timestamp, sent_at timestamp, "
     "original_timestamp timestamp, payload string"
 )
 

@@ -304,3 +304,48 @@ def test_fanout_colliding_event_names_union(spark):
     counts = {r["table_name"]: r["n"] for r in fanout_table_counts(df).collect()}
     assert counts["order_completed"] == 3
     assert counts["tracks"] == 3
+
+
+def test_extract_fanout_recordid_keyed(spark):
+    """P8 extract: retl records land ONLY in the table named by `event`,
+    keyed by record_id with delete+insert (W2 latest-wins) semantics and no
+    user_id column (events.go:166-243, rules.go ExtractRules)."""
+    rows = [
+        # two versions of rec-1: the later received_at wins
+        ("m1", 1, "a1", "extract", "Product Export", "rec-1", T0, T0, T0,
+         '{"type":"extract","event":"Product Export","recordId":"rec-1",'
+         '"properties":{"price":10.0},"context":{"ip":"10.0.0.1"}}'),
+        ("m2", 1, "a1", "extract", "Product Export", "rec-1",
+         T0 + dt.timedelta(seconds=5), T0, T0,
+         '{"type":"extract","event":"Product Export","recordId":"rec-1",'
+         '"properties":{"price":11.5},"context":{"ip":"10.0.0.2"}}'),
+        ("m3", 2, "a2", "extract", "Product Export", "rec-2", T0, T0, T0,
+         '{"type":"extract","event":"Product Export","recordId":"rec-2",'
+         '"properties":{"price":7.0},"context":{"ip":"10.0.0.3"}}'),
+        # a track event so fixed tables still build
+        ("m4", 3, "a3", "track", "Order Completed", None, T0, T0, T0,
+         '{"type":"track","properties":{"price":1.0},"context":{"ip":"10.0.0.4"}}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "message_id string, user_id long, anonymous_id string, event_type string,"
+        " event_name string, record_id string, received_at timestamp,"
+        " sent_at timestamp, original_timestamp timestamp, payload string",
+    )
+    tables = event_table_fanout(df, discovery_limit=None)
+    assert "product_export" in set(tables)
+    pe = {r["id"]: r.asDict() for r in tables["product_export"].collect()}
+    # delete+insert: one row per record_id, latest received_at wins
+    assert set(pe) == {"rec-1", "rec-2"}
+    assert pe["rec-1"]["price"] == 11.5 and pe["rec-1"]["context_ip"] == "10.0.0.2"
+    assert pe["rec-2"]["price"] == 7.0
+    assert pe["rec-1"]["event"] == "product_export"
+    assert "user_id" not in tables["product_export"].columns
+    # extract rows do NOT land in tracks
+    assert tables["tracks"].count() == 1
+
+    from rudder_server_spark.operators.event_tables import fanout_table_counts
+
+    counts = {r["table_name"]: r["n"] for r in fanout_table_counts(df).collect()}
+    assert counts["product_export"] == 2  # distinct record ids
+    assert counts["tracks"] == 1
