@@ -21,6 +21,62 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+# source categories whose events are record streams: their stable identity
+# is the upstream record, not the message (CanUseRecordID,
+# embedded/warehouse/internal/utils/utils.go:29,152-155)
+RECORD_STREAM_CATEGORIES = ("cloud", "singer-protocol")
+
+
+def dedup_key(
+    message_id: Column,
+    record_id: Column | None = None,
+    source_category: Column | None = None,
+) -> Column:
+    """F1 dedup key: ``record_id`` for record-stream (retl/warehouse-as-
+    source) events, else ``message_id``.
+
+    A re-sync of the same warehouse rows re-delivers the same records under
+    FRESH messageIds — messageId-keyed dedup would duplicate every row, so
+    the reference keys those sources by recordId instead (rules.go:40-60
+    extractCloudRecordID; CanUseRecordID categories 'cloud' and
+    'singer-protocol'; ExtractRules key by recordId unconditionally).
+    When no ``source_category`` column exists, a non-null record_id itself
+    marks the record stream — only retl/extract flows populate it. Pure
+    column expression — fuses into the scan.
+    """
+    if record_id is None:
+        return message_id
+    usable = record_id.isNotNull() & (F.length(record_id) > 0)
+    if source_category is not None:
+        usable = usable & F.lower(F.coalesce(source_category, F.lit(""))).isin(
+            *RECORD_STREAM_CATEGORIES
+        )
+    return F.when(usable, record_id).otherwise(message_id)
+
+
+def batch_dedup(
+    df: DataFrame,
+    seq_col: str = "received_at",
+    message_id: str = "message_id",
+    record_id: str | None = None,
+    source_category: str | None = None,
+) -> DataFrame:
+    """F1 batch form: keep the first-seen row per dedup key
+    (row_number over the key ordered by ingest sequence — processor.go:
+    1941-1983 in-batch dedup + dedup.go keystore semantics)."""
+    from pyspark.sql import Window
+
+    key = dedup_key(
+        F.col(message_id),
+        F.col(record_id) if record_id else None,
+        F.col(source_category) if source_category else None,
+    )
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).asc(), F.col(message_id).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
 def suppress_users(df: DataFrame, suppressed: DataFrame, on=("user_id",)) -> DataFrame:
     """F2: drop events whose identity appears in the suppression table."""
     return df.join(F.broadcast(suppressed), list(on), "left_anti")

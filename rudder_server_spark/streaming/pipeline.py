@@ -66,9 +66,26 @@ def read_event_stream(
 def dedup_stream(stream: DataFrame, watermark: str = "30 days") -> DataFrame:
     """F1 exact dedup with the reference's ~30d TTL window
     (services/dedup/dedup.go: keystore TTL): state-store-backed, dropped
-    keys age out with the watermark instead of growing forever."""
-    return stream.withWatermark("received_at", watermark).dropDuplicatesWithinWatermark(
-        ["message_id"]
+    keys age out with the watermark instead of growing forever.
+
+    The dedup key is record_id for record-stream (retl) events when the
+    stream carries record_id/source_category columns (rules.go:40-60 —
+    re-synced warehouse rows arrive under fresh messageIds), else
+    message_id.
+    """
+    from rudder_server_spark.operators.filters import dedup_key
+
+    cols = stream.columns
+    key = dedup_key(
+        F.col("message_id"),
+        F.col("record_id") if "record_id" in cols else None,
+        F.col("source_category") if "source_category" in cols else None,
+    )
+    return (
+        stream.withColumn("_dedup_key", key)
+        .withWatermark("received_at", watermark)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
     )
 
 

@@ -156,3 +156,56 @@ def test_ivf_ann_recall(spark):
     # nprobe = k degenerates to exact search
     full = {r["vec_id"] for r in S.ivf_topk(assigned, cents, qvec, k=10, nprobe=8).collect()}
     assert full == exact
+
+
+def test_recordid_dedup_key_and_batch_dedup(spark):
+    """F1 retl extension (rules.go:40-60): record-stream events dedup on
+    record_id — a re-sync re-delivers the same records under fresh
+    messageIds — while event-stream sources keep the messageId key."""
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.filters import batch_dedup, dedup_key
+
+    rows = [
+        # cloud (record stream): same record re-synced under two messageIds
+        ("m1", "rec-1", "cloud", "2024-02-01T00:00:01"),
+        ("m2", "rec-1", "cloud", "2024-02-01T00:00:02"),
+        # event stream: same record_id-ish value but category is not
+        # record-stream -> messageId key keeps both
+        ("m3", "rec-2", "webhook", "2024-02-01T00:00:03"),
+        ("m4", "rec-2", "webhook", "2024-02-01T00:00:04"),
+        # cloud but empty record_id -> falls back to messageId
+        ("m5", "", "cloud", "2024-02-01T00:00:05"),
+        ("m6", None, "singer-protocol", "2024-02-01T00:00:06"),
+    ]
+    df = spark.createDataFrame(
+        rows, "message_id string, record_id string, source_category string, ts string"
+    ).withColumn("received_at", F.col("ts").cast("timestamp"))
+
+    keys = {
+        r["message_id"]: r["k"]
+        for r in df.select(
+            "message_id",
+            dedup_key(
+                F.col("message_id"), F.col("record_id"), F.col("source_category")
+            ).alias("k"),
+        ).collect()
+    }
+    assert keys == {"m1": "rec-1", "m2": "rec-1", "m3": "m3", "m4": "m4",
+                    "m5": "m5", "m6": "m6"}
+
+    kept = {
+        r["message_id"]
+        for r in batch_dedup(
+            df, record_id="record_id", source_category="source_category"
+        ).collect()
+    }
+    assert kept == {"m1", "m3", "m4", "m5", "m6"}  # m2 = re-synced rec-1
+
+    # without a source_category column, non-null record_id alone marks the
+    # record stream (extract events key by recordId unconditionally)
+    kept2 = {
+        r["message_id"]
+        for r in batch_dedup(df.drop("source_category"), record_id="record_id").collect()
+    }
+    assert kept2 == {"m1", "m3", "m5", "m6"}  # m4 now dedups onto m3's rec-2

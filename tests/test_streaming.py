@@ -67,6 +67,16 @@ def test_warehouse_stream_dedup_and_fanout(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out, "tracks")).count() == 10
 
+    # second micro-batch through the SAME checkpoint: one new event + one
+    # cross-batch duplicate — dedup state survives the restart, so only the
+    # new event lands (effectively-once across triggers, VERDICT r1 #9)
+    _write_events(src, [_event(20), _event(21, dup_of=1)], fname="part-1.json")
+    q3 = run_warehouse_pipeline(spark, src, out, ckpt)
+    q3.awaitTermination(120)
+    tracks3 = spark.read.parquet(os.path.join(out, "tracks"))
+    assert tracks3.count() == 11
+    assert tracks3.select("id").distinct().count() == 11
+
 
 def _drain(spark, out, deliver, max_attempts):
     """Empty router tick: picks up due retries only (idempotent when the
