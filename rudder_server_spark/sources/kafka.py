@@ -1,0 +1,174 @@
+"""S9: event → Kafka message shaping (reference embedded kafka transformer,
+processor/internal/transformer/destination_transformer/embedded/kafka/kafka.go).
+
+The reference shapes each event into ``{message, userId, topic[, schemaId]}``
+with per-event topic resolution (kafka.go:77-117):
+
+  1. the event's ``integrations.{KAFKA|kafka|Kafka}.topic`` override
+  2. multi-topic config (``enableMultiTopic``): identify/screen/page/group/
+     alias route by ``eventTypeToTopicMap[type]``; track routes by
+     ``eventToTopicMap[event]``
+  3. the destination's default ``topic``
+  4. none of the above → failed event ("topic is required")
+
+plus the retl timestamp fix-up (embedded/utils.go:73-99): events from
+``channel == "sources"`` without ``context.mappedToDestination`` get
+``timestamp`` re-stamped from the first non-empty of a per-type field list.
+
+Spark-first: ONE narrow projection producing exactly the columns Spark's
+Kafka sink contract consumes — ``key`` (binary), ``value`` (binary JSON),
+``topic`` — so delivery is literally ``shaped.write.format("kafka")
+.option("kafka.bootstrap.servers", ...).save()``. No broker exists in this
+environment, so that final call is left to deployment; the shaping (the
+testable computation) is complete here. Rows that fail topic resolution
+carry ``error`` instead (keep-with-status, like F7), for the proc_error
+path. Everything is built-in column expressions — codegen'd, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# per-type timestamp source priority for retl events (embedded/utils.go:13-17)
+_RETL_TS_FIELDS = {
+    "identify": ["context.timestamp", "context.traits.timestamp", "traits.timestamp",
+                 "timestamp", "originalTimestamp"],
+    "track": ["properties.timestamp", "timestamp", "originalTimestamp"],
+}
+
+
+def _topic_map_expr(mapping: list | None, key: Column, lower_keys: bool) -> Column:
+    """Config [{from,to}] list → chained lookup column (GetTopicMap,
+    embedded/utils.go:20-50: blank 'from' entries skipped; first match wins
+    via map semantics — later duplicates overwrite like Go's map build)."""
+    entries: dict[str, str] = {}
+    for m in mapping or []:
+        frm, to = str(m.get("from", "")).strip(), m.get("to")
+        if not frm or not isinstance(to, str):
+            continue
+        entries[frm.lower() if lower_keys else frm] = to
+    if not entries:
+        return F.lit(None).cast("string")
+    pairs = [x for k, v in entries.items() for x in (F.lit(k), F.lit(v))]
+    return F.element_at(F.create_map(*pairs), F.lower(key) if lower_keys else key)
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c.isNotNull() & (c != ""), c)
+
+
+def _json_str(c: Column) -> Column:
+    """JSON-encode a string column (proper escaping; null → 'null') —
+    to_json only takes containers, so encode through a 1-element array and
+    strip the brackets."""
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+
+def kafka_shape(
+    df: DataFrame,
+    dest_config: dict | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Shape an event frame into Kafka sink rows.
+
+    ``dest_config`` mirrors the destination config consumed by kafka.go:
+    ``{"topic": str, "enableMultiTopic": bool, "eventTypeToTopicMap":
+    [{"from","to"}...], "eventToTopicMap": [...]}`` (one destination per
+    call — the reference transforms per-destination batches too).
+
+    Returns the input plus ``key`` (userId else anonymousId, binary),
+    ``value`` (the shaped ``{message, userId, topic[, schemaId]}`` JSON,
+    binary), ``topic`` and ``error`` (null on success).
+    """
+    cfg = dest_config or {}
+    p = F.col(payload_col)
+    get = lambda path: F.get_json_object(p, f"$.{path}")  # noqa: E731
+
+    # integrations.{KAFKA|kafka|Kafka} override (canonicalNames, kafka.go:14)
+    intr_topic = F.coalesce(
+        *[_nonempty(get(f"integrations.{k}.topic")) for k in ("KAFKA", "kafka", "Kafka")]
+    )
+    schema_id = F.coalesce(
+        *[_nonempty(get(f"integrations.{k}.schemaId")) for k in ("KAFKA", "kafka", "Kafka")]
+    )
+
+    etype = get("type")
+    ename = get("event")
+    multi_topic = F.lit(None).cast("string")
+    if cfg.get("enableMultiTopic"):
+        by_type = _topic_map_expr(cfg.get("eventTypeToTopicMap"), etype, lower_keys=True)
+        by_event = _topic_map_expr(cfg.get("eventToTopicMap"), ename, lower_keys=False)
+        multi_topic = F.when(
+            etype.isin("identify", "screen", "page", "group", "alias"), by_type
+        ).when(etype == "track", F.when(_nonempty(ename).isNotNull(), by_event))
+
+    default_topic = (
+        F.lit(cfg["topic"]) if isinstance(cfg.get("topic"), str) and cfg["topic"] else F.lit(None)
+    ).cast("string")
+    topic = F.coalesce(intr_topic, multi_topic, default_topic)
+
+    # userId: message userId when non-empty, else anonymousId (kafka.go:37-42)
+    user_id = F.coalesce(_nonempty(get("userId")), get("anonymousId"))
+
+    # retl timestamp fix-up (UpdateTimestampFieldForRETLEvent): only for
+    # channel == "sources" without context.mappedToDestination
+    is_retl = (get("channel") == "sources") & _nonempty(
+        get("context.mappedToDestination")
+    ).isNull()
+    retl_ts = F.lit(None).cast("string")
+    for t, fields in _RETL_TS_FIELDS.items():
+        picked = F.coalesce(*[_nonempty(get(f)) for f in fields])
+        retl_ts = F.when(is_retl & (etype == t), picked).otherwise(retl_ts)
+
+    # shaped value: the original message JSON with the optional timestamp
+    # override spliced in, wrapped with userId/topic/schemaId. The message
+    # rides as a raw JSON subtree (no reserialization of untouched fields);
+    # the override appends a trailing "timestamp" member — on duplicate keys
+    # every practical parser (incl. Go's encoding/json the reference relies
+    # on) keeps the LAST value, so the override wins without re-encoding
+    # nested objects.
+    ts_member = F.concat(F.lit('"timestamp":'), _json_str(retl_ts))
+    body = F.trim(p)
+    patched_msg = F.when(
+        retl_ts.isNotNull(),
+        F.when(
+            F.length(F.regexp_replace(body, r"\s", "")) <= 2,  # "{}" message
+            F.concat(F.lit("{"), ts_member, F.lit("}")),
+        ).otherwise(
+            F.concat(F.regexp_replace(body, r"\}\s*$", ""), F.lit(","), ts_member, F.lit("}"))
+        ),
+    ).otherwise(p)
+
+    value = F.concat(
+        F.lit('{"message":'),
+        patched_msg,
+        F.lit(',"userId":'),
+        _json_str(user_id),
+        F.lit(',"topic":'),
+        _json_str(topic),
+        F.when(schema_id.isNotNull(), F.concat(F.lit(',"schemaId":'), _json_str(schema_id)))
+        .otherwise(F.lit("")),
+        F.lit("}"),
+    )
+
+    return df.select(
+        "*",
+        user_id.cast("string").cast("binary").alias("key"),
+        F.when(topic.isNotNull(), value.cast("binary")).alias("value"),
+        topic.alias("topic"),
+        F.when(topic.isNull(), F.lit("topic is required for Kafka destination")).alias(
+            "error"
+        ),
+    )
+
+
+def kafka_sink_options(bootstrap_servers: str, extra: dict | None = None) -> dict:
+    """The write-side wiring (documented, not executed here — no broker in
+    this environment): ``kafka_shape(df).where("error IS NULL")
+    .select("key","value","topic").write.format("kafka")`` with these
+    options delivers shaped messages; Structured Streaming uses the same
+    sink via ``writeStream`` for S9's streaming path."""
+    opts = {"kafka.bootstrap.servers": bootstrap_servers}
+    opts.update(extra or {})
+    return opts

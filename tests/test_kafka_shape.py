@@ -1,0 +1,98 @@
+"""S9 Kafka message shaping — mirrors the reference's kafka_test.go table
+cases (topic precedence, multi-topic routing, userId fallback, schemaId
+passthrough, missing-topic failure, retl timestamp fix-up). No broker in
+this environment: the shaped DataFrame IS the testable contract; delivery
+is df.write.format("kafka") with kafka_sink_options (documented)."""
+
+import json
+
+from rudder_server_spark.sources.kafka import kafka_shape, kafka_sink_options
+
+
+def _df(spark, payloads):
+    return spark.createDataFrame([(i, json.dumps(p)) for i, p in enumerate(payloads)],
+                                 "i long, payload string")
+
+
+def _shaped(spark, payloads, cfg=None):
+    out = kafka_shape(_df(spark, payloads), cfg).orderBy("i").collect()
+    return [r.asDict() for r in out]
+
+
+def test_topic_resolution_precedence(spark):
+    cfg = {
+        "topic": "default-topic",
+        "enableMultiTopic": True,
+        "eventTypeToTopicMap": [{"from": "IDENTIFY", "to": "id-topic"}],
+        "eventToTopicMap": [{"from": "Order Completed", "to": "order-topic"}],
+    }
+    rows = _shaped(spark, [
+        # 1. integrations override beats everything (any canonical casing)
+        {"type": "identify", "userId": "u1",
+         "integrations": {"Kafka": {"topic": "override-topic"}}},
+        # 2. multi-topic by event type
+        {"type": "identify", "userId": "u2"},
+        # 2b. multi-topic by track event name
+        {"type": "track", "event": "Order Completed", "userId": "u3"},
+        # 3. default topic fallback (track name not mapped)
+        {"type": "track", "event": "Unmapped", "userId": "u4"},
+    ], cfg)
+    assert [r["topic"] for r in rows] == [
+        "override-topic", "id-topic", "order-topic", "default-topic"
+    ]
+    assert all(r["error"] is None for r in rows)
+
+
+def test_missing_topic_fails_event(spark):
+    rows = _shaped(spark, [{"type": "track", "event": "X", "userId": "u1"}], {})
+    assert rows[0]["topic"] is None and rows[0]["value"] is None
+    assert rows[0]["error"] == "topic is required for Kafka destination"
+
+
+def test_value_shape_userid_fallback_and_schemaid(spark):
+    cfg = {"topic": "t"}
+    rows = _shaped(spark, [
+        {"type": "track", "event": "E", "userId": "u9", "properties": {"a": 1}},
+        {"type": "track", "event": "E", "userId": "", "anonymousId": "anon-7",
+         "integrations": {"KAFKA": {"schemaId": "s-1"}}},
+    ], cfg)
+    v0 = json.loads(bytes(rows[0]["value"]).decode())
+    assert v0["topic"] == "t" and v0["userId"] == "u9"
+    assert v0["message"]["properties"] == {"a": 1}  # nested JSON intact
+    assert "schemaId" not in v0
+    v1 = json.loads(bytes(rows[1]["value"]).decode())
+    assert v1["userId"] == "anon-7"  # empty userId -> anonymousId (kafka.go:37-42)
+    assert v1["schemaId"] == "s-1"
+    assert bytes(rows[1]["key"]).decode() == "anon-7"
+
+
+def test_retl_timestamp_fixup(spark):
+    cfg = {"topic": "t"}
+    rows = _shaped(spark, [
+        # channel=sources identify: context.timestamp wins the priority list
+        {"type": "identify", "channel": "sources", "userId": "u1",
+         "context": {"timestamp": "2024-01-01T00:00:00Z"},
+         "timestamp": "1999-01-01T00:00:00Z"},
+        # track: properties.timestamp first
+        {"type": "track", "event": "E", "channel": "sources", "userId": "u2",
+         "properties": {"timestamp": "2024-02-02T00:00:00Z"}},
+        # mappedToDestination set -> untouched
+        {"type": "identify", "channel": "sources", "userId": "u3",
+         "context": {"mappedToDestination": "true", "timestamp": "2024-03-03T00:00:00Z"},
+         "timestamp": "1999-01-01T00:00:00Z"},
+        # non-sources channel -> untouched
+        {"type": "identify", "channel": "web", "userId": "u4",
+         "context": {"timestamp": "2024-04-04T00:00:00Z"},
+         "timestamp": "1999-01-01T00:00:00Z"},
+    ], cfg)
+    msgs = [json.loads(bytes(r["value"]).decode())["message"] for r in rows]
+    assert msgs[0]["timestamp"] == "2024-01-01T00:00:00Z"
+    assert msgs[1]["timestamp"] == "2024-02-02T00:00:00Z"
+    assert msgs[2]["timestamp"] == "1999-01-01T00:00:00Z"
+    assert msgs[3]["timestamp"] == "1999-01-01T00:00:00Z"
+
+
+def test_sink_options():
+    opts = kafka_sink_options("broker:9092", {"kafka.security.protocol": "SSL"})
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["kafka.security.protocol"] == "SSL"
