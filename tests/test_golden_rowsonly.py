@@ -1,0 +1,91 @@
+"""Golden-file checks for the rows-only declared queries (t4/t11/t12/t14).
+
+These queries have no SQL oracle (approximate/sketch algorithms), so the
+driver's check is rows-only. The committed goldens pin their exact sf0.001
+output (all four are deterministic: fixed xxhash64 banding, fixed LCG
+hyperplanes, seeded k-means, deterministic HLL) so regressions surface in
+CI, not just cardinality drift. VERDICT r1 #6.
+"""
+
+import json
+import os
+
+import pytest
+
+from rudder_server_spark.plans.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+REG = load_all()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+@pytest.mark.parametrize(
+    "name", ["t4_simhash", "t11_ann_lsh", "t12_hll_tracked_users", "t14_ann_ivf"]
+)
+def test_golden(name, spark):
+    with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
+        expect = json.load(f)
+    df = REG[name].spark_fn(spark, SF)
+    assert df.columns == expect["columns"]
+    rows = sorted(
+        [[_norm(v) for v in r] for r in df.collect()],
+        key=lambda r: [str(x) for x in r],
+    )
+    assert rows == expect["rows"]
+
+
+def test_t12_hll_within_2pct_of_exact(spark):
+    """The HLL estimates must track q12's exact COUNT(DISTINCT) within ±2%
+    per row (VERDICT r1 #6) — the accuracy contract of the lgK used."""
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.sources.fixtures import load_table
+
+    est = {
+        r["source_id"]: r["users_estimate"]
+        for r in REG["t12_hll_tracked_users"].spark_fn(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= max(1, 0.02 * exact[k]), (k, est[k], exact[k])
+
+
+def test_t11_lsh_recovers_planted_neighbors(spark):
+    """Hyperplane LSH's contract is recall on genuinely-similar vectors —
+    on the fixture's random (near-orthogonal) embeddings, bucket overlap is
+    chance, so recall vs the exact top-10 is meaningless there. Plant true
+    near-duplicates of the query (cos ≈ 0.995+) in a random corpus: the
+    probe must recover them (same side of every hyperplane w.h.p.)."""
+    import numpy as np
+
+    from rudder_server_spark.operators.similarity import lsh_topk
+    from rudder_server_spark.plans.training import _fixed_planes
+
+    rng = np.random.RandomState(7)
+    dim, n = 16, 400
+    base = rng.randn(n, dim)
+    q = rng.randn(dim)
+    # ids 9000+: tiny perturbations of the query vector
+    planted = [q + 0.02 * rng.randn(dim) for _ in range(5)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(9000 + j, [float(x) for x in v]) for j, v in enumerate(planted)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = lsh_topk(df, [float(x) for x in q], _fixed_planes(dim=dim, bits=4), k=10)
+    top = {r["vec_id"] for r in got.collect()}
+    recovered = len({9000 + j for j in range(5)} & top)
+    assert recovered >= 4, (recovered, sorted(top))
