@@ -138,3 +138,57 @@ def test_compact_datasets(spark, tmp_path):
     assert kept.count() == 200
     assert kept.agg(F.min("id")).head()[0] == 500
     assert n >= 1
+
+
+def test_schema_evolution_end_to_end():
+    """VERDICT r1 #8: the full consolidation fold across two staging batches
+    with a live-warehouse override and a text>string upgrade, then the
+    migration DDL against the current physical table — pins the PRECEDENCE
+    ORDER end-to-end (schema.go:294-374), not just each rule piecewise:
+
+      1. first-type-wins left-to-right across staging files,
+      2. except text upgrades string,
+      3. live warehouse schema overrides both,
+      4. users' column types forced to match identifies',
+      5. migration is additive-only (new columns; no type ALTERs).
+    """
+    from rudder_server_spark.operators.load import consolidate_table_schemas
+    from rudder_server_spark.sources.destinations import migration_ddl
+
+    batch1 = {
+        "tracks": {"id": "string", "price": "int", "note": "string"},
+        "identifies": {"id": "string", "age": "int", "email": "string"},
+        "users": {"id": "string", "age": "float"},  # conflicts with identifies
+    }
+    batch2 = {
+        # price arrives as float later -> first-type-wins keeps int;
+        # note arrives as text -> upgrades string; extra is brand new
+        "tracks": {"id": "string", "price": "float", "note": "text", "extra": "boolean"},
+        "identifies": {"id": "string", "age": "float"},  # int stays (first wins)
+    }
+    live_warehouse = {
+        # warehouse already holds price as float -> overrides the staging fold
+        "tracks": {"id": "string", "price": "float"},
+    }
+
+    out = consolidate_table_schemas([batch1, batch2], live_warehouse)
+
+    assert out["tracks"] == {
+        "id": "string",
+        "price": "float",   # warehouse override beats staging's first-wins int
+        "note": "text",     # text upgraded string
+        "extra": "boolean",
+    }
+    assert out["identifies"]["age"] == "int"   # first-type-wins
+    assert out["users"]["age"] == "int"        # forced to identifies' type
+    assert out["users"]["id"] == "string"
+
+    # migration against the current physical table: additive only — the new
+    # columns appear, the int->float-looking difference on price does NOT
+    # emit an ALTER (type changes route values through P7 discards instead)
+    current_physical = {"id": "string", "price": "float"}
+    ddl = migration_ddl("tracks", current_physical, out["tracks"], "postgres")
+    assert ddl == [
+        "ALTER TABLE tracks ADD COLUMN extra boolean",
+        "ALTER TABLE tracks ADD COLUMN note text",
+    ]
