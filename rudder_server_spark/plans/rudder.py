@@ -480,6 +480,57 @@ def q30(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# Q31 event-schema versions — A9 (processor.go:2082-2101 event-schema jobs;
+# schema-forwarder/internal/transformer/transformer.go:92-166: schema key =
+# (eventType, event identifier), schema hash over the flattened key set,
+# per-version counts WITH a retained sample payload). The sample is
+# max_by(payload, message_id) — deterministic "latest" retention, the
+# Spark aggregate form of ARRAY_AGG(... ORDER BY id DESC)[1].
+@register(
+    "q31_event_schemas",
+    f"""
+    SELECT event_type,
+           coalesce(CASE WHEN event_type='track'
+                         THEN json_extract_string(payload, '$.event') END, '')
+             AS event_identifier,
+           md5(array_to_string(list_sort(json_keys(payload)), ',')) AS schema_hash,
+           count(*) AS n,
+           max_by(payload, message_id) AS sample_payload
+    FROM read_parquet('{_ORACLE_PATH}')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="A9 event-schema version counts + retained sample. Ref: processor.go:2082-2101, schema-forwarder transformer.go:92-166",
+    tags=("rudder",),
+)
+def q31(spark, sf):
+    df = _load(spark, sf)
+    ident = F.coalesce(
+        F.when(
+            F.col("event_type") == "track", F.get_json_object("payload", "$.event")
+        ),
+        F.lit(""),
+    )
+    schema_hash = F.md5(
+        F.array_join(F.array_sort(F.json_object_keys("payload")), ",")
+    )
+    return (
+        df.select(
+            "event_type",
+            ident.alias("event_identifier"),
+            schema_hash.alias("schema_hash"),
+            "message_id",
+            "payload",
+        )
+        .groupBy("event_type", "event_identifier", "schema_hash")
+        .agg(
+            F.count("*").alias("n"),
+            F.max_by("payload", "message_id").alias("sample_payload"),
+        )
+        .orderBy("event_type", "event_identifier", "schema_hash")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q19 geo enrichment — P9 (internal/enricher/geolocation.go:68-143): IP →
 # broadcast range-join against an in-code /24 range table (the MaxMind
 # lookup's Spark shape). The oracle reproduces the mapping arithmetically;

@@ -1,0 +1,71 @@
+"""Atomic batch-load commit protocol (S7/J6 batch path): staged snapshots
+are invisible until the pointer swap, commits are idempotent per upload id,
+merge publishes a new version atomically, vacuum keeps the live version."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from rudder_server_spark.sources.load_commit import (
+    commit_merge,
+    commit_overwrite,
+    current_version,
+    read_table,
+    vacuum,
+)
+
+
+def test_commit_overwrite_atomic_and_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tracks")
+    df1 = spark.range(5).withColumnRenamed("id", "n")
+
+    assert read_table(spark, t) is None
+    assert commit_overwrite(df1, t, "upload-1") is True
+    assert current_version(t) == "upload-1"
+    assert read_table(spark, t).count() == 5
+
+    # idempotent retry of the same upload: no-op
+    assert commit_overwrite(df1, t, "upload-1") is False
+
+    # a crashed writer: staged files exist but pointer still names upload-1
+    df2 = spark.range(99).withColumnRenamed("id", "n")
+    df2.write.mode("overwrite").parquet(os.path.join(t, "_versions", "upload-2"))
+    assert current_version(t) == "upload-1"
+    assert read_table(spark, t).count() == 5  # partial/staged data invisible
+
+    # completing the commit makes it visible
+    assert commit_overwrite(df2, t, "upload-2") is True
+    assert read_table(spark, t).count() == 99
+
+
+def test_commit_merge_delete_insert(spark, tmp_path):
+    t = str(tmp_path / "users")
+    base = spark.createDataFrame(
+        [("a", "2024-01-01", "v1"), ("b", "2024-01-01", "v1")],
+        "id string, received_at string, val string",
+    )
+    assert commit_merge(spark, base, t, "up-1") is True
+
+    # staging updates a, inserts c; b survives
+    staging = spark.createDataFrame(
+        [("a", "2024-02-01", "v2"), ("c", "2024-02-01", "v1")],
+        "id string, received_at string, val string",
+    )
+    assert commit_merge(spark, staging, t, "up-2") is True
+    got = {r["id"]: r["val"] for r in read_table(spark, t).collect()}
+    assert got == {"a": "v2", "b": "v1", "c": "v1"}
+
+    # idempotent retry
+    assert commit_merge(spark, staging, t, "up-2") is False
+    assert read_table(spark, t).count() == 3
+
+
+def test_vacuum_keeps_live(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):
+        commit_overwrite(spark.range(i + 1), t, f"up-{i}")
+    dropped = vacuum(t, keep=2)
+    assert "up-3" not in dropped  # live version always kept
+    left = sorted(os.listdir(os.path.join(t, "_versions")))
+    assert "up-3" in left and len(left) == 2
+    assert read_table(spark, t).count() == 4
