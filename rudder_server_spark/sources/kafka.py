@@ -163,6 +163,113 @@ def kafka_shape(
     )
 
 
+def pubsub_shape(
+    df: DataFrame,
+    dest_config: dict | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """S9 PubSub message shaping (embedded/pubsub/pubsub.go).
+
+    Topic resolution (getTopic, pubsub.go:92-117): ONE lowercased
+    ``eventToTopicMap`` tried against the event name, then the event type,
+    then the ``"*"`` wildcard; no match → failed event. Attributes
+    (pubsub.go:119-164): the configured ``eventToAttributesMap`` picks a
+    path list by the same name/type/``*`` precedence; each path is looked
+    up at the message root and then under properties/traits/context.traits
+    (sourceKeys), stringified, and keyed by its last path segment.
+
+    Returns the input plus ``topic``, ``attributes`` (JSON object string),
+    ``value`` (the shaped ``{userId, message, topicId, attributes}`` JSON,
+    binary) and ``error``. Spark ships no PubSub sink: delivery is a
+    foreachBatch publisher in deployment; the shaped frame is the contract.
+    """
+    cfg = dest_config or {}
+    p = F.col(payload_col)
+    get = lambda path: F.get_json_object(p, f"$.{path}")  # noqa: E731
+
+    etype = get("type")
+    ename = get("event")
+    tmap = cfg.get("eventToTopicMap")
+    by_name = _topic_map_expr(tmap, ename, lower_keys=True)
+    by_type = _topic_map_expr(tmap, etype, lower_keys=True)
+    wildcard = next(
+        (
+            F.lit(m["to"])
+            for m in (tmap or [])
+            if str(m.get("from", "")).strip() == "*" and isinstance(m.get("to"), str)
+        ),
+        F.lit(None).cast("string"),
+    )
+    topic = F.when(
+        _nonempty(etype).isNotNull(),
+        F.coalesce(
+            F.when(_nonempty(ename).isNotNull(), _nonempty(by_name)),
+            _nonempty(by_type),
+            _nonempty(wildcard),
+        ),
+    )
+    error = F.when(_nonempty(etype).isNull(), F.lit("type is required for event")).when(
+        topic.isNull(), F.lit("No topic set for this event")
+    )
+
+    # attributes: config maps lowercased from-key -> [attribute paths]
+    attrs_map: dict[str, list] = {}
+    for m in cfg.get("eventToAttributesMap") or []:
+        frm, to = str(m.get("from", "")).strip(), m.get("to")
+        if frm and isinstance(to, str):
+            attrs_map.setdefault(frm.lower(), []).append(to)
+
+    def attrs_expr(paths: list) -> Column:
+        entries = []
+        for path in paths:
+            # root lookup, then under each sourceKey (pubsub.go:17,150-163)
+            val = F.coalesce(
+                get(path),
+                get(f"properties.{path}"),
+                get(f"traits.{path}"),
+                get(f"context.traits.{path}"),
+            )
+            key = path.split(".")[-1]
+            entries.append(F.struct(F.lit(key).alias("key"), val.alias("value")))
+        found = F.filter(F.array(*entries), lambda s: s.getField("value").isNotNull())
+        return F.to_json(F.map_from_entries(found))
+
+    attributes = F.lit("{}")
+    if attrs_map:
+        # precedence: event-name key, then event-type key, then "*"
+        star = attrs_expr(attrs_map["*"]) if "*" in attrs_map else F.lit("{}")
+        attributes = star
+        by_type_cases = [
+            (F.lower(etype) == k, attrs_expr(v)) for k, v in attrs_map.items() if k != "*"
+        ]
+        for cond, expr in by_type_cases:
+            attributes = F.when(cond, expr).otherwise(attributes)
+        for k, v in attrs_map.items():
+            if k != "*":
+                attributes = F.when(F.lower(ename) == k, attrs_expr(v)).otherwise(attributes)
+
+    user_id = F.coalesce(_nonempty(get("userId")), get("anonymousId"), F.lit(""))
+
+    value = F.concat(
+        F.lit('{"userId":'),
+        _json_str(user_id),
+        F.lit(',"message":'),
+        p,
+        F.lit(',"topicId":'),
+        _json_str(topic),
+        F.lit(',"attributes":'),
+        attributes,
+        F.lit("}"),
+    )
+    return df.select(
+        "*",
+        topic.alias("topic"),
+        attributes.alias("attributes"),
+        F.when(error.isNull(), value.cast("binary")).alias("value"),
+        error.alias("error"),
+    )
+
+
 def kafka_sink_options(bootstrap_servers: str, extra: dict | None = None) -> dict:
     """The write-side wiring (documented, not executed here — no broker in
     this environment): ``kafka_shape(df).where("error IS NULL")

@@ -96,3 +96,52 @@ def test_sink_options():
     opts = kafka_sink_options("broker:9092", {"kafka.security.protocol": "SSL"})
     assert opts["kafka.bootstrap.servers"] == "broker:9092"
     assert opts["kafka.security.protocol"] == "SSL"
+
+
+def test_pubsub_topic_precedence_and_attributes(spark):
+    from rudder_server_spark.sources.kafka import pubsub_shape
+
+    cfg = {
+        "eventToTopicMap": [
+            {"from": "Order Completed", "to": "order-topic"},
+            {"from": "track", "to": "track-topic"},
+            {"from": "*", "to": "all-topic"},
+        ],
+        "eventToAttributesMap": [
+            {"from": "Order Completed", "to": "price"},
+            {"from": "Order Completed", "to": "context.traits.email"},
+            {"from": "*", "to": "plan"},
+        ],
+    }
+    payloads = [
+        # name match wins; price found under properties, email under context.traits
+        {"type": "track", "event": "Order Completed", "userId": "u1",
+         "properties": {"price": 12.5}, "context": {"traits": {"email": "a@x.com"}}},
+        # no name match -> type match
+        {"type": "track", "event": "Other", "userId": "u2"},
+        # no name/type match -> wildcard topic + wildcard attributes
+        {"type": "identify", "userId": "u3", "traits": {"plan": "pro"}},
+        # no type -> failed
+        {"event": "X", "userId": "u4"},
+    ]
+    rows = [r.asDict() for r in pubsub_shape(_df(spark, payloads), cfg).orderBy("i").collect()]
+    assert [r["topic"] for r in rows] == ["order-topic", "track-topic", "all-topic", None]
+    assert rows[3]["error"] == "type is required for event"
+
+    a0 = json.loads(rows[0]["attributes"])
+    assert a0 == {"price": "12.5", "email": "a@x.com"}  # last path segment keys
+    assert json.loads(rows[2]["attributes"]) == {"plan": "pro"}
+    v0 = json.loads(bytes(rows[0]["value"]).decode())
+    assert v0["topicId"] == "order-topic" and v0["userId"] == "u1"
+    assert v0["message"]["properties"]["price"] == 12.5
+
+
+def test_pubsub_no_topic_map_fails(spark):
+    from rudder_server_spark.sources.kafka import pubsub_shape
+
+    rows = [
+        r.asDict()
+        for r in pubsub_shape(_df(spark, [{"type": "track", "event": "E"}]), {}).collect()
+    ]
+    assert rows[0]["error"] == "No topic set for this event"
+    assert rows[0]["value"] is None
