@@ -37,8 +37,8 @@ _LANG_CASE = f"""
          ELSE 'fr' END
 """
 
-_JACCARD_SQL = """
-    WITH toks AS (
+_JACCARD_CTES = """
+    toks AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
     ),
     sh AS (
@@ -52,14 +52,17 @@ _JACCARD_SQL = """
       SELECT x.sid AS a, y.sid AS b, count(*) AS i
       FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid < y.sid
       GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.sid = a
+      JOIN sizes sb ON sb.sid = b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
     )
-    SELECT a, b, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.sid = a
-    JOIN sizes sb ON sb.sid = b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
-    ORDER BY a, b
 """
+
+_JACCARD_SQL = f"WITH {_JACCARD_CTES} SELECT a, b, jaccard FROM jac ORDER BY a, b"
 
 
 # --------------------------------------------------------------------------
@@ -427,3 +430,107 @@ def t15(spark, sf):
         )
         .orderBy("split")
     )
+
+
+_SPLIT_CASE = """
+      CASE
+        WHEN nib >= 14 AND nib < 15 THEN 'val'
+        WHEN nib >= 15 AND nib < 16 THEN 'test'
+        ELSE 'train'
+      END
+"""
+
+_NIB = """
+      CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+        WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+        ELSE CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+      END
+"""
+
+
+@register(
+    "t16_training_prep",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, text, {_hits_sql('de')} AS h_de, {_hits_sql('en')} AS h_en,
+             {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+      FROM documents
+    ),
+    en AS (
+      SELECT doc_id, text FROM scored WHERE {_LANG_CASE} = 'en'
+    ),
+    ded AS (
+      SELECT min(doc_id) AS doc_id
+      FROM en GROUP BY lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+    ),
+    assigned AS (
+      SELECT {_SPLIT_CASE} AS split,
+             len(regexp_extract_all(e.text, '{X.TOKEN_REGEX}')) AS ntok
+      FROM (SELECT doc_id, {_NIB} AS nib FROM ded) d
+      JOIN en e USING (doc_id)
+    )
+    SELECT split, count(*) AS n_docs, SUM(ntok) AS total_tokens,
+           CAST(ROUND(CAST(SUM(ntok) AS DOUBLE) / count(*), 3) AS DOUBLE) AS avg_tokens
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    doc=(
+        "End-to-end training-data prep: language filter (en) -> exact dedup "
+        "-> leakage-safe md5 split -> per-split doc/token stats. The composed "
+        "curation pipeline every stage feeds: lang_id + exact_dedup + "
+        "hash_split + token_count in ONE narrow-map + two-shuffle plan."
+    ),
+    tags=("training", "pipeline"),
+)
+def t16(spark, sf):
+    d = load_table(spark, sf, "documents")
+    en = d.where(X.lang_id(F.col("text")) == "en")
+    ded = D.exact_dedup(en)
+    assigned = X.hash_split(ded, key_col="doc_id")
+    return (
+        assigned.select("split", X.token_count(F.col("text")).alias("ntok"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.sum("ntok").cast("double") / F.count("*"), 3)
+            .cast("double")
+            .alias("avg_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "t17_neardup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (SELECT a, b FROM jac UNION SELECT b, a FROM jac),
+    walk(n, m) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT w.n, e.b FROM walk w JOIN edges e ON w.m = e.a
+    )
+    SELECT n AS doc_id, min(m) AS canonical FROM walk GROUP BY n ORDER BY doc_id
+    """,
+    doc=(
+        "Near-dup CLUSTERS: connected components over the exact Jaccard >= 0.8 "
+        "pair graph (transitive near-duplicates collapse to one canonical doc "
+        "per component — pairwise dedup alone under-drops chains A~B~C). "
+        "Reuses the identity-graph component engine (J4) on document ids."
+    ),
+    tags=("training", "dedup"),
+)
+def t17(spark, sf):
+    from rudder_server_spark.operators.identity import connected_components
+
+    d = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.8)
+    # component labels are lexicographic mins; zero-pad ids so lexical order
+    # equals numeric order, then cast back
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    cc = connected_components(pairs.select(pad("a").alias("src"), pad("b").alias("dst")))
+    return cc.select(
+        F.col("identifier").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("canonical"),
+    ).orderBy("doc_id")
