@@ -128,3 +128,50 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_q30_extract_filter_pushdown_and_pruned_parse(spark):
+    """The extract fan-out must push event_type to the parquet scan (the
+    fixture is clustered by event_type → row-group pruning) and parse only
+    its own sub-schema, not the full corpus schema."""
+    df = REG["q30_extract_table"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "EqualTo(event_type,extract)" in plan
+    # per-table sub-schema pruning: the parse must NOT decode the track
+    # userProperties subtree (extract tables never select it)
+    assert "userProperties" not in plan
+
+
+def test_kafka_shape_stays_codegen(spark):
+    """S9 shaping must be pure column expressions — a Python UDF here would
+    put every delivered event through the interpreter at 100 TB."""
+    from rudder_server_spark.sources.kafka import kafka_shape, pubsub_shape
+
+    df = spark.createDataFrame([("{}",)], "payload string")
+    for shaped in (kafka_shape(df, {"topic": "t"}), pubsub_shape(df, {})):
+        plan = _plan(shaped)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q31_single_scan_partial_agg(spark):
+    """A9 schema versions: one scan, hash partial agg (map-side combine)
+    before the exchange — the shuffle carries one row per schema version
+    per partition, not per event."""
+    df = REG["q31_event_schemas"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_t16_pipeline_filter_before_shuffle(spark):
+    """t16: the language filter is a narrow map BEFORE the dedup shuffle —
+    filtering after would shuffle the full corpus."""
+    df = REG["t16_training_prep"].spark_fn(spark, SF_DIR)
+    opt = _optimized(df)
+    # the lang-id filter must appear below (after, in tree order) the first
+    # Aggregate in the optimized plan text: Aggregates print above their
+    # children, so filter text must come later in the string
+    agg_pos = opt.find("Aggregate")
+    assert agg_pos != -1
+    filt_pos = opt.find("Filter")
+    assert filt_pos > agg_pos  # filter sits under the aggregate, not above
