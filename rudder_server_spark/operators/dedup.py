@@ -209,6 +209,48 @@ def minhash_lsh_pairs(
     )
 
 
+def contamination_counts(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: for each training document, the
+    number of distinct word n-grams it shares with ANY document of the
+    held-out/eval corpus, and how many eval documents it collides with.
+
+    This is the standard n-gram-collision decontamination pass run before
+    training (cf. GPT-3 appendix C / PaLM app. D: 13-gram overlap against
+    benchmark sets; n is configurable — the fixtures' short synthetic docs
+    use n=5).
+
+    Shape at scale: distinct n-grams per side (one explode each), one
+    equi-join on the gram, one count-distinct agg keyed by train doc. The
+    eval side (benchmark suites) is tiny in practice → Catalyst broadcasts
+    it; hot grams on the train side never skew the join because the
+    broadcast avoids a shuffle entirely. For eval corpora too big to
+    broadcast, hash grams to 8-byte keys (xxhash64) exactly as
+    ngram_jaccard_pairs does.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        tr.join(ev, "g")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("g").alias("shared_ngrams"),
+            F.countDistinct("eval_doc").alias("eval_docs_hit"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -92,6 +92,66 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, "[^A-Za-z0-9 ]", "")))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", keep_cols: tuple = ("lang",)
+) -> DataFrame:
+    """Gopher-style within-document repetition features (Rae et al. 2021,
+    "Scaling Language Models: Methods, Analysis & Insights from Training
+    Gopher", repetition filters C.1): per document, the fraction of word
+    2-grams occupied by the single most frequent 2-gram, and the
+    distinct-token ratio. Heavily repetitive documents (boilerplate, keyword
+    stuffing, generation loops) score high top-bigram fraction / low
+    distinct ratio and get filtered before training.
+
+    Shape at scale: one explode of non-distinct bigrams + two partial-agg
+    shuffles keyed by doc id — no corpus-wide state, embarrassingly
+    parallel. All expressions are codegen'd built-ins.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    toks = F.split(norm, " ")
+    # non-distinct bigram occurrences via zero-width lookahead (same trick
+    # as dedup.shingles, but keeping duplicates — counts matter here)
+    bigrams = F.regexp_extract_all(norm, F.lit(r"(?=\b([^ ]+ [^ ]+))"), 1)
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        *[F.col(c) for c in keep_cols],
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.explode(bigrams).alias("g"),
+    )
+    per_gram = base.groupBy("sid", "g").agg(
+        F.count("*").alias("c"),
+        *[F.first(c).alias(c) for c in keep_cols],
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+    )
+    return per_gram.groupBy("sid").agg(
+        *[F.first(c).alias(c) for c in keep_cols],
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_distinct_tokens").alias("n_distinct_tokens"),
+        F.max("c").alias("top_bigram_cnt"),
+        F.sum("c").alias("bigram_cnt"),
+    )
+
+
+# Public email pattern (same RE2/Java-compatible subset in both engines).
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_email_features(df: DataFrame, text_col: str = "payload") -> DataFrame:
+    """PII scrub features: per row, the number of email addresses found in
+    ``text_col`` and the redacted text with every address replaced by
+    ``[EMAIL]`` (the standard pre-training PII pass). Narrow codegen'd map —
+    free at 100 TB; the counts aggregate map-side.
+    """
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.regexp_count(t, F.lit(EMAIL_REGEX)).alias("pii_email_cnt"),
+        F.regexp_replace(t, EMAIL_REGEX, "[EMAIL]").alias("pii_redacted"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str = "doc_id",

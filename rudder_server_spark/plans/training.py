@@ -534,3 +534,199 @@ def t17(spark, sf):
         F.col("identifier").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("canonical"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t18 — Gopher-style repetition filter features (Rae et al. 2021, app. C.1)
+@register(
+    "t18_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    per AS (SELECT doc_id, lang, g, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+    agg AS (SELECT doc_id, lang, max(c) AS top, sum(c) AS tot FROM per GROUP BY 1, 2),
+    tokstats AS (
+      SELECT doc_id, len(t) AS ntok, len(list_distinct(t)) AS ndist FROM toks
+    )
+    SELECT lang, count(*) AS docs,
+      CAST(ROUND(SUM(CAST(ROUND(CAST(top AS DOUBLE) / tot, 6) AS DECIMAL(18,6)))
+                 / count(*), 4) AS DOUBLE) AS avg_top_bigram_frac,
+      count(*) FILTER (CAST(top AS DOUBLE) / tot > 0.1) AS repetitive_docs,
+      CAST(ROUND(SUM(CAST(ROUND(CAST(ndist AS DOUBLE) / ntok, 6) AS DECIMAL(18,6)))
+                 / count(*), 4) AS DOUBLE) AS avg_distinct_ratio
+    FROM agg JOIN tokstats USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Within-document repetition features per language (Gopher repetition "
+        "filters): top-bigram occupancy fraction, count of repetitive docs "
+        "(top fraction > 0.1), distinct-token ratio. One explode + doc-keyed "
+        "partial aggs — no corpus-wide state at 100 TB."
+    ),
+    tags=("training", "text"),
+)
+def t18(spark, sf):
+    d = load_table(spark, sf, "documents")
+    feats = X.repetition_features(d)
+    r = (F.col("top_bigram_cnt").cast("double") / F.col("bigram_cnt")).alias("r")
+    dr = (F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")).alias("dr")
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    return (
+        feats.select("lang", r, dr)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.sum(dec(F.col("r"))) / F.count("*"), 4)
+            .cast("double")
+            .alias("avg_top_bigram_frac"),
+            F.count_if(F.col("r") > 0.1).alias("repetitive_docs"),
+            F.round(F.sum(dec(F.col("dr"))) / F.count("*"), 4)
+            .cast("double")
+            .alias("avg_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# t19 — benchmark-contamination detection (GPT-3 app. C / PaLM app. D style)
+@register(
+    "t19_contamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                         t[i+3] || ' ' || t[i+4])) AS g
+      FROM toks
+    ),
+    nib AS (SELECT doc_id, {_NIB} AS nib FROM documents),
+    tr AS (SELECT s.doc_id, g FROM sh s JOIN nib USING (doc_id) WHERE nib < 14),
+    te AS (SELECT s.doc_id, g FROM sh s JOIN nib USING (doc_id) WHERE nib = 15)
+    SELECT tr.doc_id AS train_doc,
+           count(DISTINCT tr.g) AS shared_ngrams,
+           count(DISTINCT te.doc_id) AS eval_docs_hit
+    FROM tr JOIN te ON tr.g = te.g
+    GROUP BY 1 ORDER BY train_doc
+    """,
+    doc=(
+        "Train/eval contamination: training docs (md5 buckets 0-13) sharing "
+        "any distinct 5-gram with a test-bucket (15) doc, with shared-gram "
+        "and hit-doc counts. The n-gram-collision decontamination pass run "
+        "before every big pretraining job; eval side broadcasts at scale."
+    ),
+    tags=("training", "dedup"),
+)
+def t19(spark, sf):
+    d = load_table(spark, sf, "documents")
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    marked = d.withColumn("nib", nib)
+    return (
+        D.contamination_counts(marked.where("nib < 14"), marked.where("nib = 15"))
+        .orderBy("train_doc")
+    )
+
+
+# --------------------------------------------------------------------------
+# t20 — PII scrub over event payloads (pre-training privacy pass; pairs with
+# the reference's GDPR suppression F2)
+# the oracle runs at sf0.01 — same pattern as plans/rudder.py (the fixture
+# is generated/cached on first import)
+from rudder_server_spark.sources.rudder_events import rudder_events_path as _re_path
+
+_RE_ORACLE = _re_path("/root/testdata/sf0.01")
+_EMAIL_SQL = X.EMAIL_REGEX
+
+
+@register(
+    "t20_pii_scrub",
+    f"""
+    SELECT event_type,
+      count(*) AS n_events,
+      count(*) FILTER (len(regexp_extract_all(payload, '{_EMAIL_SQL}')) > 0)
+        AS events_with_email,
+      SUM(len(regexp_extract_all(payload, '{_EMAIL_SQL}'))) AS emails_found,
+      SUM(length(payload)
+          - length(regexp_replace(payload, '{_EMAIL_SQL}', '[EMAIL]', 'g'))
+          + 7 * len(regexp_extract_all(payload, '{_EMAIL_SQL}')))
+        AS chars_redacted
+    FROM read_parquet('{_RE_ORACLE}')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "PII email scrub over rudder event payloads: per event type, events "
+        "containing an email, total addresses found, characters redacted by "
+        "the [EMAIL] replacement. Narrow codegen'd map + map-side agg."
+    ),
+    tags=("training", "text"),
+)
+def t20(spark, sf):
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    df = spark.read.parquet(rudder_events_path(sf))
+    feats = X.pii_email_features(df, "payload")
+    redacted_chars = (
+        F.length("payload") - F.length("pii_redacted") + 7 * F.col("pii_email_cnt")
+    )
+    return (
+        feats.select("event_type", "pii_email_cnt", redacted_chars.alias("rc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_if(F.col("pii_email_cnt") > 0).alias("events_with_email"),
+            F.sum("pii_email_cnt").alias("emails_found"),
+            F.sum("rc").alias("chars_redacted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+
+
+# --------------------------------------------------------------------------
+# t21 — exact length percentiles per language (corpus profiling)
+@register(
+    "t21_length_percentiles",
+    """
+    SELECT lang, count(*) AS docs,
+      CAST(ROUND(quantile_cont(n_chars, 0.5), 3) AS DOUBLE) AS p50_chars,
+      CAST(ROUND(quantile_cont(n_chars, 0.95), 3) AS DOUBLE) AS p95_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Exact interpolated length percentiles per language — corpus "
+        "profiling before filter-threshold selection. Spark `percentile` "
+        "and DuckDB `quantile_cont` share the linear-interpolation "
+        "definition; at 100 TB swap in approx_percentile (t12-style "
+        "sketch tier) with this as the oracle."
+    ),
+    tags=("training", "text"),
+)
+def t21(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 3)
+            .cast("double")
+            .alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.95)), 3)
+            .cast("double")
+            .alias("p95_chars"),
+        )
+        .orderBy("lang")
+    )
