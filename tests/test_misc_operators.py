@@ -232,3 +232,58 @@ def test_hash_split_deterministic(spark):
     # 14/1/1 sixteenths, roughly
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
     assert set(counts) == {"train", "val", "test"}
+
+
+def test_repetition_features(spark):
+    from rudder_server_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "en"),       # "a b" x3, "b a" x2 -> top 3/5
+            (2, "x y z w", "en"),           # all bigrams unique -> top 1/3
+            (3, "solo", "en"),              # <2 tokens: no bigrams, dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["sid"]: r for r in repetition_features(df).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has no bigrams
+    assert rows[1]["top_bigram_cnt"] == 3 and rows[1]["bigram_cnt"] == 5
+    assert rows[1]["n_tokens"] == 6 and rows[1]["n_distinct_tokens"] == 2
+    assert rows[2]["top_bigram_cnt"] == 1 and rows[2]["bigram_cnt"] == 3
+
+
+def test_contamination_counts(spark):
+    from rudder_server_spark.operators.dedup import contamination_counts
+
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),   # shares the 5-gram span with eval 10
+            (2, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "one two three four five seven")],  # one shared 5-gram: "one..five"
+        "doc_id long, text string",
+    )
+    out = {r["train_doc"]: r for r in contamination_counts(train, ev, n=5).collect()}
+    assert set(out) == {1}
+    assert out[1]["shared_ngrams"] == 1 and out[1]["eval_docs_hit"] == 1
+
+
+def test_pii_email_features(spark):
+    from rudder_server_spark.operators.text import pii_email_features
+
+    df = spark.createDataFrame(
+        [
+            (1, 'contact a@b.co and c.d+x@e-f.org today'),
+            (2, "no pii at all"),
+            (3, "not-an-email @ nor this@"),
+        ],
+        "id long, payload string",
+    )
+    rows = {r["id"]: r for r in pii_email_features(df).collect()}
+    assert rows[1]["pii_email_cnt"] == 2
+    assert rows[1]["pii_redacted"] == "contact [EMAIL] and [EMAIL] today"
+    assert rows[2]["pii_email_cnt"] == 0 and rows[2]["pii_redacted"] == "no pii at all"
+    assert rows[3]["pii_email_cnt"] == 0

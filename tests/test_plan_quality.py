@@ -175,3 +175,32 @@ def test_t16_pipeline_filter_before_shuffle(spark):
     assert agg_pos != -1
     filt_pos = opt.find("Filter")
     assert filt_pos > agg_pos  # filter sits under the aggregate, not above
+
+
+def test_t19_contamination_broadcasts_eval_side(spark):
+    """Contamination check: the eval/benchmark n-gram side must broadcast —
+    at 100 TB the train side never shuffles on the gram key, so hot grams
+    cannot skew the join."""
+    df = REG["t19_contamination"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_t18_repetition_partial_agg(spark):
+    """Repetition features: both aggs are doc-keyed hash aggregates with a
+    map-side partial phase (no corpus-wide key), so the op stays linear and
+    shuffle-light at scale."""
+    df = REG["t18_repetition_stats"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_" in plan  # map-side combine present
+    # narrow map + aggs only: no join anywhere in the per-doc feature path
+    assert "Join" not in plan
+
+
+def test_t20_pii_scrub_single_scan(spark):
+    """PII scrub: one parquet scan, codegen'd regex projection, map-side
+    partial agg — a pure narrow pipeline until the tiny per-type rollup."""
+    df = REG["t20_pii_scrub"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
