@@ -168,6 +168,87 @@ def fanout_flat_schema(per_alias: dict) -> list:
     return schema
 
 
+def identity_merge_rules(
+    df: DataFrame,
+    payload_col: str = "payload",
+    sources: tuple = ("merge", "alias", "default"),
+) -> DataFrame:
+    """Identity merge-rule extraction, per event type (idresolution.go:74-141):
+
+    - ``merge`` events: the explicit ``mergeProperties`` pair; rejected when
+      any of the four fields is empty (mergePropsForMergeEventType).
+    - ``alias`` events: ``(user_id: userId) ~ (user_id: previousId)``
+      (mergePropsForAliasEventType); prop2 omitted when previousId is empty.
+    - every other fanned-out type (track/identify/page/screen/group):
+      ``(anonymous_id: anonymousId) ~ (user_id: userId)`` — prop1 falls back
+      to user_id when anonymousId is empty, prop2 omitted when either is
+      empty (mergePropsForDefaultEventType); rows with neither are dropped.
+
+    Single-property rules carry NULL prop2 columns, exactly like the
+    reference's merge-rule rows with ``mergeProp2`` absent. Output columns:
+    the four merge_property columns + received_at (for mappings'
+    updated_at). All narrow codegen'd projections; the merge parse is
+    predicate-pushed to merge rows only.
+    """
+    et = F.col("event_type")
+    ne = lambda c: c.isNotNull() & (c != F.lit(""))  # noqa: E731
+    parts = []
+    if "merge" in sources:
+        m = df.where(et == "merge").select(
+            F.from_json(
+                F.col(payload_col),
+                "mergeProperties array<struct<type:string,value:string>>",
+            ).alias("_m"),
+            "received_at",
+        ).select(
+            F.element_at("_m.mergeProperties", 1).getField("type").alias("merge_property_1_type"),
+            F.element_at("_m.mergeProperties", 1).getField("value").alias("merge_property_1_value"),
+            F.element_at("_m.mergeProperties", 2).getField("type").alias("merge_property_2_type"),
+            F.element_at("_m.mergeProperties", 2).getField("value").alias("merge_property_2_value"),
+            "received_at",
+        )
+        parts.append(
+            m.where(
+                ne(F.col("merge_property_1_type")) & ne(F.col("merge_property_1_value"))
+                & ne(F.col("merge_property_2_type")) & ne(F.col("merge_property_2_value"))
+            )
+        )
+    if "alias" in sources:
+        uid = F.col("user_id").cast("string")
+        prev = F.get_json_object(F.col(payload_col), "$.previousId")
+        parts.append(
+            df.where(et == "alias")
+            .where(ne(uid))
+            .select(
+                F.lit("user_id").alias("merge_property_1_type"),
+                uid.alias("merge_property_1_value"),
+                F.when(ne(prev), F.lit("user_id")).alias("merge_property_2_type"),
+                F.when(ne(prev), prev).alias("merge_property_2_value"),
+                "received_at",
+            )
+        )
+    if "default" in sources:
+        anon = F.col("anonymous_id").cast("string")
+        uid = F.col("user_id").cast("string")
+        both = ne(anon) & ne(uid)
+        parts.append(
+            df.where(et.isin("track", "identify", "page", "screen", "group"))
+            .where(ne(anon) | ne(uid))
+            .select(
+                F.when(ne(anon), F.lit("anonymous_id")).otherwise(F.lit("user_id"))
+                .alias("merge_property_1_type"),
+                F.when(ne(anon), anon).otherwise(uid).alias("merge_property_1_value"),
+                F.when(both, F.lit("user_id")).alias("merge_property_2_type"),
+                F.when(both, uid).alias("merge_property_2_value"),
+                "received_at",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def event_table_fanout(
     df: DataFrame,
     payload_col: str = "payload",
@@ -176,6 +257,7 @@ def event_table_fanout(
     schemas: dict | None = None,
     promote: set | None = None,
     normalized: bool = False,
+    identity_rule_sources: tuple = ("merge",),
 ) -> dict[str, DataFrame]:
     """Fan an envelope+payload event frame out into warehouse tables.
 
@@ -476,30 +558,12 @@ def event_table_fanout(
     _rules: list = []
 
     def rules() -> DataFrame:
+        # default sources=("merge",): the explicit-rule subset (the other
+        # sources are a config toggle in the reference — enableIDResolution
+        # plus per-destination IsIdentityEnabled, idresolution.go:15-21)
         if not _rules:
-            merges = df.where(F.col("event_type") == "merge").select(
-                F.from_json(
-                    F.col(payload_col),
-                    "mergeProperties array<struct<type:string,value:string>>",
-                ).alias("_m"),
-                F.col("received_at"),
-            )
             _rules.append(
-                merges.select(
-                    F.element_at("_m.mergeProperties", 1)
-                    .getField("type")
-                    .alias("merge_property_1_type"),
-                    F.element_at("_m.mergeProperties", 1)
-                    .getField("value")
-                    .alias("merge_property_1_value"),
-                    F.element_at("_m.mergeProperties", 2)
-                    .getField("type")
-                    .alias("merge_property_2_type"),
-                    F.element_at("_m.mergeProperties", 2)
-                    .getField("value")
-                    .alias("merge_property_2_value"),
-                    "received_at",
-                )
+                identity_merge_rules(env, payload_col, identity_rule_sources)
             )
         return _rules[0]
 
@@ -516,6 +580,8 @@ def event_table_fanout(
                 F.col("merge_property_2_value").alias("dst"),
             )
         )
+        # single-property rules (NULL prop2 — alias without previousId,
+        # default events with one identifier) contribute prop1 only
         idents = (
             r.select(
                 F.col("merge_property_1_type").alias("merge_property_type"),
@@ -523,7 +589,7 @@ def event_table_fanout(
                 "received_at",
             )
             .unionByName(
-                r.select(
+                r.where(F.col("merge_property_2_value").isNotNull()).select(
                     F.col("merge_property_2_type").alias("merge_property_type"),
                     F.col("merge_property_2_value").alias("merge_property_value"),
                     "received_at",

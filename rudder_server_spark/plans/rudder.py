@@ -567,3 +567,72 @@ def q19(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("region")
     )
+
+
+# --------------------------------------------------------------------------
+# Q32 full identity-rule extraction — idresolution.go:74-141: merge rules
+# derived from ALL event types when ID resolution is enabled (merge events'
+# explicit mergeProperties, alias userId~previousId, and every other type's
+# anonymousId~userId), with the reference's empty-field validation.
+@register(
+    "q32_identity_rules_full",
+    f"""
+    WITH src AS (SELECT * FROM read_parquet('{_ORACLE_PATH}')),
+    m AS (
+      SELECT json_extract_string(payload, '$.mergeProperties[0].type') AS t1,
+             json_extract_string(payload, '$.mergeProperties[0].value') AS v1,
+             json_extract_string(payload, '$.mergeProperties[1].type') AS t2,
+             json_extract_string(payload, '$.mergeProperties[1].value') AS v2
+      FROM src WHERE event_type = 'merge'
+    ),
+    mv AS (
+      SELECT * FROM m
+      WHERE coalesce(t1,'') <> '' AND coalesce(v1,'') <> ''
+        AND coalesce(t2,'') <> '' AND coalesce(v2,'') <> ''
+    ),
+    al AS (
+      SELECT 'user_id' AS t1, uid AS v1,
+             CASE WHEN coalesce(prev,'') <> '' THEN 'user_id' END AS t2,
+             CASE WHEN coalesce(prev,'') <> '' THEN prev END AS v2
+      FROM (
+        SELECT CAST(user_id AS VARCHAR) AS uid,
+               json_extract_string(payload, '$.previousId') AS prev
+        FROM src WHERE event_type = 'alias'
+      ) WHERE coalesce(uid,'') <> ''
+    ),
+    d AS (
+      SELECT CASE WHEN coalesce(anon,'') <> '' THEN 'anonymous_id' ELSE 'user_id' END AS t1,
+             CASE WHEN coalesce(anon,'') <> '' THEN anon ELSE uid END AS v1,
+             CASE WHEN coalesce(anon,'') <> '' AND coalesce(uid,'') <> '' THEN 'user_id' END AS t2,
+             CASE WHEN coalesce(anon,'') <> '' AND coalesce(uid,'') <> '' THEN uid END AS v2
+      FROM (
+        SELECT anonymous_id AS anon, CAST(user_id AS VARCHAR) AS uid
+        FROM src WHERE event_type IN ('track','identify','page','screen','group')
+      ) WHERE coalesce(anon,'') <> '' OR coalesce(uid,'') <> ''
+    )
+    SELECT DISTINCT t1 AS merge_property_1_type, v1 AS merge_property_1_value,
+                    t2 AS merge_property_2_type, v2 AS merge_property_2_value
+    FROM (SELECT * FROM mv UNION ALL SELECT * FROM al UNION ALL SELECT * FROM d)
+    ORDER BY merge_property_1_type NULLS FIRST, merge_property_1_value NULLS FIRST,
+             merge_property_2_type NULLS FIRST, merge_property_2_value NULLS FIRST
+    """,
+    doc=(
+        "Full-source identity merge rules (merge + alias + default events "
+        "with empty-field validation). Ref: idresolution.go:74-141"
+    ),
+    tags=("rudder",),
+)
+def q32(spark, sf):
+    from rudder_server_spark.operators.envelope import normalize_envelope
+    from rudder_server_spark.operators.event_tables import identity_merge_rules
+
+    env = normalize_envelope(_load(spark, sf))
+    return (
+        identity_merge_rules(env)
+        .drop("received_at")
+        .distinct()
+        .orderBy(
+            "merge_property_1_type", "merge_property_1_value",
+            "merge_property_2_type", "merge_property_2_value",
+        )
+    )

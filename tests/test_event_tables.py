@@ -349,3 +349,50 @@ def test_extract_fanout_recordid_keyed(spark):
     counts = {r["table_name"]: r["n"] for r in fanout_table_counts(df).collect()}
     assert counts["product_export"] == 2  # distinct record ids
     assert counts["tracks"] == 1
+
+
+def test_identity_merge_rules_all_sources(spark):
+    """idresolution.go:74-141: merge/alias/default extraction with the
+    reference's empty-field validation and single-prop NULL prop2 rows."""
+    import datetime as dt
+
+    from rudder_server_spark.operators.event_tables import identity_merge_rules
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # valid merge pair
+        ("m1", "merge", None, None,
+         '{"mergeProperties":[{"type":"email","value":"a@x.co"},{"type":"user_id","value":"u1"}]}'),
+        # merge with an empty value -> rejected
+        ("m2", "merge", None, None,
+         '{"mergeProperties":[{"type":"email","value":""},{"type":"user_id","value":"u2"}]}'),
+        # alias with previousId -> user_id~user_id pair
+        ("a1", "alias", "u3", "anon3", '{"previousId":"old3"}'),
+        # alias without previousId -> single-prop rule
+        ("a2", "alias", "u4", "anon4", '{}'),
+        # track with both ids -> anonymous_id~user_id pair
+        ("t1", "track", "u5", "anon5", '{}'),
+        # track with only anonymous id -> single-prop anonymous_id rule
+        ("t2", "track", None, "anon6", '{}'),
+        # track with neither -> dropped
+        ("t3", "track", None, None, '{}'),
+        # extract events never produce rules
+        ("x1", "extract", "u7", "anon7", '{}'),
+    ]
+    df = spark.createDataFrame(
+        [(m, et, u, a, p, t0) for m, et, u, a, p in rows],
+        "message_id string, event_type string, user_id string, "
+        "anonymous_id string, payload string, received_at timestamp",
+    )
+    out = {
+        (r["merge_property_1_type"], r["merge_property_1_value"],
+         r["merge_property_2_type"], r["merge_property_2_value"])
+        for r in identity_merge_rules(df).collect()
+    }
+    assert out == {
+        ("email", "a@x.co", "user_id", "u1"),
+        ("user_id", "u3", "user_id", "old3"),
+        ("user_id", "u4", None, None),
+        ("anonymous_id", "anon5", "user_id", "u5"),
+        ("anonymous_id", "anon6", None, None),
+    }
