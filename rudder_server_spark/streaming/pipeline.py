@@ -273,3 +273,42 @@ def stateful_user_totals(stream: DataFrame):
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming session windows (SURVEY §2.10 "session windows"): the reference
+# has no session operator (uploads batch by arrival time), but a CDP's
+# sessionization — q29's 30-minute-gap batch query — has a native streaming
+# form: session_window(event_time, gap) + watermark. Sessions merge as events
+# arrive and FINALIZE (emit, append mode) once the watermark passes the
+# session end; late events inside the watermark re-open/merge sessions,
+# later ones are dropped. State is per (user, open session) in the
+# checkpointed state store — RocksDB at scale.
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session aggregation over an event-time stream: one output
+    row per closed session with its bounds, event count, and value total —
+    the streaming twin of the q29 batch sessionizer (same gap semantics;
+    batch = window lag/cumsum, stream = native session_window state)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("value_total"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_total",
+        )
+    )

@@ -211,3 +211,56 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in last}
     assert got[1] == (2, 17.0)  # state carried across micro-batches
     assert got[2] == (1, 5.0)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window + watermark: sessions FINALIZE (append) only once the
+    watermark passes their end; open sessions stay in state across
+    restarts of the same checkpoint."""
+    import datetime as dt
+    import json as _json
+
+    from rudder_server_spark.streaming.pipeline import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ev(minutes, uid=1, value=2.5):
+        return {"user_id": uid, "ts": (t0 + dt.timedelta(minutes=minutes)).isoformat(), "value": value}
+
+    # session A: two events 5 min apart; session B: one event 2h later
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for e in [ev(0), ev(5), ev(120)]:
+            fh.write(_json.dumps(e) + "\n")
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 1 set the watermark to 11:00 (12:00 - 1h) but eviction uses the
+    # PREVIOUS batch's watermark -> nothing emitted yet
+    run_once()
+    # batch 2 (same checkpoint, no new data) evicts with watermark 11:00:
+    # session A [10:00, 10:35) closed; session B (12:00) still open
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["user_id"] == 1 and row["n_events"] == 2
+    assert row["session_start"] == t0
+    assert row["session_end"] == t0 + dt.timedelta(minutes=35)
+    assert row["value_total"] == 5.0
