@@ -611,109 +611,182 @@ def event_table_fanout(
     return _LazyTables({}, deferred, discover=_discover_event_tables)
 
 
+def table_name_expr(name: Column) -> Column:
+    """SQL twin of ``safe_table_name(name.strip().replace(" ", "_").lower())``
+    — the normalization the fan-out's discovery applies to event names.
+    Because the input is lowercased first, the camelCase splits are no-ops,
+    so the remaining pipeline is exactly expressible in codegen'd string
+    functions (keeps counts computable without a driver-side collect).
+    """
+    from rudder_server_spark.functions.names import RESERVED
+
+    s = F.lower(F.trim(name))
+    s = F.regexp_replace(s, "[^a-z0-9_]+", "_")
+    s = F.regexp_replace(s, "_+", "_")
+    s = F.regexp_replace(s, "(^_+)|(_+$)", "")
+    s = F.when(s == "", "_").otherwise(s)
+    s = F.when(s.rlike("^[0-9]"), F.concat(F.lit("_"), s)).otherwise(s)
+    s = F.when(s.isin(*sorted(RESERVED)), F.concat(F.lit("_"), s)).otherwise(s)
+    return F.substring(s, 1, 127)
+
+
+_PLURAL = {
+    "track": "tracks", "identify": "identifies", "page": "pages",
+    "screen": "screens", "group": "groups", "alias": "aliases",
+}
+
+
 def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Row count per fan-out output table, in one narrow pass.
+    """Row count per fan-out output table, in ONE Spark action.
 
     The reference verifies load completeness by counting events per
     (upload, table) — A6, warehouse/router/state_update_table_uploads.go —
     rather than by scanning each landed table. Same idea here: counting the
     fan-out's outputs via ``event_table_fanout`` would scan the corpus once
     per table (and build the identity mapping's connected components just to
-    count its rows). Instead ONE groupBy(event_type, event_name) over three
-    narrow envelope columns yields every non-identity table's count — the
-    group set is bounded by event-name cardinality (schema metadata), the
-    identify group carries the users count_distinct, and the per-event-name
-    discovery rides the SAME aggregate instead of its own distinct scan —
-    plus one small payload-parsing subtree over merge rows only (predicate
-    pushed to the scan) for the two identity tables. At 100 TB this is the
-    difference between one column-pruned pass and a dozen full-corpus scans.
+    count its rows). Instead the whole result is ONE lazy plan:
+
+    - a single GROUPING SETS aggregate over three narrow envelope columns
+      yields every non-identity table's count — the detail grain
+      (event_type, event_name) carries the per-event tables, and the
+      (event_type) subtotal grain carries the envelope tables plus the
+      global ``users`` count_distinct (so no per-group distinct-sum
+      overcount, and no driver-side event-name discovery: the name→table
+      normalization runs as codegen'd string expressions, table_name_expr,
+      applied AFTER aggregation so the regex chain touches the bounded
+      group set, not every corpus row; raw names that normalize to the
+      same table merge in the final per-table sum)
+    - one small payload-parsing subtree over merge rows only (predicate
+      pushed to the scan; the fixture clusters by event_type so row-group
+      pruning skips everything else) computes BOTH identity-table counts
+      from a single exploded pass
+    - a static zero-count seed keeps empty standard tables present
+
+    No collect anywhere → the driver schedules one job and the three
+    subtrees overlap; at 100 TB this is one column-pruned pass + one
+    merge-rows pass instead of a dozen full-corpus scans.
 
     Returns a DataFrame ``(table_name, n)`` ordered by table_name, matching
     ``{name: t.count() for name, t in event_table_fanout(df).items()}``.
     """
+    spark = df.sparkSession
     et = F.col("event_type")
-
-    # one partial-agg shuffle of a bounded group set; identify rows all share
-    # one group, so its count_distinct(user_id) IS the global users count,
-    # and extract groups carry count_distinct(record_id) — the landed table
-    # size after recordId-keyed delete+insert dedup
     has_record_id = "record_id" in df.columns
-    groups = (
-        df.groupBy("event_type", "event_name")
+    event_types = ["track", "extract"] if has_record_id else ["track"]
+
+    g = (
+        df.groupingSets(
+            [["event_type", "event_name"], ["event_type"]],
+            "event_type",
+            "event_name",
+        )
         .agg(
+            F.grouping("event_name").alias("_sub"),
             F.count("*").alias("n"),
-            F.count_distinct(F.when(F.col("user_id").isNotNull(), F.col("user_id"))).alias("nu"),
+            F.count_distinct(
+                F.when(F.col("user_id").isNotNull(), F.col("user_id"))
+            ).alias("nu"),
             (
                 F.count_distinct("record_id")
                 if has_record_id
                 else F.lit(0).cast("bigint")
             ).alias("nr"),
         )
-        .collect()
-    )
-    plural = {
-        "track": "tracks", "identify": "identifies", "page": "pages",
-        "screen": "screens", "group": "groups", "alias": "aliases",
-    }
-    counts_map: dict[str, int] = {t: 0 for t in plural.values()}
-    counts_map["users"] = 0
-    n_identify_groups = 0
-    for r in groups:
-        if r["event_type"] == "extract" and has_record_id and r["event_name"] is not None:
-            tbl = safe_table_name(r["event_name"].strip().replace(" ", "_").lower())
-            counts_map[tbl] = counts_map.get(tbl, 0) + r["nr"]
-            continue
-        tname = plural.get(r["event_type"])
-        if tname is None:
-            continue  # merge rows → identity subtree below
-        counts_map[tname] += r["n"]
-        if r["event_type"] == "identify":
-            counts_map["users"] += r["nu"]
-            n_identify_groups += 1
-        if r["event_type"] == "track" and r["event_name"] is not None:
-            # colliding raw names union into one table (see event_table_fanout)
-            tbl = safe_table_name(r["event_name"].strip().replace(" ", "_").lower())
-            counts_map[tbl] = counts_map.get(tbl, 0) + r["n"]
-    if n_identify_groups > 1:
-        # per-group distinct sums overcount a user seen under two event_name
-        # values; identify events carry no name so this never happens in
-        # practice — exact fallback job for the pathological corpus that does
-        counts_map["users"] = (
-            df.where((et == "identify") & F.col("user_id").isNotNull())
-            .select("user_id")
-            .distinct()
-            .count()
+        .withColumn(
+            "_tbl",
+            F.when(
+                et.isin(event_types) & F.col("event_name").isNotNull(),
+                table_name_expr(F.col("event_name")),
+            ),
         )
-    counts = df.sparkSession.createDataFrame(
-        sorted(counts_map.items()), "table_name string, n bigint"
+    )
+    plural = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _PLURAL.items() for x in kv]), et
+    )
+    pair = lambda t, n: F.struct(  # noqa: E731
+        t.alias("table_name"), n.cast("bigint").alias("n")
+    )
+    nothing = F.lit(None).cast("struct<table_name:string,n:bigint>")
+    counts = (
+        g.select(
+            F.explode(
+                F.array(
+                    # (event_type) subtotal grain → envelope tables + users
+                    F.when(F.col("_sub") == 1, pair(plural, F.col("n"))).otherwise(nothing),
+                    F.when(
+                        (F.col("_sub") == 1) & (et == "identify"),
+                        pair(F.lit("users"), F.col("nu")),
+                    ).otherwise(nothing),
+                    # detail grain → per-event / extract tables (extract
+                    # counts distinct record_id: landed size after the
+                    # recordId-keyed delete+insert dedup)
+                    F.when(
+                        (F.col("_sub") == 0) & (et == "track") & F.col("_tbl").isNotNull(),
+                        pair(F.col("_tbl"), F.col("n")),
+                    ).otherwise(nothing),
+                    F.when(
+                        (F.col("_sub") == 0) & (et == "extract") & F.col("_tbl").isNotNull(),
+                        pair(F.col("_tbl"), F.col("nr")),
+                    ).otherwise(nothing),
+                )
+            ).alias("row")
+        )
+        .where(F.col("row.table_name").isNotNull())
+        .select("row.*")
     )
 
-    # identity tables: parse only the two merge properties of merge rows.
-    # Distinctness mirrors the tables themselves: rules are distinct on all
-    # four properties (struct => null-safe), mappings on (type, value) pairs.
-    m = df.where(et == "merge").select(
-        F.from_json(
-            F.col(payload_col), "mergeProperties array<struct<type:string,value:string>>"
-        )["mergeProperties"].alias("_m")
-    )
-    pair = lambda i: F.struct(  # noqa: E731
+    # identity tables: parse only the two merge properties of merge rows,
+    # ONCE; each exploded element carries the full rule (for the rules
+    # count) on its first slot only, and its own property (for the mappings
+    # count) — one scan, one aggregate, both distinct counts.
+    mp = F.from_json(
+        F.col(payload_col), "mergeProperties array<struct<type:string,value:string>>"
+    )["mergeProperties"]
+    p = lambda i: F.struct(  # noqa: E731
         F.element_at("_m", i)["type"].alias("t"), F.element_at("_m", i)["value"].alias("v")
     )
-    identity = m.agg(
-        F.count_distinct(F.struct(pair(1).alias("p1"), pair(2).alias("p2"))).alias(
-            "rudder_identity_merge_rules"
-        )
-    ).crossJoin(
-        m.select(F.explode(F.array(pair(1), pair(2))).alias("p"))
-        .agg(F.count_distinct("p").alias("rudder_identity_mappings"))
+    no_rule = F.lit(None).cast(
+        "struct<p1:struct<t:string,v:string>,p2:struct<t:string,v:string>>"
     )
-    inames = [f.name for f in identity.schema.fields]
-    identity_counts = identity.select(
-        F.explode(
-            F.array(
-                *[F.struct(F.lit(n).alias("table_name"), F.col(n).alias("n")) for n in inames]
-            )
-        ).alias("row")
-    ).select("row.*")
+    identity_counts = (
+        df.where(et == "merge")
+        .select(mp.alias("_m"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.struct(p(1).alias("p1"), p(2).alias("p2")).alias("rule"),
+                        p(1).alias("prop"),
+                    ),
+                    F.struct(no_rule.alias("rule"), p(2).alias("prop")),
+                )
+            ).alias("e")
+        )
+        .agg(
+            F.count_distinct("e.rule").alias("rudder_identity_merge_rules"),
+            F.count_distinct("e.prop").alias("rudder_identity_mappings"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    pair(F.lit("rudder_identity_merge_rules"), F.col("rudder_identity_merge_rules")),
+                    pair(F.lit("rudder_identity_mappings"), F.col("rudder_identity_mappings")),
+                )
+            ).alias("row")
+        )
+        .select("row.*")
+    )
 
-    return counts.unionByName(identity_counts).orderBy("table_name")
+    # empty standard tables still get a (name, 0) row, as the reference's
+    # per-table upload states do
+    seed = spark.createDataFrame(
+        [(t, 0) for t in [*_PLURAL.values(), "users"]], "table_name string, n bigint"
+    )
+
+    return (
+        counts.unionByName(identity_counts)
+        .unionByName(seed)
+        .groupBy("table_name")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("table_name")
+    )

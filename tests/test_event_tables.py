@@ -396,3 +396,26 @@ def test_identity_merge_rules_all_sources(spark):
         ("anonymous_id", "anon5", "user_id", "u5"),
         ("anonymous_id", "anon6", None, None),
     }
+
+
+def test_table_name_expr_matches_python(spark):
+    """The SQL table normalization (table_name_expr, used by the collect-free
+    fanout_table_counts) is byte-identical to the driver-side
+    safe_table_name(name.strip().replace(' ', '_').lower()) the fan-out's
+    discovery applies."""
+    from rudder_server_spark.functions.names import safe_table_name
+    from rudder_server_spark.operators.event_tables import table_name_expr
+
+    names = [
+        "Order Completed", "order_completed", "  padded  ", "weird!!chars##",
+        "123leading", "select", "user", "UPPER CASE", "a--b__c", "_",
+        "tabs\tand\nnewlines", "ünïcode café", "x" * 200, "a b  c   d",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["tbl"]
+        for r in df.select("name", table_name_expr(F.col("name")).alias("tbl")).collect()
+    }
+    for n in names:
+        want = safe_table_name(n.strip().replace(" ", "_").lower())
+        assert got[n] == want, (n, got[n], want)
