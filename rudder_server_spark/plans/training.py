@@ -730,3 +730,86 @@ def t21(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t22 — sequence packing index (concat-and-chunk, GPT-style)
+@register(
+    "t22_sequence_packing",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS ntok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, ntok,
+             SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+      FROM tok WHERE ntok > 0
+    )
+    SELECT doc_id, ntok, cend - ntok AS start_tok,
+           CAST(FLOOR((cend - ntok) / 512.0) AS BIGINT) AS seq_first,
+           CAST(FLOOR((cend - 1) / 512.0) AS BIGINT) AS seq_last,
+           CAST(FLOOR((cend - 1) / 512.0)
+                - FLOOR((cend - ntok) / 512.0) + 1 AS BIGINT) AS n_seqs
+    FROM cum ORDER BY doc_id
+    """,
+    doc=(
+        "Sequence-packing index: docs concatenated in doc_id order, token "
+        "stream cut every 512 tokens; per doc its global offset and spanned "
+        "sequence ids — what a training loader shards by. The global prefix "
+        "sum runs as range-partition + per-partition window + one-row-per-"
+        "partition offsets (operators/packing.py), never a one-task window."
+    ),
+    tags=("training", "packing"),
+)
+def t22(spark, sf):
+    from rudder_server_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf, "documents")
+    return pack_sequences(
+        d, seq_len=512, token_col=X.token_count(F.col("text")), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t23 — deterministic dataset-mixture sampling
+_MIX_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+_MIX_DEFAULT = 1.0
+_MIX_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)"
+_MIX_RATE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(_MIX_RATES.items()))
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+
+@register(
+    "t23_mixture_sample",
+    f"""
+    SELECT source, count(*) AS n_kept,
+           SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS tokens_kept
+    FROM documents
+    WHERE {_MIX_BUCKET} < {_MIX_RATE} * 65536
+    GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Dataset-mixture sampling: each source thinned to its configured "
+        "rate by content-independent md5 bucket (stable across runs/"
+        "engines/partitionings — hash_split's leakage-safety argument); "
+        "kept docs+tokens per source. Narrow codegen'd map, free at 100 TB."
+    ),
+    tags=("training", "packing"),
+)
+def t23(spark, sf):
+    from rudder_server_spark.operators.packing import mixture_sample
+
+    d = load_table(spark, sf, "documents")
+    return (
+        mixture_sample(d, _MIX_RATES, default_rate=_MIX_DEFAULT)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(X.token_count(F.col("text"))).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,83 @@
+"""Dataset-assembly operators (operators/packing.py): sequence packing and
+mixture sampling."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rudder_server_spark.operators.packing import (
+    global_cumsum,
+    mixture_sample,
+    pack_sequences,
+)
+
+
+def test_global_cumsum_matches_window(spark):
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cumsum"] for r in global_cumsum(df, "v", "k").collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_global_cumsum_unaffected_by_input_partitioning(spark):
+    rows = [(i, i % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    a = {r["k"]: r["cumsum"] for r in global_cumsum(df.repartition(13), "v", "k").collect()}
+    b = {r["k"]: r["cumsum"] for r in global_cumsum(df.coalesce(1), "v", "k").collect()}
+    assert a == b
+
+
+def test_pack_sequences_spans_and_offsets(spark):
+    # 3 docs: 300 + 300 + 600 tokens, seq_len 512
+    #   doc 1: [0, 300)    → seq 0 only
+    #   doc 2: [300, 600)  → crosses the 512 boundary → seqs 0-1
+    #   doc 3: [600, 1200) → spans seqs 1-2
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 600), (4, 0)], "doc_id long, ntok long"
+    )
+    out = {r["doc_id"]: r.asDict() for r in pack_sequences(df, seq_len=512).collect()}
+    assert 4 not in out  # empty doc packs nowhere
+    assert (out[1]["start_tok"], out[1]["seq_first"], out[1]["seq_last"]) == (0, 0, 0)
+    assert (out[2]["start_tok"], out[2]["seq_first"], out[2]["seq_last"]) == (300, 0, 1)
+    assert (out[3]["start_tok"], out[3]["seq_first"], out[3]["seq_last"]) == (600, 1, 2)
+    assert out[3]["n_seqs"] == 2
+
+
+def test_pack_sequences_token_expr_column(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e")], "doc_id long, text string")
+    from rudder_server_spark.operators.text import token_count
+
+    out = {
+        r["doc_id"]: r["ntok"]
+        for r in pack_sequences(df, seq_len=4, token_col=token_count(F.col("text"))).collect()
+    }
+    assert out == {1: 3, 2: 2}
+
+
+def test_mixture_sample_deterministic_and_rate(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    kept1 = mixture_sample(df, {"a": 0.25}, default_rate=1.0).collect()
+    kept2 = mixture_sample(df, {"a": 0.25}, default_rate=1.0).collect()
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    by_src = {"a": 0, "b": 0}
+    for r in kept1:
+        by_src[r["source"]] += 1
+    assert by_src["b"] == 2000  # default rate 1.0 keeps everything
+    assert by_src["a"] == pytest.approx(500, rel=0.15)  # ~25% of 2000
+
+    # a different seed draws a different (but stable) sample
+    seeded = mixture_sample(df, {"a": 0.25}, default_rate=1.0, seed="s1").collect()
+    assert sorted(r["doc_id"] for r in seeded) != sorted(r["doc_id"] for r in kept1)
+
+
+def test_mixture_sample_clamps_rates_above_one(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(100)], "doc_id long, source string")
+    assert mixture_sample(df, {"a": 3.0}).count() == 100
