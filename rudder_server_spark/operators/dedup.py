@@ -63,6 +63,34 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.select(F.col(id_col).alias("sid"), F.explode(shingles(F.col(text_col), n)).alias("sh"))
 
 
+def _shingle_base(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(sid, shs array<string>, sz) — one row per doc, pre-explode.
+
+    The compact form both Jaccard tiers build on: the per-doc set SIZE is
+    the array length (a codegen'd narrow map), so no O(shingle-rows)
+    groupBy shuffle ever runs just to count set sizes — at corpus scale
+    that aggregation is a full extra pass over the exploded table. The
+    64-bit hashing happens at explode time (_exploded), keeping xxhash64
+    inside whole-stage codegen (F.transform over the array would evaluate
+    it interpreted — see the module docstring on higher-order functions).
+    Checkpointed lazily: one row per doc, materialized inside the first
+    consuming action and shared by every downstream subtree.
+    """
+    arr = shingles(F.col(text_col), n)
+    return (
+        df.select(F.col(id_col).alias("sid"), arr.alias("shs"))
+        .withColumn("sz", F.size("shs"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _exploded(base: DataFrame) -> DataFrame:
+    """(sid, sh long) — the shingle table, hashed to 8-byte join keys."""
+    return base.select("sid", F.explode("shs").alias("_s")).select(
+        "sid", F.xxhash64("_s").alias("sh")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
@@ -80,15 +108,12 @@ def ngram_jaccard_pairs(
     across the whole corpus — probability ~ distinct_shingles²/2⁶⁵,
     negligible against the threshold test even at 100 TB.
     """
-    # lazy checkpoint: materializes inside the first action and its blocks
-    # are shared by the three consumers (sizes/a/b) — eager=True would spend
-    # a whole extra scheduled job just to materialize before the query runs
-    sh = (
-        shingle_table(df, id_col, text_col, n)
-        .select("sid", F.xxhash64("sh").alias("sh"))
-        .localCheckpoint(eager=False)
-    )
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    # lazy checkpoint of the compact per-doc form: materializes inside the
+    # first action, blocks shared by the consumers; set sizes are array
+    # lengths (narrow map), not an exploded-table aggregation
+    base = _shingle_base(df, id_col, text_col, n)
+    sh = _exploded(base)
+    sizes = base.select("sid", "sz")
     a = sh.select(F.col("sid").alias("a"), "sh")
     b = sh.select(F.col("sid").alias("b"), "sh")
     inter = (
@@ -181,14 +206,11 @@ def minhash_lsh_pairs(
     final job instead of spending a scheduled job per eager checkpoint.
     """
     rows = num_hashes // bands
-    sh = (
-        shingle_table(df, id_col, text_col, n)
-        .select("sid", F.xxhash64("sh").alias("sh"))
-        .localCheckpoint(eager=False)
-    )
+    base = _shingle_base(df, id_col, text_col, n)
+    sh = _exploded(base)
     sigs = minhash_signatures(num_hashes=num_hashes, shingle_df=sh).localCheckpoint(eager=False)
     cand = minhash_lsh_candidates(sigs, bands, rows)
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    sizes = base.select("sid", "sz")
     # verify only candidate pairs: attach a's shingles, then equi-join on
     # BOTH (b, sh) — joining on b alone would cross a's shingles with all of
     # b's before filtering (quadratic per pair)
