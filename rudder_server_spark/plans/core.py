@@ -535,7 +535,16 @@ def q25(spark, sf):
         F.col("event_id").alias("purchase_event_id"),
         F.col("asof_event_id").alias("click_event_id"),
         (
-            F.floor((F.unix_micros("ts") - F.unix_micros("asof_ts") + 500) / 1000).cast("double")
+            # cast() tolerates TIMESTAMP_NTZ parquet columns (tz offset cancels
+            # in the difference); unix_micros requires TIMESTAMP proper.
+            F.floor(
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+                    + 500
+                )
+                / 1000
+            ).cast("double")
             / F.lit(1000.0)
         ).alias("seconds_between"),
     ).orderBy("purchase_event_id")
