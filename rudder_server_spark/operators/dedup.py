@@ -231,6 +231,40 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus snapshot, then
+    within itself: keep the min-id batch row per normalized-text group whose
+    content does not already appear in the corpus.
+
+    This is the cross-snapshot dedup every recurring crawl/ingest pipeline
+    runs (new dump vs. everything already kept) — distinct from exact_dedup,
+    which dedups one corpus against itself.
+
+    Shape at scale: the corpus side reduces to a single 16-byte fingerprint
+    column (at 100 TB: a precomputed, bucketed fingerprint index — appending
+    each accepted batch's keys keeps it incremental, so the corpus text is
+    never rescanned). Within-batch dedup runs first, shrinking the anti-join
+    left side to unique keys; the anti-join shuffles only fingerprints, and
+    when the batch is far smaller than the index (the common case) AQE plans
+    it as a broadcast/bloom-pruned probe rather than a full index shuffle.
+    """
+    key = F.md5(normalize_text(F.col(text_col)))
+    seen = corpus.select(key.alias("_k")).distinct()
+    b = batch.select("*", key.alias("_k"))
+    keep = b.groupBy("_k").agg(F.min(id_col).alias("_keep"))
+    return (
+        b.join(keep, "_k")
+        .where(F.col(id_col) == F.col("_keep"))
+        .join(seen, "_k", "left_anti")
+        .drop("_k", "_keep")
+    )
+
+
 def contamination_counts(
     train: DataFrame,
     eval_set: DataFrame,

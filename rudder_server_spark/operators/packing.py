@@ -14,6 +14,9 @@ warehouse tables; charter: training-pipeline ops are first-class):
                    md5 bucket — the "dataset mixture" knob (e.g. 3 epochs
                    of wiki, 0.3 of common-crawl), stable across runs,
                    engines and partitionings like hash_split.
+  shard_assign     deterministic global shuffle + shard/position assignment
+                   (the "shuffle and write N shards" step) — a pure
+                   function of md5(key), reproducible everywhere.
 
 Scale shape of pack_sequences: the global token prefix-sum is the only
 coupling between partitions, and it is computed as range-partition →
@@ -113,6 +116,39 @@ def pack_sequences(
         seq_first.alias("seq_first"),
         seq_last.alias("seq_last"),
         (seq_last - seq_first + F.lit(1)).alias("n_seqs"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding: each row gets a ``shard``
+    (0..n_shards-1) and a ``pos`` (0-based rank within its shard), both
+    functions of md5(key ++ seed) only — the "shuffle the corpus and write N
+    shards" step before training, stable across runs, engines, and input
+    partitionings (same argument as hash_split). Change ``seed`` for a fresh
+    but equally stable permutation.
+
+    shard = first two hex chars of the md5 (0..255) mod n_shards;
+    pos     = rank of the full md5 string within the shard (ties broken by
+              the key), i.e. a pseudorandom but reproducible reading order.
+
+    Shape at scale: one hash-partition exchange on ``shard`` + a sort within
+    each shard — exactly the shuffle a shard-writing job must do anyway.
+    Real pipelines use O(10k) shards so each sort fits an executor; the
+    window below partitions by shard, so parallelism == n_shards.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    shard = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % n_shards
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("_h")
     )
 
 

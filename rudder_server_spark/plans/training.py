@@ -783,6 +783,122 @@ _MIX_RATE = (
 )
 
 
+# --------------------------------------------------------------------------
+# t24 — incremental (cross-snapshot) dedup: new batch vs existing corpus
+@register(
+    "t24_incremental_dedup",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS k,
+             {_NIB} AS nib
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT k FROM keyed WHERE nib < 12),
+    batch AS (SELECT doc_id, k FROM keyed WHERE nib >= 12)
+    SELECT min(b.doc_id) AS doc_id
+    FROM batch b ANTI JOIN corpus c ON b.k = c.k
+    GROUP BY b.k ORDER BY doc_id
+    """,
+    doc=(
+        "Incremental dedup: the newest ingest batch (md5-nibble >= 12, i.e. "
+        "a deterministic 4/16 slice standing in for 'this week's crawl') "
+        "deduped against the already-kept corpus (the other 12/16) and then "
+        "within itself — the cross-snapshot pass every recurring crawl "
+        "pipeline runs. Corpus side collapses to a 16-byte fingerprint "
+        "index; batch-side min-id dedup + one anti-join."
+    ),
+    tags=("training", "dedup"),
+)
+def t24(spark, sf):
+    d = load_table(spark, sf, "documents")
+    nib = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    corpus = d.where(nib < 12)
+    batch = d.where(nib >= 12)
+    return D.incremental_dedup(batch, corpus).select("doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t25 — deterministic corpus shuffle + sharding (training loader layout)
+@register(
+    "t25_shard_pack",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8 AS shard,
+             len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS ntok,
+             row_number() OVER (
+               PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INTEGER) % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS pos
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs, SUM(ntok) AS total_tokens,
+           SUM(pos * doc_id) AS order_check
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    doc=(
+        "Deterministic global shuffle into 8 training shards: shard and "
+        "in-shard position are pure functions of md5(doc_id), so the corpus "
+        "layout a loader reads is reproducible across runs, engines, and "
+        "partitionings. order_check = SUM(pos*doc_id) pins the PERMUTATION, "
+        "not just membership — any reordering changes it. One hash exchange "
+        "on shard + per-shard sort (the shuffle a shard writer needs anyway)."
+    ),
+    tags=("training", "packing"),
+)
+def t25(spark, sf):
+    from rudder_server_spark.operators.packing import shard_assign
+
+    d = load_table(spark, sf, "documents")
+    a = shard_assign(d, n_shards=8)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.token_count(F.col("text"))).alias("total_tokens"),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_check"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# t26 — per-source duplication-rate monitoring
+@register(
+    "t26_dup_rate_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))) AS n_distinct,
+           CAST(ROUND(1 - CAST(count(DISTINCT md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))) AS DOUBLE)
+                          / count(*), 6) AS DOUBLE) AS dup_rate
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Duplication-rate monitoring per source: docs, distinct content "
+        "fingerprints, and dup_rate — the per-domain health metric a "
+        "curation pipeline tracks batch over batch (a source whose dup_rate "
+        "jumps is re-crawling itself). Two-phase distinct agg on "
+        "(source, fingerprint): partial map-side, no full-corpus collect."
+    ),
+    tags=("training", "text"),
+)
+def t26(spark, sf):
+    d = load_table(spark, sf, "documents")
+    k = F.md5(D.normalize_text(F.col("text")))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(k).alias("n_distinct"),
+            F.round(
+                F.lit(1) - F.count_distinct(k).cast("double") / F.count("*"), 6
+            ).cast("double").alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "t23_mixture_sample",
     f"""

@@ -287,3 +287,22 @@ def test_pii_email_features(spark):
     assert rows[1]["pii_redacted"] == "contact [EMAIL] and [EMAIL] today"
     assert rows[2]["pii_email_cnt"] == 0 and rows[2]["pii_redacted"] == "no pii at all"
     assert rows[3]["pii_email_cnt"] == 0
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    from rudder_server_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha, beta!"),  # normalizes to a corpus doc → dropped
+            (11, "epsilon zeta"),  # new → kept
+            (12, "epsilon zeta"),  # within-batch dup of 11 → dropped
+            (13, "eta theta"),     # new → kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
+    assert kept == [11, 13]

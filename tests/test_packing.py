@@ -8,6 +8,7 @@ from rudder_server_spark.operators.packing import (
     global_cumsum,
     mixture_sample,
     pack_sequences,
+    shard_assign,
 )
 
 
@@ -81,3 +82,26 @@ def test_mixture_sample_deterministic_and_rate(spark):
 def test_mixture_sample_clamps_rates_above_one(spark):
     df = spark.createDataFrame([(i, "a") for i in range(100)], "doc_id long, source string")
     assert mixture_sample(df, {"a": 3.0}).count() == 100
+
+
+def test_shard_assign_partition_invariant_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df.repartition(17), 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df.coalesce(1), 8).collect()}
+    assert a == b  # assignment is a pure function of the key
+    shards = {}
+    for sid, (sh, pos) in a.items():
+        shards.setdefault(sh, []).append(pos)
+    assert set(shards) == set(range(8))
+    for sh, poss in shards.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0-based positions
+    # roughly balanced (md5 bucket of 2000 keys over 8 shards)
+    sizes = [len(v) for v in shards.values()]
+    assert min(sizes) > 150 and max(sizes) < 350
+
+
+def test_shard_assign_seed_changes_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 8).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 8, seed="s1").collect()}
+    assert a != b
