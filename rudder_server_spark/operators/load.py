@@ -21,9 +21,17 @@ from pyspark.sql import DataFrame, Window, functions as F
 LATTICE = ("string", "boolean", "int", "bigint", "float", "json", "text", "datetime", "array(boolean)")
 
 
-def dedup_staging(df: DataFrame, pk: tuple = ("id",), order_col: str = "received_at") -> DataFrame:
-    """W2: keep the latest row per primary key."""
-    w = Window.partitionBy(*pk).orderBy(F.col(order_col).desc())
+def dedup_staging(
+    df: DataFrame, pk: tuple = ("id",), order_col: str | tuple = "received_at"
+) -> DataFrame:
+    """W2: keep the latest row per primary key.
+
+    ``order_col`` may be a tuple — later columns break ties (the reference
+    orders by received_at alone because its ids are unique; a deterministic
+    tie-break matters when the pk recurs within one staging batch).
+    """
+    order = (order_col,) if isinstance(order_col, str) else tuple(order_col)
+    w = Window.partitionBy(*pk).orderBy(*[F.col(c).desc() for c in order])
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
@@ -31,7 +39,7 @@ def merge_into(
     existing: DataFrame | None,
     staging: DataFrame,
     pk: tuple = ("id",),
-    order_col: str = "received_at",
+    order_col: str | tuple = "received_at",
 ) -> DataFrame:
     """J6: MERGE semantics — staging rows replace same-key main rows.
 

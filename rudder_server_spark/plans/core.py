@@ -610,3 +610,48 @@ def q29(spark, sf):
         .drop("sess_no")
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q33 warehouse merge-load (J6/S7 in the CORRECTNESS gate, not just unit
+# tests): an existing main table and a staging batch carved deterministically
+# from events; the staging batch is deduped per key keeping the latest
+# (ts, event_id) and replaces same-key main rows — the reference's
+# delete+insert / MERGE INTO load (postgres/load.go:280-340,
+# snowflake.go:460-520), expressed as anti-join + union on parquet.
+@register(
+    "q33_warehouse_merge",
+    """
+    WITH main AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 3 = 0) WHERE rn = 1
+    ),
+    fresh AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 3 <> 0) WHERE rn = 1
+    ),
+    kept AS (SELECT m.* FROM main m ANTI JOIN fresh f ON m.user_id = f.user_id)
+    SELECT user_id, event_id, event_type, value
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM fresh)
+    ORDER BY user_id
+    """,
+    doc=(
+        "Warehouse merge-load: staging rows deduped per pk on latest "
+        "(ts, event_id) replace same-key main rows; output is the post-MERGE "
+        "table. One window over staging + one anti-join — at scale both "
+        "shuffle on the pk, and on Delta this same logical plan is MERGE INTO."
+    ),
+    tags=("rudder", "load"),
+)
+def q33(spark, sf):
+    from rudder_server_spark.operators.load import dedup_staging, merge_into
+
+    e = load_table(spark, sf, "events")
+    main = dedup_staging(
+        e.where(F.col("event_id") % 3 == 0), pk=("user_id",), order_col=("ts", "event_id")
+    )
+    staging = e.where(F.col("event_id") % 3 != 0)
+    merged = merge_into(main, staging, pk=("user_id",), order_col=("ts", "event_id"))
+    return merged.select("user_id", "event_id", "event_type", "value").orderBy("user_id")
