@@ -204,3 +204,46 @@ def test_t20_pii_scrub_single_scan(spark):
     plan = _plan(df)
     assert plan.count("FileScan parquet") == 1
     assert "partial_" in plan
+
+
+def test_t24_incremental_dedup_fingerprint_anti_join(spark):
+    """Incremental dedup: the corpus side must reduce to its fingerprint
+    column before the anti-join (ReadSchema stays narrow — the corpus TEXT
+    is never shuffled), and the join is a hash anti-join on the key, never
+    a nested loop."""
+    df = REG["t24_incremental_dedup"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_t25_shard_assign_single_exchange(spark):
+    """Shard packing: one hash exchange on the shard key feeds both the
+    per-shard sort (window) and the final agg — the same shuffle a shard
+    writer needs anyway; no range exchange, no extra repartition."""
+    df = REG["t25_shard_pack"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan.replace(
+        "Exchange rangepartitioning(shard", "SORT_OUTPUT("
+    )  # only the output ORDER BY may range-partition
+
+
+def test_t26_dup_rate_two_phase_distinct(spark):
+    """Dup-rate monitoring: the distinct agg must run as the two-phase
+    (source, fingerprint) expand — partial map-side aggs, single scan, no
+    join; the corpus never collects."""
+    df = REG["t26_dup_rate_by_source"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan and "Join" not in plan
+
+
+def test_q33_merge_load_shuffles_on_pk_only(spark):
+    """Merge-load: staging dedup window and the delete anti-join both key on
+    the pk — no nested loop, no cartesian; at 100 TB both sides co-partition
+    on user_id and the merge is one shuffle stage."""
+    df = REG["q33_warehouse_merge"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
