@@ -153,6 +153,45 @@ def ivf_assign(
     return df.withColumn(cell_col, cell)
 
 
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Semantic dedup over embeddings (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the corpus, then drop every vector
+    whose cosine to a LOWER-id vector in the SAME cluster is ≥ threshold —
+    near-identical meanings collapse to their min-id representative.
+
+    Returns one row per input vector: (id_col, cell_col, dropped).
+
+    The cluster restriction is the whole scale story: the exact pairwise
+    pass runs per cell, so work is Σ|cell|² instead of N². Choosing
+    k ∝ N / target_cell_size bounds each cell (SemDeDup uses ~50k clusters
+    for LAION); the self-join keys on the cell id, so both sides
+    co-partition on one shuffle and a cell never spans executors. Same
+    keep-min-id convention as exact_dedup / t5. Deterministic given the
+    (seeded) centroids.
+    """
+    a = ivf_assign(df, centroids, vec_col, cell_col)
+    l = a.select(F.col(cell_col), F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    r = a.select(F.col(cell_col), F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    dropped = (
+        l.join(r, cell_col)
+        .where(F.col("a") < F.col("b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return a.join(dropped, id_col, "left").select(
+        id_col, cell_col, F.coalesce("_d", F.lit(False)).alias("dropped")
+    )
+
+
 def ivf_topk(
     df_assigned: DataFrame,
     centroids: list[list[float]],

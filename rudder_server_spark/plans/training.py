@@ -784,6 +784,29 @@ _MIX_RATE = (
 
 
 # --------------------------------------------------------------------------
+# t27 — SemDeDup: k-means-clustered embedding near-dedup (Abbas et al. 2023)
+@register(
+    "t27_semdedup",
+    None,  # k-means clustering is not SQL-expressible; golden + soundness test
+    doc=(
+        "Semantic dedup (SemDeDup): seeded k-means clusters the embedding "
+        "corpus, an exact cosine pass INSIDE each cluster drops every vector "
+        "with a >= 0.95 neighbor of lower id. Per-vector (vec_id, dropped) "
+        "verdicts — the raw cluster LABEL is excluded from the output "
+        "because k-means labels permute across sessions (float-jitter in "
+        "the parallel aggregation); the drop verdicts are label-invariant. "
+        "Work is sum(|cell|^2), not N^2 — pick k ~ N/target_cell_size and "
+        "the pass stays linear at 100 TB."
+    ),
+    tags=("training", "dedup", "embeddings"),
+)
+def t27(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    cents = S.ivf_train(e, k=8)
+    return S.semdedup(e, cents, threshold=0.95).select("vec_id", "dropped").orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
 # t24 — incremental (cross-snapshot) dedup: new batch vs existing corpus
 @register(
     "t24_incremental_dedup",

@@ -26,7 +26,8 @@ def _norm(v):
 
 
 @pytest.mark.parametrize(
-    "name", ["t4_simhash", "t11_ann_lsh", "t12_hll_tracked_users", "t14_ann_ivf"]
+    "name",
+    ["t4_simhash", "t11_ann_lsh", "t12_hll_tracked_users", "t14_ann_ivf", "t27_semdedup"],
 )
 def test_golden(name, spark):
     with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
@@ -62,6 +63,46 @@ def test_t12_hll_within_2pct_of_exact(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) <= max(1, 0.02 * exact[k]), (k, est[k], exact[k])
+
+
+def test_t27_semdedup_drops_planted_near_dups(spark):
+    """SemDeDup soundness on planted duplicates: tiny perturbations of a
+    base vector (cos ≈ 0.999) must be dropped in favor of the min-id copy,
+    and every drop must be justified by a true cos >= threshold lower-id
+    neighbor — checked against brute force over all pairs."""
+    import numpy as np
+
+    from rudder_server_spark.operators.similarity import ivf_train, semdedup
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 300
+    base = rng.randn(n, dim)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 3 groups of near-identical vectors (ids chosen above the corpus)
+    for g in range(3):
+        v = base[g * 7]
+        for j in range(2):
+            rows.append(
+                (1000 + g * 10 + j, [float(x) for x in v + 0.001 * rng.randn(dim)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, k=4)
+    out = {r["vec_id"]: r["dropped"] for r in semdedup(df, cents, 0.95).collect()}
+
+    # every planted copy has the original (lower id, same cluster w.h.p. at
+    # cos 0.999) to collapse into
+    planted = [1000 + g * 10 + j for g in range(3) for j in range(2)]
+    assert all(out[i] for i in planted), {i: out[i] for i in planted}
+    # soundness: any dropped id really has a cos>=0.95 lower-id neighbor
+    vecs = {i: np.array(v) for i, v in rows}
+    for i, dropped in out.items():
+        if dropped:
+            has = any(
+                float(vecs[i] @ vecs[j]) / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])) >= 0.95
+                for j in vecs
+                if j < i
+            )
+            assert has, i
 
 
 def test_t11_lsh_recovers_planted_neighbors(spark):
