@@ -655,3 +655,96 @@ def q33(spark, sf):
     staging = e.where(F.col("event_id") % 3 != 0)
     merged = merge_into(main, staging, pk=("user_id",), order_col=("ts", "event_id"))
     return merged.select("user_id", "event_id", "event_type", "value").orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# Q34 streaming sessionization (SURVEY §2.10 session windows): q29's
+# 30-minute-gap sessions computed by Structured Streaming's native
+# session_window + watermark state machine, run to completion over a staged
+# file stream (two availableNow triggers on one checkpoint — eviction uses
+# the previous batch's watermark) and checked against the batch SQL oracle.
+# Only CLOSED sessions emit in append mode: end < max(ts) - 1h watermark;
+# the oracle applies the same cut. Timestamps restage as unix_micros longs
+# (JSON's default millisecond format would truncate the fixture's µs).
+@register(
+    "q34_streaming_sessions",
+    """
+    WITH marks AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM marks
+    ),
+    s AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             count(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_total
+      FROM sess GROUP BY user_id, sess_no
+    )
+    SELECT * FROM s
+    WHERE session_end < (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+    ORDER BY user_id, session_start
+    """,
+    doc=(
+        "Streaming gap sessionization: session_window + 1h watermark over a "
+        "restaged event stream, append-mode finalization, compared to the "
+        "batch sessionizer. State is per open session per user (RocksDB at "
+        "scale); the watermark bounds state size regardless of corpus size."
+    ),
+    tags=("streaming",),
+)
+def q34(spark, sf):
+    import tempfile
+
+    from rudder_server_spark.streaming.pipeline import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="rss_sess_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    e = load_table(spark, sf, "events")
+    e.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tsus"), "value"
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    schema = "user_id long, tsus long, value double"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for _ in range(2):
+            stream = (
+                spark.readStream.schema(schema)
+                .json(src)
+                .withColumn("ts", F.timestamp_micros("tsus"))
+                .withColumn("value", F.col("value").cast("decimal(18,6)"))
+            )
+            q = (
+                sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round(F.col("value_total"), 2).cast("double").alias("value_total"),
+        )
+        .orderBy("user_id", "session_start")
+    )
