@@ -134,6 +134,54 @@ def repetition_features(
     )
 
 
+def quality_filter(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite document-quality verdicts (Gopher/C4-style rule battery,
+    Rae et al. 2021 C.1 / Raffel et al. 2020 §2.2, thresholds adapted to the
+    short synthetic fixture docs): one boolean per rule plus the overall
+    verdict —
+
+      pass_len      10 ≤ regex-token count ≤ 100000
+      pass_wordlen  2 ≤ chars per token ≤ 15  (mean-word-length proxy)
+      pass_alpha    alphabetic-char ratio ≥ 0.6
+      pass_stop     ≥ 1 stopword-marker hit in ANY of the 4 marker sets
+                    (language-neutral form of Gopher's ≥2-stopwords rule)
+      pass_rep      top-bigram occupancy ≤ 0.2 (repetition_features); docs
+                    with < 2 whitespace tokens have no bigrams → vacuous pass
+
+    The per-rule columns (not just the conjunction) are the point: a
+    curation pipeline tracks WHICH rule kills a document (filter-reason
+    attribution). All rules are narrow codegen'd maps except pass_rep's
+    doc-keyed bigram aggs; the join back is id-keyed — linear at 100 TB.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_tokens = token_count(t)
+    stop_any = F.greatest(*[marker_hits(t, lang) for lang in sorted(LANG_MARKERS)])
+    mean_len = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    base = df.select(
+        "*",
+        ((n_tokens >= 10) & (n_tokens <= 100000)).alias("pass_len"),
+        ((mean_len >= 2.0) & (mean_len <= 15.0)).alias("pass_wordlen"),
+        (n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)) >= 0.6).alias("pass_alpha"),
+        (stop_any >= 1).alias("pass_stop"),
+    )
+    rep = repetition_features(df, id_col=id_col, text_col=text_col, keep_cols=()).select(
+        F.col("sid").alias(id_col),
+        (F.col("top_bigram_cnt").cast("double") / F.col("bigram_cnt") <= 0.2).alias("_pr"),
+    )
+    return (
+        base.join(rep, id_col, "left")
+        .withColumn("pass_rep", F.coalesce(F.col("_pr"), F.lit(True)))
+        .drop("_pr")
+        .withColumn(
+            "pass_all",
+            F.col("pass_len") & F.col("pass_wordlen") & F.col("pass_alpha")
+            & F.col("pass_stop") & F.col("pass_rep"),
+        )
+    )
+
+
 # Public email pattern (same RE2/Java-compatible subset in both engines).
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

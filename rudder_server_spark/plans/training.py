@@ -784,6 +784,79 @@ _MIX_RATE = (
 
 
 # --------------------------------------------------------------------------
+# t28 — composite quality-filter verdicts with per-rule attribution
+@register(
+    "t28_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    per AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    rep AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) <= 0.2 AS pass_rep
+            FROM per GROUP BY 1),
+    scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS ntok,
+             len(text) AS nchars,
+             len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS nalpha,
+             greatest({_hits_sql('de')}, {_hits_sql('en')},
+                      {_hits_sql('es')}, {_hits_sql('fr')}) AS stop_any
+      FROM toks
+    ),
+    verdicts AS (
+      SELECT s.lang,
+             ntok BETWEEN 10 AND 100000 AS pass_len,
+             CAST(nchars AS DOUBLE) / greatest(ntok, 1) BETWEEN 2.0 AND 15.0 AS pass_wordlen,
+             CAST(nalpha AS DOUBLE) / greatest(nchars, 1) >= 0.6 AS pass_alpha,
+             stop_any >= 1 AS pass_stop,
+             coalesce(r.pass_rep, true) AS pass_rep
+      FROM scored s LEFT JOIN rep r USING (doc_id)
+    )
+    SELECT lang, count(*) AS docs,
+           count(*) FILTER (pass_len AND pass_wordlen AND pass_alpha
+                            AND pass_stop AND pass_rep) AS n_pass,
+           count(*) FILTER (NOT pass_len) AS fail_len,
+           count(*) FILTER (NOT pass_wordlen) AS fail_wordlen,
+           count(*) FILTER (NOT pass_alpha) AS fail_alpha,
+           count(*) FILTER (NOT pass_stop) AS fail_stop,
+           count(*) FILTER (NOT pass_rep) AS fail_rep
+    FROM verdicts GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Composite Gopher/C4-style quality-rule battery with per-rule "
+        "filter-reason attribution, rolled up per language: which rule "
+        "kills how many documents. Narrow maps + doc-keyed bigram aggs; "
+        "the rollup is the only corpus-wide shuffle."
+    ),
+    tags=("training", "text"),
+)
+def t28(spark, sf):
+    d = load_table(spark, sf, "documents")
+    v = X.quality_filter(d)
+    nfail = lambda c: F.count_if(~F.col(c)).alias(c.replace("pass_", "fail_"))  # noqa: E731
+    return (
+        v.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.count_if(F.col("pass_all")).alias("n_pass"),
+            nfail("pass_len"),
+            nfail("pass_wordlen"),
+            nfail("pass_alpha"),
+            nfail("pass_stop"),
+            nfail("pass_rep"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # t27 — SemDeDup: k-means-clustered embedding near-dedup (Abbas et al. 2023)
 @register(
     "t27_semdedup",

@@ -306,3 +306,28 @@ def test_incremental_dedup_batch_vs_corpus(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(batch, corpus).collect())
     assert kept == [11, 13]
+
+
+def test_quality_filter_per_rule_attribution(spark):
+    from rudder_server_spark.operators.text import quality_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on top of the large mat today"),  # passes all
+            (2, "the and of"),  # too few tokens
+            (3, "the " + "supercalifragilistic " * 30),  # mean token len > 15
+            (4, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 !!!"),  # alpha ratio < 0.6
+            (5, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff"),  # no stopword hit
+            (6, "the cat " * 40),  # one bigram dominates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in quality_filter(df).collect()}
+    assert out[1]["pass_all"]
+    assert not out[2]["pass_len"] and out[2]["pass_stop"]
+    assert not out[3]["pass_wordlen"]
+    assert not out[4]["pass_alpha"]
+    assert not out[5]["pass_stop"] and out[5]["pass_len"]
+    assert not out[6]["pass_rep"]
+    for i in (2, 3, 4, 5, 6):
+        assert not out[i]["pass_all"]
