@@ -92,15 +92,28 @@ def _exploded(base: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact pairs (a < b) with shingle-set Jaccard ≥ threshold.
 
     Plan: explode shingles → self-equi-join on shingle → count intersection
     → join sizes → filter. Every step is a shuffle on either shingle or doc
     id; no cross join. Hot shingles (stopword runs) are the skew risk at
-    scale — AQE skew-join handles moderate skew; beyond that, drop shingles
-    with document-frequency above a cap (standard trick) before the join.
+    scale — AQE skew-join handles moderate skew; beyond that, set
+    ``max_doc_freq``: shingles appearing in more of the corpus than that are
+    dropped BEFORE the self-join (the standard stop-shingle cap). A shingle
+    in d docs contributes d² join rows, so the cap turns the worst-case
+    quadratic blowup into d ≤ cap. Jaccard is then computed over the
+    REDUCED universe — set sizes also count only surviving shingles — so
+    identical documents still score 1.0 and the similarity is exact w.r.t.
+    the stop-shingle-free vocabulary (the same universe both sides of a
+    pair see). Exactness over the full vocabulary requires
+    max_doc_freq=None, the default and what the t2 oracle tier uses.
 
     Shingles are 64-bit-hashed before the join: the shuffle and the
     checkpoint carry 8-byte keys instead of ~n-word strings (the dominant
@@ -114,6 +127,18 @@ def ngram_jaccard_pairs(
     base = _shingle_base(df, id_col, text_col, n)
     sh = _exploded(base)
     sizes = base.select("sid", "sz")
+    if max_doc_freq is not None:
+        # one extra agg on the shingle key (same partitioning the join needs
+        # anyway); the semi-join keeps only sub-cap shingles, and sizes are
+        # recomputed over the reduced universe so both ends of a pair agree
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi").localCheckpoint(eager=False)
+        sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("sid").alias("a"), "sh")
     b = sh.select(F.col("sid").alias("b"), "sh")
     inter = (

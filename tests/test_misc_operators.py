@@ -331,3 +331,28 @@ def test_quality_filter_per_rule_attribution(spark):
     assert not out[6]["pass_rep"]
     for i in (2, 3, 4, 5, 6):
         assert not out[i]["pass_all"]
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    from rudder_server_spark.operators.dedup import ngram_jaccard_pairs
+
+    # two exact near-dup pairs + a hot shingle shared by EVERY doc
+    hot = "common filler words here"
+    docs = [
+        (1, f"{hot} alpha beta gamma delta epsilon zeta"),
+        (2, f"{hot} alpha beta gamma delta epsilon zeta"),
+        (3, f"{hot} one two three four five six seven"),
+        (4, f"{hot} one two three four five six seven"),
+        (5, f"{hot} totally unrelated content lives in this document"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {(r["a"], r["b"]) for r in ngram_jaccard_pairs(df, 0.8).collect()}
+    assert exact == {(1, 2), (3, 4)}
+    # cap 4 drops the shingles every doc shares; jaccard is computed over
+    # the reduced universe, so the identical pairs still score 1.0
+    capped = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, 0.8, max_doc_freq=4).collect()
+    }
+    assert set(capped) == {(1, 2), (3, 4)}
+    assert all(j == 1.0 for j in capped.values())
