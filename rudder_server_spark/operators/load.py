@@ -54,6 +54,41 @@ def merge_into(
     return kept.unionByName(fresh, allowMissingColumns=True)
 
 
+# Per-destination column-count limits (warehouse/integrations/config/
+# config.go:24-34 ColumnCountLimitMap defaults).
+COLUMN_COUNT_LIMITS = {
+    "azure_synapse": 1024,
+    "bigquery": 10000,
+    "clickhouse": 1000,
+    "mssql": 1024,
+    "postgres": 1600,
+    "redshift": 1600,
+    "s3_datalake": 10000,
+}
+
+
+def enforce_column_limit(
+    table_schemas: dict[str, dict[str, str]],
+    destination_type: str,
+    limits: dict[str, int] | None = None,
+) -> None:
+    """Reject a staging upload whose consolidated table schema exceeds the
+    destination's column budget (warehouse/slave/worker.go:318-324: the
+    staging batch fails with 'schema limit exceeded' before any load file is
+    written). Destinations without a configured limit are unbounded.
+
+    Driver-side metadata check — schemas are dicts, never data."""
+    lim = (limits or COLUMN_COUNT_LIMITS).get(destination_type)
+    if lim is None:
+        return
+    for table, cols in table_schemas.items():
+        if len(cols) > lim:
+            raise ValueError(
+                f"staging file schema limit exceeded for table {table}: "
+                f"actualCount: {len(cols)}, maxAllowedCount: {lim}"
+            )
+
+
 def consolidate_schemas(
     staging_schemas: list[dict[str, str]],
     warehouse_schema: dict[str, str] | None = None,

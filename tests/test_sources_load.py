@@ -192,3 +192,20 @@ def test_schema_evolution_end_to_end():
         "ALTER TABLE tracks ADD COLUMN extra boolean",
         "ALTER TABLE tracks ADD COLUMN note text",
     ]
+
+
+def test_enforce_column_limit():
+    import pytest
+
+    from rudder_server_spark.operators.load import enforce_column_limit
+
+    small = {"tracks": {f"c{i}": "string" for i in range(10)}}
+    enforce_column_limit(small, "postgres")  # under every limit
+    enforce_column_limit(small, "unknown_destination")  # unbounded
+
+    wide = {"tracks": {f"c{i}": "string" for i in range(1001)}}
+    enforce_column_limit(wide, "bigquery")  # 10000 cap: fine
+    with pytest.raises(ValueError, match="schema limit exceeded"):
+        enforce_column_limit(wide, "clickhouse")  # 1000 cap
+    with pytest.raises(ValueError, match="maxAllowedCount: 5"):
+        enforce_column_limit(small, "postgres", limits={"postgres": 5})
