@@ -52,3 +52,12 @@ def safe_column_name(name: str, max_len: int = 63) -> str:
 
 def safe_table_name(name: str, max_len: int = 127) -> str:
     return safe_column_name(name, max_len=max_len)
+
+
+def to_provider_case(provider: str, name: str) -> str:
+    """Warehouse-accepted identifier case (warehouse/utils/utils.go:527-537
+    ToProviderCase): Snowflake (and Snowpipe streaming) uppercase table/
+    column/schema names; every other destination keeps them as-is."""
+    if provider.upper() in ("SNOWFLAKE", "SNOWPIPE_STREAMING"):
+        return name.upper()
+    return name

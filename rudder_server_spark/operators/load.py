@@ -136,3 +136,12 @@ def consolidate_table_schemas(
             col: ident.get(col, typ) for col, typ in out["users"].items()
         }
     return out
+
+
+def with_uuid_ts(df: DataFrame, ts=None) -> DataFrame:
+    """Stamp the warehouse load timestamp column ``uuid_ts`` (datetime in
+    every destination's default table schema, e.g. redshift.go:182) — the
+    reference's integrations mark each loaded row with the load time; a
+    fixed ``ts`` literal makes runs reproducible in tests."""
+    col = F.lit(ts).cast("timestamp") if ts is not None else F.current_timestamp()
+    return df.withColumn("uuid_ts", col)

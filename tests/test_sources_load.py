@@ -209,3 +209,20 @@ def test_enforce_column_limit():
         enforce_column_limit(wide, "clickhouse")  # 1000 cap
     with pytest.raises(ValueError, match="maxAllowedCount: 5"):
         enforce_column_limit(small, "postgres", limits={"postgres": 5})
+
+
+def test_provider_case_and_uuid_ts(spark):
+    import datetime as dt
+
+    from rudder_server_spark.functions.names import to_provider_case
+    from rudder_server_spark.operators.load import with_uuid_ts
+
+    assert to_provider_case("snowflake", "tracks") == "TRACKS"
+    assert to_provider_case("SNOWFLAKE", "order_completed") == "ORDER_COMPLETED"
+    assert to_provider_case("postgres", "Tracks") == "Tracks"
+
+    df = spark.createDataFrame([(1,)], "id long")
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    row = with_uuid_ts(df, ts=t0).head()
+    assert row["uuid_ts"] == t0
+    assert with_uuid_ts(df).head()["uuid_ts"] is not None
