@@ -857,6 +857,75 @@ def t28(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# t29 — unigram log-frequency scoring (perplexity-proxy quality filter)
+@register(
+    "t29_logfreq_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    perdoc AS (
+      SELECT doc_id, lang,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / t), 6)
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*), 6) AS DECIMAL(18,6)) AS score
+      FROM tok JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY doc_id, lang
+    )
+    SELECT lang, count(*) AS docs,
+           CAST(ROUND(CAST(SUM(score) AS DOUBLE) / count(*), 4) AS DOUBLE)
+             AS avg_logfreq,
+           count(*) FILTER (score < -6.5) AS n_low
+    FROM perdoc GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Perplexity-proxy quality scoring: corpus unigram LM, each document "
+        "scored by its mean token log-probability (the cheap stand-in for "
+        "KenLM/CCNet perplexity filtering); per-language doc counts, mean "
+        "score, and low-scorer counts. Shape at 100 TB: one vocab agg "
+        "(map-side combined), one token->count join — the Zipf-truncated "
+        "vocabulary broadcasts; per-token log-probs round to 6dp before the "
+        "decimal sum so both engines agree bit-for-bit."
+    ),
+    tags=("training", "text"),
+)
+def t29(spark, sf):
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("w"),
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("t"))
+    lp = F.round(F.log(F.col("c").cast("double") / F.col("t")), 6).cast("decimal(18,6)")
+    perdoc = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(lp).cast("double") / F.count("*"), 6)
+            .cast("decimal(18,6)")
+            .alias("score")
+        )
+    )
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.sum("score").cast("double") / F.count("*"), 4)
+            .cast("double")
+            .alias("avg_logfreq"),
+            F.count_if(F.col("score") < -6.5).alias("n_low"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
 # t27 — SemDeDup: k-means-clustered embedding near-dedup (Abbas et al. 2023)
 @register(
     "t27_semdedup",
