@@ -152,6 +152,34 @@ def shard_assign(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, selected deterministically: rank
+    by md5(key ++ seed) within the group (ties broken by the key) and keep
+    rank ≤ k — the per-domain cap a crawl-balancing pipeline applies (no
+    domain may dominate the mixture), stable across runs/engines/
+    partitionings like hash_split.
+
+    Unlike mixture_sample (a RATE per source), this is an absolute QUOTA —
+    small groups pass through whole, large groups truncate to exactly k.
+    Shape at scale: one shuffle on the group key + per-group sort. For
+    pathologically hot groups, pre-thin with mixture_sample (a narrow map)
+    to ~k·fanout rows before the exact window.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    w = Window.partitionBy(group_col).orderBy(h, key_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],

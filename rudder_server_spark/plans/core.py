@@ -748,3 +748,45 @@ def q34(spark, sf):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Q35 retention/expiry (F10 under the oracle gate): drop events older than
+# jobMaxAge relative to the corpus high-water mark (deterministic stand-in
+# for now()), then per-type survivor stats — the jobsdb retention sweep
+# (jobsdb.go:370-372 jobMaxAge; maxDSRetention rotation).
+@register(
+    "q35_retention",
+    """
+    WITH hw AS (SELECT max(ts) AS m FROM events)
+    SELECT event_type, count(*) AS n,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events CROSS JOIN hw
+    WHERE ts >= m - INTERVAL 7 DAY
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Retention sweep: survivors of a 7-day jobMaxAge cut anchored at the "
+        "corpus max timestamp, rolled up per event type. The age predicate "
+        "is a pushed-down scan filter at 100 TB (partition/row-group "
+        "pruning on ts); the high-water mark is one bounded metadata agg."
+    ),
+    tags=("rudder", "filters"),
+)
+def q35(spark, sf):
+    from rudder_server_spark.operators.coerce import expire_jobs
+
+    e = load_table(spark, sf, "events")
+    hw = e.agg(F.max("ts").alias("m"))
+    kept = expire_jobs(
+        e.crossJoin(F.broadcast(hw)), now=F.col("m"), created_col="ts", max_age_days=7
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("event_type")
+    )

@@ -857,6 +857,44 @@ def t28(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# t30 — per-source quota cap (domain balancing)
+@register(
+    "t30_source_quota",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM ranked WHERE rk <= 50
+    GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Per-source quota cap (domain balancing): each source keeps at most "
+        "50 documents, chosen by deterministic md5 rank — the absolute-quota "
+        "twin of t23's rate-based mixture sampling. One shuffle on the "
+        "group key + per-group sort; pre-thin hot groups with "
+        "mixture_sample at 100 TB."
+    ),
+    tags=("training", "packing"),
+)
+def t30(spark, sf):
+    from rudder_server_spark.operators.packing import quota_sample
+
+    d = load_table(spark, sf, "documents")
+    return (
+        quota_sample(d, 50)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
 # t29 — unigram log-frequency scoring (perplexity-proxy quality filter)
 @register(
     "t29_logfreq_score",

@@ -105,3 +105,22 @@ def test_shard_assign_seed_changes_permutation(spark):
     a = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 8).collect()}
     b = {r["doc_id"]: (r["shard"], r["pos"]) for r in shard_assign(df, 8, seed="s1").collect()}
     assert a != b
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(950)],
+        "doc_id long, source string",
+    )
+    from rudder_server_spark.operators.packing import quota_sample
+
+    a = quota_sample(df, 100).collect()
+    by = {}
+    for r in a:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["big"]) == 100  # truncated to the quota
+    assert len(by["small"]) == 50  # small group passes through whole
+    b = quota_sample(df.repartition(13), 100).collect()
+    assert {r["doc_id"] for r in b} == {r["doc_id"] for r in a}  # stable
+    c = quota_sample(df, 100, seed="s1").collect()
+    assert {r["doc_id"] for r in c if r["source"] == "big"} != by["big"]
