@@ -932,11 +932,14 @@ def t30(spark, sf):
 )
 def t29(spark, sf):
     d = load_table(spark, sf, "documents")
+    # lazy checkpoint: the exploded token table feeds BOTH the vocab agg and
+    # the rescore join — without it the corpus text is scanned and re-split
+    # twice (the dominant cost at 100 TB)
     tok = d.select(
         "doc_id",
         "lang",
         F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("t"))
     lp = F.round(F.log(F.col("c").cast("double") / F.col("t")), 6).cast("decimal(18,6)")

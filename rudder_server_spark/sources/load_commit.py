@@ -38,6 +38,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 _VERSIONS = "_versions"
+_COMMITTED = "_COMMITTED"
+
+
+def committed_ids(table_dir: str) -> set[str]:
+    """Every upload id that has ever committed (the append-only log)."""
+    try:
+        with open(os.path.join(table_dir, _COMMITTED)) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except FileNotFoundError:
+        return set()
+
+
+def _record_commit(table_dir: str, upload_id: str) -> None:
+    with open(os.path.join(table_dir, _COMMITTED), "a") as fh:
+        fh.write(upload_id + "\n")
+        fh.flush()
+        os.fsync(fh.fileno())
 
 
 def current_version(table_dir: str) -> str | None:
@@ -65,8 +82,18 @@ def commit_overwrite(df: DataFrame, table_dir: str, upload_id: str) -> bool:
     was already committed (idempotent retry). The snapshot is fully written
     before the pointer moves; a crash at any point leaves the previous
     version live.
+
+    Idempotency is checked against the append-only ``_COMMITTED`` log, not
+    just the live pointer: a retry of upload A arriving AFTER upload B has
+    committed must be a no-op, not a regression of the table to A. (The
+    pointer check alone would re-commit A — the reordered-retry hazard.)
     """
+    if upload_id in committed_ids(table_dir):
+        return False
     if current_version(table_dir) == upload_id:
+        # committed previously but the crash hit before the log append —
+        # heal the log so the id stays refused after later uploads move on
+        _record_commit(table_dir, upload_id)
         return False
     staged = os.path.join(table_dir, _VERSIONS, upload_id)
     df.write.mode("overwrite").parquet(staged)
@@ -77,6 +104,7 @@ def commit_overwrite(df: DataFrame, table_dir: str, upload_id: str) -> bool:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(table_dir, _POINTER))  # the commit point
+    _record_commit(table_dir, upload_id)
     return True
 
 
@@ -93,7 +121,7 @@ def commit_merge(
     publish the result under ``upload_id``. Idempotent per upload id."""
     from rudder_server_spark.operators.load import merge_into
 
-    if current_version(table_dir) == upload_id:
+    if upload_id in committed_ids(table_dir) or current_version(table_dir) == upload_id:
         return False
     existing = read_table(spark, table_dir)
     merged = merge_into(existing, staging, pk, order_col)

@@ -69,3 +69,22 @@ def test_vacuum_keeps_live(spark, tmp_path):
     left = sorted(os.listdir(os.path.join(t, "_versions")))
     assert "up-3" in left and len(left) == 2
     assert read_table(spark, t).count() == 4
+
+
+def test_reordered_retry_cannot_regress(spark, tmp_path):
+    """A retry of an OLD upload arriving after a newer one has committed
+    must be refused — the pointer-only check would regress the table."""
+    from rudder_server_spark.sources.load_commit import (
+        commit_overwrite,
+        current_version,
+        read_table,
+    )
+
+    d = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame([(1,)], "id long")
+    v2 = spark.createDataFrame([(2,)], "id long")
+    assert commit_overwrite(v1, d, "u1")
+    assert commit_overwrite(v2, d, "u2")
+    assert not commit_overwrite(v1, d, "u1")  # reordered retry: no-op
+    assert current_version(d) == "u2"
+    assert [r["id"] for r in read_table(spark, d).collect()] == [2]
