@@ -777,10 +777,11 @@ def q35(spark, sf):
     from rudder_server_spark.operators.coerce import expire_jobs
 
     e = load_table(spark, sf, "events")
-    hw = e.agg(F.max("ts").alias("m"))
-    kept = expire_jobs(
-        e.crossJoin(F.broadcast(hw)), now=F.col("m"), created_col="ts", max_age_days=7
-    )
+    # bounded metadata: one column-pruned max over parquet footer stats. As a
+    # LITERAL the age predicate reaches PushedFilters (row-group/partition
+    # pruning at 100 TB); as a joined column it would filter post-scan.
+    m = e.agg(F.max("ts")).head()[0]
+    kept = expire_jobs(e, now=F.lit(m), created_col="ts", max_age_days=7)
     return (
         kept.groupBy("event_type")
         .agg(

@@ -247,3 +247,13 @@ def test_q33_merge_load_shuffles_on_pk_only(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q35_retention_filter_pushes_down(spark):
+    """Retention: the jobMaxAge cut must be a literal predicate in
+    PushedFilters (row-group pruning skips expired data at the scan) — a
+    joined high-water-mark column would filter after reading everything."""
+    df = REG["q35_retention"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert read and "GreaterThanOrEqual(ts" in read[0]
