@@ -257,3 +257,22 @@ def test_q35_retention_filter_pushes_down(spark):
     plan = _plan(df)
     read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert read and "GreaterThanOrEqual(ts" in read[0]
+
+
+def test_t29_logfreq_no_cartesian_blowup(spark):
+    """Perplexity-proxy scoring: the only nested-loop join allowed is the
+    broadcast of the ONE-ROW corpus total; the token->vocab join must be a
+    hash/sort join on the token key, and partial aggs must combine
+    map-side."""
+    df = REG["t29_logfreq_score"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_t30_quota_single_exchange(spark):
+    """Per-source quota: the rank window and the final rollup share ONE hash
+    exchange on the group key — the sort reuses the partitioning."""
+    df = REG["t30_source_quota"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
