@@ -791,3 +791,71 @@ def q35(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q36 streaming interval join (§2.10 stream-stream joins): q25's
+# click→purchase attribution as a native watermarked stream-stream join —
+# every (purchase, click-by-same-user-within-1h-before) pair, emitted as
+# the events flow. Inner-join matches emit immediately; the watermarks
+# exist to bound buffered state, so one availableNow pass over the staged
+# stream yields the complete pair set.
+@register(
+    "q36_streaming_interval_join",
+    """
+    SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    ORDER BY purchase_event_id, click_event_id
+    """,
+    doc=(
+        "Stream-stream interval join: purchases matched to preceding-hour "
+        "clicks per user under watermarks that bound the buffered state "
+        "(retention ~ watermark + window). The streaming twin of the q25 "
+        "batch as-of join."
+    ),
+    tags=("streaming",),
+)
+def q36(spark, sf):
+    import tempfile
+
+    from rudder_server_spark.streaming.pipeline import stream_interval_join
+
+    tmp = tempfile.mkdtemp(prefix="rss_ij_")
+    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+    e = load_table(spark, sf, "events")
+    e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsus"),
+    ).coalesce(4).write.mode("overwrite").json(src)
+
+    schema = "event_id long, user_id long, event_type string, tsus long"
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .json(src)
+            .withColumn("ts", F.timestamp_micros("tsus"))
+        )
+        q = (
+            stream_interval_join(
+                stream.where(F.col("event_type") == "purchase"),
+                stream.where(F.col("event_type") == "click"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+    return spark.read.parquet(out).orderBy("purchase_event_id", "click_event_id")

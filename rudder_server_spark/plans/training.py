@@ -857,6 +857,59 @@ def t28(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# t31 — duplicated-span detection (exact-substring-dedup statistic)
+@register(
+    "t31_dup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                         || t[i+3] || ' ' || t[i+4])) AS s
+      FROM toks
+    ),
+    dfreq AS (SELECT s, count(*) AS d FROM sh GROUP BY s)
+    SELECT sid AS doc_id, count(*) AS n_grams,
+           count(*) FILTER (d >= 2) AS n_dup,
+           CAST(ROUND(CAST(count(*) FILTER (d >= 2) AS DOUBLE) / count(*), 6)
+                AS DOUBLE) AS dup_frac
+    FROM sh JOIN dfreq USING (s)
+    GROUP BY sid ORDER BY doc_id
+    """,
+    doc=(
+        "Duplicated-span detection: per document, how many of its distinct "
+        "5-gram spans appear in ANY other document (doc-frequency >= 2) — "
+        "the per-doc statistic behind exact-substring dedup (Lee et al. "
+        "2021 'Deduplicating Training Data Makes Language Models Better': "
+        "spans repeated across the corpus are the cut candidates; a full "
+        "suffix array refines WHERE, this measures HOW MUCH). One explode + "
+        "two gram-keyed shuffles; hash grams to 8 bytes at 100 TB exactly "
+        "as ngram_jaccard_pairs does."
+    ),
+    tags=("training", "dedup"),
+)
+def t31(spark, sf):
+    d = load_table(spark, sf, "documents")
+    sh = D.shingle_table(d, n=5).localCheckpoint(eager=False)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("d"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy(F.col("sid").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("d") >= 2).alias("n_dup"),
+            F.round(
+                F.count_if(F.col("d") >= 2).cast("double") / F.count("*"), 6
+            ).cast("double").alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # t30 — per-source quota cap (domain balancing)
 @register(
     "t30_source_quota",

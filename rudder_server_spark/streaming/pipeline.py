@@ -312,3 +312,36 @@ def sessionize_stream(
             "value_total",
         )
     )
+
+
+def stream_interval_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.10): each purchase joins every
+    click by the same user within the preceding ``window`` — q25's as-of
+    pattern in its native streaming form (attribution while events flow,
+    instead of a batch backfill).
+
+    Both sides carry watermarks so the join STATE is bounded: a buffered
+    click can be dropped once the watermark guarantees no future purchase
+    can reach back to it (state retention ≈ watermark + window — this is
+    what makes the operator runnable forever at scale). Inner-join matches
+    emit as soon as both sides arrive; only state cleanup waits for the
+    watermark.
+    """
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"p.user_id = c.user_id"
+            f" AND c.ts >= p.ts - INTERVAL {window}"
+            f" AND c.ts <= p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_event_id"),
+        F.col("c.event_id").alias("click_event_id"),
+    )
