@@ -67,3 +67,56 @@ def _batch_adapter(df: DataFrame) -> DataFrame:
 
 register_webhook_adapter("generic", _generic_adapter)
 register_webhook_adapter("generic_batch", _batch_adapter)
+
+
+# ---------------------------------------------------------------------------
+# Native Python UDTF form of the batch adapter (§2.12 UDTF surface). The
+# explode/from_json `_batch_adapter` above stays the hot path — it runs
+# entirely in JVM codegen — but source adapters that need IMPERATIVE parsing
+# (malformed vendor payloads, conditional event synthesis, per-element
+# error routing) get this extension point: a real table function usable
+# from SQL via `LATERAL explode_webhook_batch(body)`.
+#
+# The class is self-contained (imports inside eval) so cloudpickle ships it
+# whole to workers regardless of the driver's sys.path.
+try:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_name string, user_id string, event_json string")
+    class ExplodeWebhookBatch:
+        """One row per event in a ``{"events": [...]}`` webhook batch body;
+        undecodable bodies yield nothing, undecodable elements are skipped
+        (per-element failure isolation — the UDTF advantage over the
+        all-or-nothing from_json cast)."""
+
+        def eval(self, body: str):
+            import json as _json
+
+            try:
+                events = _json.loads(body).get("events", [])
+            except Exception:
+                return
+            if not isinstance(events, list):
+                return
+            for el in events:
+                try:
+                    e = _json.loads(el) if isinstance(el, str) else el
+                    if not isinstance(e, dict):
+                        continue
+                except Exception:
+                    continue
+                yield (
+                    e.get("event"),
+                    e.get("userId"),
+                    _json.dumps(e, sort_keys=True),
+                )
+
+    def register_batch_udtf(spark) -> None:
+        """Make the UDTF callable from SQL as ``explode_webhook_batch``."""
+        spark.udtf.register("explode_webhook_batch", ExplodeWebhookBatch)
+
+except ImportError:  # pragma: no cover — pyspark < 3.5 has no native UDTF
+    ExplodeWebhookBatch = None
+
+    def register_batch_udtf(spark) -> None:
+        raise NotImplementedError("native Python UDTFs need pyspark >= 3.5")

@@ -356,3 +356,29 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     }
     assert set(capped) == {(1, 2), (3, 4)}
     assert all(j == 1.0 for j in capped.values())
+
+
+def test_webhook_batch_udtf(spark):
+    from rudder_server_spark.sources.webhook import register_batch_udtf
+
+    register_batch_udtf(spark)
+    body = json.dumps(
+        {
+            "events": [
+                json.dumps({"event": "A", "userId": "u1"}),
+                "not json {{{",
+                json.dumps({"event": "B", "userId": "u2", "x": 1}),
+            ]
+        }
+    )
+    spark.createDataFrame([(1, body), (2, "garbage")], "id long, body string").createOrReplaceTempView(
+        "wh_payloads"
+    )
+    rows = spark.sql(
+        "SELECT p.id, t.event_name, t.user_id FROM wh_payloads p, "
+        "LATERAL explode_webhook_batch(body) t ORDER BY t.event_name"
+    ).collect()
+    assert [(r["id"], r["event_name"], r["user_id"]) for r in rows] == [
+        (1, "A", "u1"),
+        (1, "B", "u2"),
+    ]
