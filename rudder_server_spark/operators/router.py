@@ -1,0 +1,101 @@
+"""Router delivery operators: per-destination token-bucket throttling and
+exponential retry backoff.
+
+Reference behavior:
+  - router/throttler/factory.go:49-260 — per-destination token-bucket
+    pickup/delivery throttlers (rate per window, destination-specific
+    overrides from config); router/handle.go:256-320 — pickup skips jobs
+    whose destination's bucket is exhausted, deferring them to a later loop.
+  - router/worker.go:1053 + router/utils — failed jobs are re-queued with
+    ``RetryTime = exec_time + backoff(attempt)`` where backoff doubles from
+    ``minRetryBackoff`` up to ``maxRetryBackoff``, until the job aborts at
+    ``maxAttempts`` or ``jobMaxAge`` (retryTimeWindow).
+
+Spark shape: both are single-shuffle window/projection plans.
+
+  - ``throttle_pickup``: a token bucket refilled at ``cap`` tokens per
+    ``window`` admits, within each (destination, window) group, the first
+    ``cap`` jobs in delivery order — a ``row_number`` window, one shuffle on
+    (destination, window_start). At 100 TB the window granularity bounds
+    per-group size (a hot destination splits across windows), so no group
+    exceeds memory; the deferred set stays in the jobs table for the next
+    sweep exactly like the reference's skipped pickup.
+  - ``retry_backoff``: a pure narrow projection (codegen'd `least`/`pow`),
+    no shuffle at all; the age-based abort predicate compares against a
+    literal high-water mark so it reaches the parquet scan as a pushed
+    filter when the caller resolves ``now`` driver-side (see q35's pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def throttle_pickup(
+    jobs: DataFrame,
+    dest_col: str = "destination_id",
+    ts_col: str = "ts",
+    order_col: str = "job_id",
+    caps: dict | None = None,
+    default_cap: int = 50,
+    window: str = "day",
+) -> DataFrame:
+    """Token-bucket admission: adds ``window_start``, ``cap`` and boolean
+    ``picked`` columns. Within each (destination, window) the first ``cap``
+    jobs ordered by (ts, order_col) are picked; the rest are deferred —
+    the deterministic batch form of the reference's per-destination bucket
+    (throttler/factory.go:49-260), with ``caps`` carrying the per-destination
+    config overrides.
+    """
+    caps = caps or {}
+    cap: Column = F.lit(default_cap)
+    for dest, c in sorted(caps.items()):
+        cap = F.when(F.col(dest_col) == dest, F.lit(c)).otherwise(cap)
+    out = jobs.withColumn("window_start", F.date_trunc(window, F.col(ts_col)))
+    win = W.partitionBy(dest_col, "window_start").orderBy(ts_col, order_col)
+    return (
+        out.withColumn("cap", cap)
+        .withColumn("_rn", F.row_number().over(win))
+        .withColumn("picked", F.col("_rn") <= F.col("cap"))
+        .drop("_rn")
+    )
+
+
+def retry_backoff(
+    failed: DataFrame,
+    attempt_col: str = "attempt",
+    ts_col: str = "ts",
+    now: Column | None = None,
+    initial_s: int = 30,
+    max_backoff_s: int = 300,
+    max_attempts: int = 3,
+    max_age_days: int = 20,
+) -> DataFrame:
+    """Retry scheduling: adds ``backoff_s`` (doubling from ``initial_s``,
+    capped at ``max_backoff_s``), boolean ``aborted`` (attempt >=
+    max_attempts, or the job is older than ``max_age_days`` relative to
+    ``now``), and ``next_retry_at`` (null for aborted jobs) —
+    router/worker.go:1053 + router/utils abort rules.
+
+    ``now`` should be a literal (driver-resolved high-water mark or wall
+    clock) so the age predicate pushes down; powers of two up to the cap
+    are exactly representable doubles, so the backoff cast is exact.
+    """
+    backoff = F.least(
+        F.lit(max_backoff_s),
+        (F.lit(initial_s) * F.pow(F.lit(2.0), F.col(attempt_col) - 1)).cast("int"),
+    )
+    aborted = F.col(attempt_col) >= F.lit(max_attempts)
+    if now is not None:
+        aborted = aborted | (F.col(ts_col) < now - F.expr(f"INTERVAL {max_age_days} DAY"))
+    return (
+        failed.withColumn("backoff_s", backoff)
+        .withColumn("aborted", aborted)
+        .withColumn(
+            "next_retry_at",
+            F.when(
+                ~F.col("aborted"),
+                F.timestamp_add("SECOND", F.col("backoff_s"), F.col(ts_col)),
+            ),
+        )
+    )

@@ -859,3 +859,132 @@ def q36(spark, sf):
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     return spark.read.parquet(out).orderBy("purchase_event_id", "click_event_id")
+
+
+# --------------------------------------------------------------------------
+# Q37 per-destination token-bucket throttling (§2.10 "Throttling", previously
+# out of correctness scope): the router's pickup throttler as a deterministic
+# batch admission — within each (destination, day) window the first `cap`
+# jobs in delivery order are picked, the rest deferred to the next sweep
+# (router/throttler/factory.go:49-260, handle.go:256-320). The `error`
+# destination carries a lower configured cap, standing in for the adaptive
+# limiter backing off a failing destination.
+@register(
+    "q37_throttled_pickup",
+    """
+    WITH t AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS window_start,
+             CASE WHEN event_type = 'error' THEN 30 ELSE 50 END AS cap,
+             row_number() OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS picked,
+           SUM(CASE WHEN rn > cap THEN 1 ELSE 0 END) AS deferred,
+           count(DISTINCT CASE WHEN rn > cap THEN window_start END)
+             AS saturated_windows
+    FROM t GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Token-bucket pickup throttling per (destination, day) window with "
+        "per-destination cap overrides; one shuffle on (destination, "
+        "window_start) — window granularity bounds group size at 100 TB. "
+        "Ref: router/throttler/factory.go:49-260, router/handle.go:256-320"
+    ),
+    tags=("rudder", "streaming"),
+)
+def q37(spark, sf):
+    from rudder_server_spark.operators.router import throttle_pickup
+
+    e = _events(spark, sf)
+    jobs = throttle_pickup(
+        e, dest_col="event_type", ts_col="ts", order_col="event_id",
+        caps={"error": 30}, default_cap=50, window="day",
+    )
+    # roll up per (destination, window) FIRST: this agg co-partitions with
+    # the row_number window's exchange (no new shuffle), and turns the
+    # saturated-window count into a plain SUM over tiny per-window rows —
+    # avoiding count_distinct's Expand over the full jobs table.
+    per_win = jobs.groupBy("event_type", "window_start").agg(
+        F.sum(F.when(F.col("picked"), 1).otherwise(0)).alias("w_picked"),
+        F.sum(F.when(~F.col("picked"), 1).otherwise(0)).alias("w_deferred"),
+    )
+    return (
+        per_win.groupBy("event_type")
+        .agg(
+            F.sum("w_picked").alias("picked"),
+            F.sum("w_deferred").alias("deferred"),
+            F.sum(F.when(F.col("w_deferred") > 0, 1).otherwise(0)).alias(
+                "saturated_windows"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q38 retry backoff scheduling (§2.10 "Retries/backoff"): failed jobs get
+# RetryTime = exec_time + backoff(attempt), doubling 30s→300s cap, until
+# aborted at maxAttempts=3 or jobMaxAge=20d relative to the batch high-water
+# mark (router/worker.go:1053, router/utils abort rules). The attempt number
+# is derived deterministically from event_id so both engines see the same
+# job history.
+@register(
+    "q38_retry_backoff",
+    """
+    WITH hw AS (SELECT max(ts) AS m FROM events),
+    s AS (
+      SELECT 1 + CAST(event_id % 5 AS INT) AS attempt, ts,
+             LEAST(300, CAST(30 * power(2, CAST(event_id % 5 AS INT)) AS INT))
+               AS backoff_s,
+             (1 + CAST(event_id % 5 AS INT) >= 3
+              OR ts < m - INTERVAL 20 DAY) AS aborted
+      FROM events CROSS JOIN hw WHERE event_type = 'error'
+    )
+    SELECT attempt,
+           CASE WHEN aborted THEN 'aborted' ELSE 'waiting_retry' END AS state,
+           count(*) AS n,
+           min(CASE WHEN NOT aborted
+                    THEN ts + to_seconds(CAST(backoff_s AS BIGINT)) END)
+             AS min_next_retry,
+           max(CASE WHEN NOT aborted
+                    THEN ts + to_seconds(CAST(backoff_s AS BIGINT)) END)
+             AS max_next_retry
+    FROM s GROUP BY attempt, state ORDER BY attempt, state
+    """,
+    doc=(
+        "Exponential retry backoff with maxAttempts + jobMaxAge aborts; a "
+        "pure narrow projection (codegen'd least/pow) plus one small "
+        "aggregate — the age cut compares to a driver-resolved literal so "
+        "it pushes into the scan. Ref: router/worker.go:1053, router/utils"
+    ),
+    tags=("rudder", "streaming"),
+)
+def q38(spark, sf):
+    from rudder_server_spark.operators.router import retry_backoff
+
+    e = _events(spark, sf)
+    m = e.agg(F.max("ts")).head()[0]  # bounded metadata (parquet footer max)
+    failed = e.where(F.col("event_type") == "error").withColumn(
+        "attempt", (F.lit(1) + (F.col("event_id") % 5)).cast("int")
+    )
+    sched = retry_backoff(
+        failed, attempt_col="attempt", ts_col="ts", now=F.lit(m),
+        initial_s=30, max_backoff_s=300, max_attempts=3, max_age_days=20,
+    )
+    return (
+        sched.groupBy(
+            "attempt",
+            F.when(F.col("aborted"), "aborted").otherwise("waiting_retry").alias("state"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.when(~F.col("aborted"), F.col("next_retry_at"))).alias("min_next_retry"),
+            F.max(F.when(~F.col("aborted"), F.col("next_retry_at"))).alias("max_next_retry"),
+        )
+        .orderBy("attempt", "state")
+    )

@@ -276,3 +276,28 @@ def test_t30_quota_single_exchange(spark):
     df = REG["t30_source_quota"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q37_throttle_single_exchange(spark):
+    """Throttled pickup: the row_number window and the per-destination
+    rollup must not multiply exchanges — the (destination, window) window
+    partitioning subsumes the destination-only aggregate, so one hash
+    exchange covers both at 100 TB."""
+    df = REG["q37_throttled_pickup"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # window exchange + (possibly) agg re-exchange on the coarser key;
+    # anything beyond 2 means a lost partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q38_backoff_filter_pushes_down(spark):
+    """Retry backoff: the failed-subset predicate must reach PushedFilters
+    (only the error partition is read), and the backoff/abort math must be
+    a codegen'd narrow projection — no extra shuffle beyond the tiny
+    grouped rollup."""
+    df = REG["q38_retry_backoff"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert read and "EqualTo(event_type,error)" in read[0]
+    assert plan.count("Exchange hashpartitioning") <= 1

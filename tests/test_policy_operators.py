@@ -209,3 +209,64 @@ def test_recordid_dedup_key_and_batch_dedup(spark):
         for r in batch_dedup(df.drop("source_category"), record_id="record_id").collect()
     }
     assert kept2 == {"m1", "m3", "m5", "m6"}  # m4 now dedups onto m3's rec-2
+
+
+def test_throttle_pickup_caps_and_order(spark):
+    """Token-bucket admission: first `cap` jobs per (destination, window)
+    in (ts, id) order are picked; overrides apply per destination; the
+    deferred set is exactly the tail (router/throttler/factory.go)."""
+    import datetime as dt
+
+    from rudder_server_spark.operators.router import throttle_pickup
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # dest a: 3 jobs same day, cap 2 -> last (by ts) deferred
+        ("a", base + dt.timedelta(minutes=2), 1),
+        ("a", base + dt.timedelta(minutes=1), 2),
+        ("a", base + dt.timedelta(minutes=3), 3),
+        # dest a next day: bucket refills
+        ("a", base + dt.timedelta(days=1), 4),
+        # dest b: override cap 1 -> second deferred even though only 2 jobs
+        ("b", base + dt.timedelta(minutes=1), 5),
+        ("b", base + dt.timedelta(minutes=2), 6),
+    ]
+    df = spark.createDataFrame(rows, "dest string, ts timestamp, job_id long")
+    out = throttle_pickup(
+        df, dest_col="dest", ts_col="ts", order_col="job_id",
+        caps={"b": 1}, default_cap=2, window="day",
+    )
+    got = {r["job_id"]: r["picked"] for r in out.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: True, 6: False}
+
+
+def test_retry_backoff_schedule_and_aborts(spark):
+    """Backoff doubles from initial to the cap; attempt>=maxAttempts or
+    age>maxAge aborts (null next_retry); next_retry = ts + backoff
+    (router/worker.go:1053)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as SF
+
+    from rudder_server_spark.operators.router import retry_backoff
+
+    now = dt.datetime(2024, 1, 30)
+    rows = [
+        (1, dt.datetime(2024, 1, 29), 1),   # active, backoff 30
+        (2, dt.datetime(2024, 1, 29), 2),   # active, backoff 60
+        (3, dt.datetime(2024, 1, 29), 5),   # attempt cap -> aborted
+        (4, dt.datetime(2024, 1, 1), 1),    # too old -> aborted
+    ]
+    df = spark.createDataFrame(rows, "id int, ts timestamp, attempt int")
+    out = retry_backoff(
+        df, attempt_col="attempt", ts_col="ts", now=SF.lit(now),
+        initial_s=30, max_backoff_s=300, max_attempts=3, max_age_days=20,
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["backoff_s"] == 30 and not by_id[1]["aborted"]
+    assert by_id[1]["next_retry_at"] == dt.datetime(2024, 1, 29, 0, 0, 30)
+    assert by_id[2]["backoff_s"] == 60 and not by_id[2]["aborted"]
+    assert by_id[3]["aborted"] and by_id[3]["next_retry_at"] is None
+    # backoff for attempt 5 hits the 300s cap (30*2^4=480 -> 300)
+    assert by_id[3]["backoff_s"] == 300
+    assert by_id[4]["aborted"] and by_id[4]["next_retry_at"] is None
