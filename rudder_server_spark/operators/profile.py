@@ -1,0 +1,53 @@
+"""Column profiling — one-pass dataset stats (null rate, cardinality,
+min/max) for every column.
+
+Reference analog: the warehouse schema sampling / reporting path keeps
+per-column observations alongside counts (processor.go:2082-2101 retained
+samples; warehouse/schema/schema.go discovered types). A training-data
+pipeline needs the same thing as a dataset card: per-column null rates,
+cardinalities and ranges, computed in ONE scan of a 100 TB table, not one
+scan per column.
+
+Spark shape: `stack` unpivots the projected columns into (col_name, val)
+rows inside the same scan (a codegen'd generator — no shuffle, no second
+read), then a single grouped aggregate computes the stats per column. The
+group key has exactly n_cols values, so the final agg is tiny; the only
+scale knob is the distinct count:
+
+  - ``exact=False`` (the 100 TB default): ``approx_count_distinct`` (HLL,
+    map-side mergeable, no expand) — profile cost stays one scan + one
+    tiny shuffle regardless of column cardinality.
+  - ``exact=True``: exact ``count_distinct`` — a two-phase agg keyed on
+    (col_name, val); correct at any SF but pays a shuffle proportional to
+    total distinct values. Used by the q39 oracle check, where DuckDB
+    computes the same exact numbers.
+
+Values are profiled as their canonical string form (min/max are
+lexicographic for strings, chronological for timestamps rendered in the
+canonical format, numeric order for zero-padded ids is NOT guaranteed —
+the profile is an observability artifact, not a query operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, exact: bool = False
+) -> DataFrame:
+    """One-pass per-column profile: (col_name, n_nonnull, n_null,
+    n_distinct, min_s, max_s), one row per profiled column."""
+    cols = cols or df.columns
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    long_df = df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col_name, val)")
+    n_distinct = (
+        F.count_distinct("val") if exact else F.approx_count_distinct("val")
+    ).alias("n_distinct")
+    return long_df.groupBy("col_name").agg(
+        F.count("val").alias("n_nonnull"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).alias("n_null"),
+        n_distinct,
+        F.min("val").alias("min_s"),
+        F.max("val").alias("max_s"),
+    )

@@ -988,3 +988,110 @@ def q38(spark, sf):
         )
         .orderBy("attempt", "state")
     )
+
+
+# --------------------------------------------------------------------------
+# Q39 one-pass column profile (A9 observability / dataset card): per-column
+# null counts, exact cardinality and min/max over the whole events table in
+# a single scan — `stack` unpivot + one grouped agg (operators/profile.py;
+# the 100 TB default swaps exact count_distinct for approx_count_distinct).
+# Reference analog: schema sampling + reporting (processor.go:2082-2101).
+@register(
+    "q39_column_profile",
+    """
+    SELECT 'event_id' AS col_name, count(CAST(event_id AS VARCHAR)) AS n_nonnull,
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
+           min(CAST(event_id AS VARCHAR)) AS min_s, max(CAST(event_id AS VARCHAR)) AS max_s
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(CAST(ts AS VARCHAR)), SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT CAST(ts AS VARCHAR)), min(CAST(ts AS VARCHAR)), max(CAST(ts AS VARCHAR))
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(CAST(user_id AS VARCHAR)), SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT CAST(user_id AS VARCHAR)), min(CAST(user_id AS VARCHAR)), max(CAST(user_id AS VARCHAR))
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(event_type), SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT event_type), min(event_type), max(event_type)
+    FROM events
+    UNION ALL
+    SELECT 'value', count(CAST(value AS VARCHAR)), SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT CAST(value AS VARCHAR)), min(CAST(value AS VARCHAR)), max(CAST(value AS VARCHAR))
+    FROM events
+    UNION ALL
+    SELECT 'props', count(props), SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT props), min(props), max(props)
+    FROM events
+    ORDER BY col_name
+    """,
+    doc=(
+        "One-pass column profile (dataset card): stack-unpivot inside the "
+        "scan + one grouped agg — ONE read of the table where the oracle "
+        "(and a naive engine) runs one scan per column. Exact distinct for "
+        "the gate; approx_count_distinct is the 100 TB default. "
+        "Ref: processor.go:2082-2101 schema sampling"
+    ),
+    tags=("rudder", "aggregation"),
+)
+def q39(spark, sf):
+    from rudder_server_spark.operators.profile import profile_columns
+
+    e = _events(spark, sf)
+    return profile_columns(e, exact=True).orderBy("col_name")
+
+
+# --------------------------------------------------------------------------
+# Q40 TPC-H Q5-shaped multi-join (§2.4 J7 at depth): six-table star join —
+# the canonical join-order / broadcast test. region+nation are broadcast
+# literals-sized dims; customer and supplier broadcast after the region
+# filter; the only big-big join is lineitem ⋈ orders on the shared orderkey,
+# and the c_nationkey = s_nationkey condition closes the star. At 100 TB
+# the plan must keep every dim on the build side — one shuffle total.
+@register(
+    "q40_tpch_q5",
+    """
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    doc=(
+        "TPC-H Q5: local-supplier revenue per nation for one region-year. "
+        "Dims broadcast, single big-big shuffle join on orderkey."
+    ),
+)
+def q40(spark, sf):
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

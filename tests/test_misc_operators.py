@@ -382,3 +382,24 @@ def test_webhook_batch_udtf(spark):
         (1, "A", "u1"),
         (1, "B", "u2"),
     ]
+
+
+def test_profile_columns_approx_mode(spark):
+    """The 100 TB profile path: approx_count_distinct within ~5% of exact,
+    same n_null/min/max, no expand over the full value set."""
+    from rudder_server_spark.operators.profile import profile_columns
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id % 37 AS STRING) AS cat",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 1.5 END AS v",
+    )
+    exact = {r["col_name"]: r for r in profile_columns(df, exact=True).collect()}
+    approx = {r["col_name"]: r for r in profile_columns(df, exact=False).collect()}
+    for c in ("id", "cat", "v"):
+        assert approx[c]["n_null"] == exact[c]["n_null"]
+        assert approx[c]["min_s"] == exact[c]["min_s"]
+        assert approx[c]["max_s"] == exact[c]["max_s"]
+        rel = abs(approx[c]["n_distinct"] - exact[c]["n_distinct"]) / max(
+            1, exact[c]["n_distinct"]
+        )
+        assert rel <= 0.05, (c, approx[c]["n_distinct"], exact[c]["n_distinct"])

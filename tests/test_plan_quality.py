@@ -301,3 +301,28 @@ def test_q38_backoff_filter_pushes_down(spark):
     read = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert read and "EqualTo(event_type,error)" in read[0]
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q39_profile_single_scan(spark):
+    """Column profile: ONE scan of the table — the stack unpivot happens
+    inside the scan's projection (codegen generator), not as six per-column
+    scans the way the oracle computes it. The distinct agg is the only
+    shuffle pair."""
+    df = REG["q39_column_profile"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q40_tpch_q5_dims_broadcast(spark):
+    """TPC-H Q5: every dimension (region, nation, supplier, customer) stays
+    on a broadcast build side — the only join allowed to shuffle is
+    lineitem ⋈ orders; no nested-loop/cartesian anywhere. At 100 TB a
+    shuffled dim join here is the canonical scale-killer."""
+    df = REG["q40_tpch_q5"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # lineitem⋈orders may be broadcast at tiny SF or sort-merge at scale;
+    # either way there is at most the one shuffle join
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
