@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "q26_text_ops",
     "q27_similarity_topk",
     "q29_sessionize",
+    "q37_throttled_pickup",
+    "q39_column_profile",
+    "q40_tpch_q5",
     "t2_ngram_jaccard",
     "t3_minhash_lsh",
     "t13_token_topk",
