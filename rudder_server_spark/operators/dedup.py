@@ -382,3 +382,34 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", t
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefer: list | None = None,
+) -> DataFrame:
+    """Keep-BEST exact dedup: within each normalized-content group keep the
+    copy that wins the ``prefer`` ordering (default: longest text, then min
+    id), and annotate it with the group size.
+
+    ``exact_dedup`` keeps the min-id copy; real curation pipelines keep the
+    highest-quality copy — the longest version of a page, the one with the
+    best quality score — because near-identical crawls truncate or pad the
+    same content differently. Same scale shape as exact_dedup: ONE shuffle
+    on the md5 content key; the row_number and the group-size count share
+    the same window partitioning, so the annotation is free.
+    """
+    prefer = prefer or [F.length(F.col(text_col)).desc(), F.col(id_col).asc()]
+    from pyspark.sql import Window as W
+
+    key = F.md5(normalize_text(F.col(text_col)))
+    win = W.partitionBy("_k")
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(win.orderBy(*prefer)))
+        .withColumn("group_size", F.count("*").over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )

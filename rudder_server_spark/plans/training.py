@@ -1188,3 +1188,39 @@ def t23(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t32 — canonical selection within duplicate groups (keep-best, not keep-min)
+@register(
+    "t32_canonical_select",
+    """
+    SELECT doc_id, source, n_chars, group_size FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+               ORDER BY length(text) DESC, doc_id
+             ) AS rn,
+             count(*) OVER (
+               PARTITION BY lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+             ) AS group_size
+      FROM documents
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc=(
+        "Canonical selection: within each exact-duplicate group (normalized "
+        "content) keep the LONGEST copy (tie: min id) and report the group "
+        "size — the keep-best policy curation pipelines use instead of "
+        "keep-min-id, since near-identical crawls truncate the same page "
+        "differently. One shuffle on the content hash; the winner rank and "
+        "group size share one window partitioning."
+    ),
+    tags=("training", "dedup"),
+)
+def t32(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (
+        D.canonical_dedup(d)
+        .select("doc_id", "source", "n_chars", "group_size")
+        .orderBy("doc_id")
+    )

@@ -403,3 +403,21 @@ def test_profile_columns_approx_mode(spark):
             1, exact[c]["n_distinct"]
         )
         assert rel <= 0.05, (c, approx[c]["n_distinct"], exact[c]["n_distinct"])
+
+
+def test_canonical_dedup_keeps_longest(spark):
+    """Keep-best policy: longest copy wins its content group (tie -> min
+    id); group_size counts all copies; distinct contents are untouched."""
+    from rudder_server_spark.operators.dedup import canonical_dedup
+
+    # note: normalize_text strips non-[a-z0-9 ] BEFORE lower (t1's pinned
+    # semantics), so the copies here differ only in punctuation
+    rows = [
+        (1, "hello world"),        # group A, len 11
+        (2, "hello, world!!"),     # group A after normalization, len 14 -> wins
+        (3, "hello world"),        # group A
+        (4, "something else"),     # group B, alone
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["group_size"] for r in canonical_dedup(df).collect()}
+    assert out == {2: 3, 4: 1}
