@@ -1095,3 +1095,111 @@ def q40(spark, sf):
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q41 strict-order funnel — the downstream analytics query event pipelines
+# exist to feed (view → click-after-view → purchase-after-click, per user).
+# Each step is a per-user min-ts aggregate constrained to follow the prior
+# step; step frames shrink monotonically, so each join broadcasts. At
+# 100 TB the first aggregate shuffles on user_id once and every later step
+# reuses tiny broadcast sides.
+@register(
+    "q41_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, count(*) AS users FROM v
+    UNION ALL SELECT 'step2_click', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase', count(*) FROM p
+    ORDER BY step
+    """,
+    doc=(
+        "Strict-order funnel: users reaching view, click-after-view, "
+        "purchase-after-click. Step frames shrink monotonically — one "
+        "user_id shuffle then broadcast joins."
+    ),
+    tags=("aggregation", "windows"),
+)
+def q41(spark, sf):
+    e = _events(spark, sf)
+
+    def step(prev, etype):
+        src = e.where(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(
+                F.broadcast(prev.select("user_id", F.col("t").alias("_pt"))),
+                "user_id",
+            ).where(F.col("ts") > F.col("_pt"))
+        return src.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = step(None, "view")
+    c = step(v, "click")
+    p = step(c, "purchase")
+    parts = [
+        v.agg(F.count("*").alias("users")).select(F.lit("step1_view").alias("step"), "users"),
+        c.agg(F.count("*").alias("users")).select(F.lit("step2_click").alias("step"), "users"),
+        p.agg(F.count("*").alias("users")).select(F.lit("step3_purchase").alias("step"), "users"),
+    ]
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionAll(x)
+    return out.orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# Q42 weekly cohort retention — cohort = first-seen week; cell = distinct
+# users of that cohort active k weeks later. One user_id shuffle for the
+# cohort assignment (tiny result, broadcast back), then a single grouped
+# distinct count keyed on (cohort_week, offset) — bounded output.
+@register(
+    "q42_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, CAST(date_trunc('week', ts) AS DATE)) / 7 AS INT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc=(
+        "Weekly cohort retention matrix: distinct users of each first-seen "
+        "cohort active k weeks later. Cohort map is a tiny broadcast; the "
+        "distinct count is the only full shuffle."
+    ),
+    tags=("aggregation", "windows"),
+)
+def q42(spark, sf):
+    e = _events(spark, sf)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(F.broadcast(first_seen), "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+            ).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -326,3 +326,22 @@ def test_q40_tpch_q5_dims_broadcast(spark):
     # lineitem⋈orders may be broadcast at tiny SF or sort-merge at scale;
     # either way there is at most the one shuffle join
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q41_funnel_steps_broadcast(spark):
+    """Funnel: every step joins against the PRIOR step's shrinking user
+    frame as a broadcast build side — a shuffled join per step would pay
+    three full exchanges of the events table at 100 TB."""
+    df = REG["q41_funnel"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q42_cohort_broadcasts_cohort_map(spark):
+    """Cohort retention: the per-user cohort map joins back as broadcast;
+    the only full shuffle is the distinct-count aggregate."""
+    df = REG["q42_cohort_retention"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
