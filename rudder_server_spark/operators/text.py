@@ -228,3 +228,55 @@ def hash_split(
     for name, a, b in bounds[1:]:
         expr = F.when((nibble >= a) & (nibble < b), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def token_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) rows — the lowercase BPE-ish token explode t13/t29 build
+    on (one codegen'd regexp + explode, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), 0
+            )
+        ).alias("token"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document vocabulary coverage: token count, OOV count, OOV rate
+    against a vocabulary (default: the corpus top-``vocab_size`` tokens —
+    the t13 vocabulary-building primitive).
+
+    The check a training pipeline runs before committing to a tokenizer:
+    what fraction of each document falls outside the vocabulary. The
+    vocabulary is bounded (V rows) and BROADCAST, so the coverage pass is
+    one explode + map-side join + one groupBy(id) shuffle. At 100 TB the
+    vocab is a precomputed artifact (like t24's fingerprint index) passed
+    in via ``vocab``, not re-derived per run — deriving it here costs a
+    second pass over the token explode.
+    """
+    toks = token_table(df, id_col, text_col)
+    if vocab is None:
+        vocab = (
+            toks.groupBy("token")
+            .agg(F.count("*").alias("_c"))
+            .orderBy(F.desc("_c"), "token")
+            .limit(vocab_size)
+            .select("token")
+        )
+    hit = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return hit.groupBy(id_col).agg(
+        F.count("*").alias("n_tok"),
+        oov.alias("n_oov"),
+        F.round(oov.cast("double") / F.count("*"), 6).cast("double").alias("oov_rate"),
+    )

@@ -1224,3 +1224,39 @@ def t32(spark, sf):
         .select("doc_id", "source", "n_chars", "group_size")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t33 — vocabulary coverage / OOV rate against the corpus top-k vocab
+@register(
+    "t33_vocab_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]')) AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM toks
+        GROUP BY token ORDER BY c DESC, token LIMIT 100)
+    )
+    SELECT doc_id, count(*) AS n_tok,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*), 6) AS DOUBLE) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Per-document vocabulary coverage: OOV token fraction against the "
+        "corpus top-100 vocab (t13's primitive) — the tokenizer-fit check "
+        "run before training. Vocab is bounded and broadcast; coverage is "
+        "one explode + map-side join + one groupBy(doc) shuffle."
+    ),
+    tags=("training", "text"),
+)
+def t33(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return X.vocab_coverage(d, vocab_size=100).orderBy("doc_id")

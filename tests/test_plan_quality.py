@@ -345,3 +345,12 @@ def test_q42_cohort_broadcasts_cohort_map(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t33_vocab_broadcast_join(spark):
+    """Vocab coverage: the bounded vocabulary joins map-side (broadcast) —
+    a shuffled token join would re-exchange the full token explode."""
+    df = REG["t33_vocab_coverage"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
