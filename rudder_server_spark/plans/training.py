@@ -1260,3 +1260,36 @@ def t32(spark, sf):
 def t33(spark, sf):
     d = load_table(spark, sf, "documents")
     return X.vocab_coverage(d, vocab_size=100).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# t34 — approx-percentile sketch tier of t21 (mergeable corpus profiling)
+@register(
+    "t34_approx_percentiles",
+    None,  # sketch output is accuracy-bounded, not bit-reproducible in SQL
+    doc=(
+        "Approximate length percentiles per language via Spark's "
+        "approx_percentile (Greenwald-Khanna sketch): the MERGEABLE tier "
+        "of t21's exact quantile_cont — at 100 TB the sketch combines "
+        "map-side and across partitions/days without holding values, "
+        "exactly like t12's HLL vs q12's exact distinct. accuracy=10000 "
+        "bounds rank error at N/10000; closeness to t21 is unit-pinned "
+        "(tests/test_misc_operators.py) and the driver records rows-only."
+    ),
+    tags=("training", "text"),
+)
+def t34(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.approx_percentile("n_chars", F.lit(0.5), F.lit(10000))
+            .cast("double")
+            .alias("p50_chars"),
+            F.approx_percentile("n_chars", F.lit(0.95), F.lit(10000))
+            .cast("double")
+            .alias("p95_chars"),
+        )
+        .orderBy("lang")
+    )

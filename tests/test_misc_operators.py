@@ -421,3 +421,20 @@ def test_canonical_dedup_keeps_longest(spark):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     out = {r["doc_id"]: r["group_size"] for r in canonical_dedup(df).collect()}
     assert out == {2: 3, 4: 1}
+
+
+def test_t34_approx_percentiles_close_to_exact(spark):
+    """Sketch tier vs exact tier (t34 vs t21): same groups, p50/p95 within
+    the sketch's rank-error bound (loose 5% value tolerance at this SF)."""
+    from rudder_server_spark.plans.registry import load_all
+
+    reg = load_all()
+    sfd = "/root/testdata/sf0.001"
+    exact = {r["lang"]: r for r in reg["t21_length_percentiles"].spark_fn(spark, sfd).collect()}
+    approx = {r["lang"]: r for r in reg["t34_approx_percentiles"].spark_fn(spark, sfd).collect()}
+    assert set(exact) == set(approx)
+    for lang in exact:
+        assert approx[lang]["docs"] == exact[lang]["docs"]
+        for c in ("p50_chars", "p95_chars"):
+            e, a = exact[lang][c], approx[lang][c]
+            assert abs(a - e) <= max(2.0, 0.05 * e), (lang, c, a, e)
