@@ -319,6 +319,7 @@ def stream_interval_join(
     clicks: DataFrame,
     window: str = "1 hour",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY §2.10): each purchase joins every
     click by the same user within the preceding ``window`` — q25's as-of
@@ -331,6 +332,12 @@ def stream_interval_join(
     what makes the operator runnable forever at scale). Inner-join matches
     emit as soon as both sides arrive; only state cleanup waits for the
     watermark.
+
+    ``how='left_outer'`` emits unattributed purchases too (null
+    click_event_id) — but only once the watermark PASSES the purchase's
+    window, when no future click can still match it. Unmatched rows inside
+    the final watermark window of a bounded run therefore never emit; a
+    production stream flushes them as later events advance the watermark.
     """
     p = purchases.withWatermark("ts", watermark).alias("p")
     c = clicks.withWatermark("ts", watermark).alias("c")
@@ -341,6 +348,7 @@ def stream_interval_join(
             f" AND c.ts >= p.ts - INTERVAL {window}"
             f" AND c.ts <= p.ts"
         ),
+        how,
     ).select(
         F.col("p.event_id").alias("purchase_event_id"),
         F.col("c.event_id").alias("click_event_id"),

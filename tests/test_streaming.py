@@ -264,3 +264,74 @@ def test_streaming_session_windows(spark, tmp_path):
     assert row["session_start"] == t0
     assert row["session_end"] == t0 + dt.timedelta(minutes=35)
     assert row["value_total"] == 5.0
+
+
+def test_stream_interval_join_left_outer_flush(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: unattributed purchases emit
+    null-padded only once the watermark PASSES their match window; matches
+    emit immediately; purchases inside the final watermark window stay
+    buffered (never emit in a bounded run)."""
+    import datetime as dt
+    import json as _json
+
+    from rudder_server_spark.streaming.pipeline import stream_interval_join
+
+    src = str(tmp_path / "ij_src")
+    out = str(tmp_path / "ij_out")
+    ckpt = str(tmp_path / "ij_ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ev(eid, etype, uid, minutes):
+        return {
+            "event_id": eid, "event_type": etype, "user_id": uid,
+            "ts": (t0 + dt.timedelta(minutes=minutes)).isoformat(),
+        }
+
+    # P1 (user 1): no click. P2 (user 2): click C1 ten minutes before.
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for e in [ev(101, "purchase", 1, 0), ev(102, "purchase", 2, 0),
+                  ev(201, "click", 2, -10)]:
+            fh.write(_json.dumps(e) + "\n")
+
+    schema = "event_id long, event_type string, user_id long, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            stream_interval_join(
+                stream.where(F.col("event_type") == "purchase"),
+                stream.where(F.col("event_type") == "click"),
+                window="1 hour", watermark="1 hour", how="left_outer",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["purchase_event_id"], r["click_event_id"])
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {(102, 201)}  # inner match emits immediately; P1 buffered
+
+    # late activity 5h on, on BOTH sides: the global watermark is the MIN
+    # over each side's own event-time max, so a click-side watermark stuck
+    # at C1 would hold every outer row forever
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        for e in [ev(103, "purchase", 3, 300), ev(202, "click", 98, 300)]:
+            fh.write(_json.dumps(e) + "\n")
+    run_once()
+    # eviction applies the PREVIOUS batch's watermark, so one more REAL
+    # batch (a no-data availableNow run may not execute) flushes P1
+    with open(os.path.join(src, "b2.json"), "w") as fh:
+        for e in [ev(104, "purchase", 4, 301), ev(203, "click", 99, 301)]:
+            fh.write(_json.dumps(e) + "\n")
+    run_once()
+    got2 = {(r["purchase_event_id"], r["click_event_id"])
+            for r in spark.read.parquet(out).collect()}
+    # P1 flushed null-padded; P3/P4 sit inside the final watermark window
+    assert got2 == {(102, 201), (101, None)}
