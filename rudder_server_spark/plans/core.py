@@ -1203,3 +1203,47 @@ def q42(spark, sf):
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Q43 TPC-H Q14-shaped promo revenue share — lineitem ⋈ part with the part
+# dim broadcast, monthly share of promo revenue for one year. The ratio
+# divides two EXACT decimal sums (order-independent), so the double result
+# is bit-stable across engines; the month bucket keeps output bounded.
+@register(
+    "q43_tpch_q14",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           CAST(ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))),
+             4) AS DOUBLE) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY ship_month ORDER BY ship_month
+    """,
+    doc=(
+        "TPC-H Q14: monthly promo revenue share. Part dim broadcasts; one "
+        "shuffle on the month bucket (bounded groups)."
+    ),
+)
+def q43(spark, sf):
+    l = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+            .cast("double")
+            .alias("promo_share_pct")
+        )
+        .orderBy("ship_month")
+    )

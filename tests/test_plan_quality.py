@@ -354,3 +354,12 @@ def test_t33_vocab_broadcast_join(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q43_part_dim_broadcasts(spark):
+    """TPC-H Q14: the part dim must broadcast — lineitem is the only big
+    side and the month-bucket agg is the only shuffle."""
+    df = REG["q43_tpch_q14"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
