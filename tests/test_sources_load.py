@@ -226,3 +226,48 @@ def test_provider_case_and_uuid_ts(spark):
     row = with_uuid_ts(df, ts=t0).head()
     assert row["uuid_ts"] == t0
     assert with_uuid_ts(df).head()["uuid_ts"] is not None
+
+
+def test_write_clustered_prunes_by_footer_stats(spark, tmp_path):
+    """Range-clustered layout: per-file ts ranges are disjoint, so a narrow
+    ts predicate overlaps at most 1-2 of the files — the footer-stats
+    pruning that makes time-ranged scans cheap at 100 TB."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rudder_server_spark.sources.fixtures import load_table
+    from rudder_server_spark.sources.layout import write_clustered
+
+    out = str(tmp_path / "clustered")
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_clustered(e, out, ["ts"], n_files=6)
+
+    files = sorted(glob.glob(out + "/*.parquet"))
+    assert len(files) >= 5  # range partitioner may merge tiny tails
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    # disjoint (allowing boundary ties): each file's min >= previous max
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert lo2 >= hi1
+    # a predicate covering ~1/30 of the time range overlaps few files
+    total_lo, total_hi = spans[0][0], max(h for _, h in spans)
+    width = (total_hi - total_lo) / 30
+    q_lo, q_hi = total_lo + width * 10, total_lo + width * 11
+    overlapping = sum(1 for lo, hi in spans if not (hi < q_lo or lo > q_hi))
+    assert overlapping <= 2
+
+    # correctness: clustered copy is the same multiset
+    assert spark.read.parquet(out).count() == e.count()
