@@ -353,3 +353,30 @@ def stream_interval_join(
         F.col("p.event_id").alias("purchase_event_id"),
         F.col("c.event_id").alias("click_event_id"),
     )
+
+
+def suppression_refresh_sink(out_dir: str, suppression_path: str):
+    """foreachBatch sink that RE-READS the suppression list every
+    micro-batch — the streaming form of live suppression updates
+    (enterprise/suppress-user/handler.go syncs the list on a loop; the
+    gateway applies the current snapshot per request, handle.go:574-602).
+
+    Inside ``foreachBatch`` the batch DataFrame is a plain batch frame, so
+    the per-tick re-read is an ordinary broadcast anti-join against the
+    latest list state: list updates take effect at the NEXT trigger with
+    no restart, and the list never enters streaming state. At 100 TB the
+    list stays a broadcast-sized dimension (user ids), exactly like the
+    reference's in-memory suppression snapshot.
+    """
+    from rudder_server_spark.operators.filters import suppress_users
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            sup = spark.read.parquet(suppression_path).select("user_id")
+        except Exception:  # list not published yet -> suppress nothing
+            sup = spark.createDataFrame([], "user_id long")
+        kept = suppress_users(batch_df, sup, on=("user_id",))
+        kept.write.mode("append").parquet(out_dir)
+
+    return write_batch

@@ -335,3 +335,45 @@ def test_stream_interval_join_left_outer_flush(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     # P1 flushed null-padded; P3/P4 sit inside the final watermark window
     assert got2 == {(102, 201), (101, None)}
+
+
+def test_suppression_hot_reload_between_batches(spark, tmp_path):
+    """Live suppression updates: the foreachBatch sink re-reads the list
+    per micro-batch, so an updated list applies at the NEXT trigger with
+    no restart (enterprise/suppress-user sync loop + gateway snapshot)."""
+    import json as _json
+
+    from rudder_server_spark.streaming.pipeline import suppression_refresh_sink
+
+    src = str(tmp_path / "sup_src")
+    out = str(tmp_path / "sup_out")
+    ckpt = str(tmp_path / "sup_ckpt")
+    sup = str(tmp_path / "sup_list")
+    os.makedirs(src, exist_ok=True)
+
+    def write_events(fname, ids):
+        with open(os.path.join(src, fname), "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"user_id": i, "n": i * 10}) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, n long").json(src)
+        q = (
+            stream.writeStream.foreachBatch(suppression_refresh_sink(out, sup))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: no list published yet -> everyone passes
+    write_events("b0.json", [1, 2, 3])
+    run_once()
+    assert {r["user_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+
+    # publish a list suppressing user 2; batch 2 applies it without restart
+    spark.createDataFrame([(2,)], "user_id long").write.parquet(sup)
+    write_events("b1.json", [1, 2, 4])
+    run_once()
+    got = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 1, 2, 3, 4]  # the second batch's user 2 was dropped
