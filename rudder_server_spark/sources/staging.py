@@ -13,18 +13,51 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def read_staging_files(
-    spark: SparkSession, path: str, schema: str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """S4: read gz JSON-lines staging files (schema'd when known — always
-    pass one in production: schema inference is a full extra pass)."""
+    pass one in production: schema inference is a full extra pass).
+
+    ``corrupt_col``: PERMISSIVE corrupt-record capture — malformed JSON
+    lines land with every schema column null and the raw line in
+    ``corrupt_col`` instead of poisoning the batch (the gateway's
+    invalid-JSON reject, gateway/handle.go request validation; split the
+    result with ``split_corrupt`` to route them to a rejects table).
+    Requires ``schema``; the column must be appended to it.
+    """
     reader = spark.read
+    if corrupt_col:
+        if not schema:
+            raise ValueError("corrupt_col capture requires an explicit schema")
+        schema = f"{schema}, {corrupt_col} string"
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def split_corrupt(df: DataFrame, corrupt_col: str = "_corrupt_record"):
+    """(good, rejects): rows whose raw line failed to parse route to the
+    rejects frame with just the raw payload — the discards-table pattern
+    (P7) applied at ingest. Spark requires a materialization barrier
+    before filtering on the corrupt column alone; selecting the data
+    columns alongside it (as callers do) avoids the restriction, and the
+    cache here keeps the split to one read."""
+    df = df.cache()
+    good = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    rejects = df.where(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_payload")
+    )
+    return good, rejects
 
 
 def write_load_files(

@@ -271,3 +271,28 @@ def test_write_clustered_prunes_by_footer_stats(spark, tmp_path):
 
     # correctness: clustered copy is the same multiset
     assert spark.read.parquet(out).count() == e.count()
+
+
+def test_staging_corrupt_record_routing(spark, tmp_path):
+    """Malformed JSON lines route to the rejects frame with the raw line;
+    well-formed rows parse normally (gateway invalid-JSON reject)."""
+    import json as _json
+
+    from rudder_server_spark.sources.staging import read_staging_files, split_corrupt
+
+    src = tmp_path / "staging"
+    src.mkdir()
+    with open(src / "f.json", "w") as fh:
+        fh.write(_json.dumps({"message_id": "m1", "user_id": 1}) + "\n")
+        fh.write("{this is not json\n")
+        fh.write(_json.dumps({"message_id": "m2", "user_id": 2}) + "\n")
+        fh.write('{"message_id": "m3", "user_id": }\n')
+
+    df = read_staging_files(
+        spark, str(src), schema="message_id string, user_id long",
+        corrupt_col="_corrupt_record",
+    )
+    good, rejects = split_corrupt(df)
+    assert sorted(r["message_id"] for r in good.collect()) == ["m1", "m2"]
+    raw = sorted(r["raw_payload"] for r in rejects.collect())
+    assert raw == ['{"message_id": "m3", "user_id": }', "{this is not json"]
