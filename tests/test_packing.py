@@ -124,3 +124,34 @@ def test_quota_sample_caps_and_determinism(spark):
     assert {r["doc_id"] for r in b} == {r["doc_id"] for r in a}  # stable
     c = quota_sample(df, 100, seed="s1").collect()
     assert {r["doc_id"] for r in c if r["source"] == "big"} != by["big"]
+
+
+def test_resize_stub_contract(spark):
+    """Resize plumbing: schema, dims replaced, byte budget scales by area
+    ratio and never grows."""
+    from rudder_server_spark.operators.multimodal import resize_stub
+
+    rows = [(1, 100, 100, bytes(range(200))), (2, 10, 10, b"tiny"), (3, 0, 0, b"x")]
+    df = spark.createDataFrame(
+        rows, "item_id long, width int, height int, payload binary"
+    )
+    out = {r["item_id"]: r for r in resize_stub(df, 50, 50, fake=True).collect()}
+    assert out[1]["width"] == 50 and out[1]["height"] == 50
+    assert len(out[1]["payload"]) == 50  # 200 * (2500/10000)
+    assert out[2]["payload"] == b"tiny"  # upscale never grows bytes
+    assert out[3]["payload"] is None  # degenerate dims -> null
+
+
+def test_frame_sample_one_to_many(spark):
+    """Frame sampling: one row per sampled ts; expansion is partition-local
+    (no exchange in the plan)."""
+    from rudder_server_spark.operators.multimodal import frame_sample
+
+    rows = [(1, 1000, bytes(range(100))), (2, 250, b"abcdefgh"), (3, None, b"x")]
+    df = spark.createDataFrame(rows, "item_id long, duration_ms long, payload binary")
+    out = frame_sample(df, every_ms=400, fake=True)
+    got = [(r["item_id"], r["frame_idx"], r["ts_ms"]) for r in out.collect()]
+    # item 1: frames at 0,400,800; item 2: frame at 0; item 3: dropped
+    assert sorted(got) == [(1, 0, 0), (1, 1, 400), (1, 2, 800), (2, 0, 0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
