@@ -1247,3 +1247,41 @@ def q43(spark, sf):
         )
         .orderBy("ship_month")
     )
+
+
+# --------------------------------------------------------------------------
+# Q44 pivot — §2.5's reshaping surface: daily event counts pivoted to one
+# column per event type. Pivot values are PINNED (the 5 known types), which
+# is what makes the schema static and the plan a single grouped aggregate —
+# an unpinned pivot pays an extra distinct-values job before planning, the
+# thing to avoid at 100 TB.
+@register(
+    "q44_pivot_daily_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY day ORDER BY day
+    """,
+    doc=(
+        "Daily counts pivoted per event type with pinned pivot values "
+        "(static schema, one grouped agg, no distinct-discovery job)."
+    ),
+    tags=("aggregation",),
+)
+def q44(spark, sf):
+    e = _events(spark, sf)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .orderBy("day")
+    )
+    # pivot emits nullable longs; absent cells are 0 in the CASE-sum oracle
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
