@@ -636,3 +636,72 @@ def q32(spark, sf):
             "merge_property_2_type", "merge_property_2_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q45 tracking-plan validation (P14 under the oracle gate): the compiled
+# plan's violation_errors array, exploded and counted per (event_name,
+# violation). Rules exercised: required-but-json-null (coupon), required-
+# and-present (price, never fires), type mismatch (currency must be number),
+# and the allowed-events whitelist (Cart Cleared is off-plan). The whole
+# validation is one codegen'd projection over a single try_parse_json
+# (trackingplan_validation.go:74-144 semantics, no remote transformer).
+_Q45_PLAN = {
+    "required": ["properties.coupon", "properties.price"],
+    "types": {"properties.currency": "number"},
+    "allowed_events": ["Order Completed", "Product Viewed"],
+}
+
+
+@register(
+    "q45_trackingplan",
+    f"""
+    WITH t AS (
+      SELECT event_name, payload
+      FROM read_parquet('{_ORACLE_PATH}') WHERE event_type = 'track'
+    ),
+    v AS (
+      SELECT event_name,
+             'missing required property: properties.coupon' AS violation
+      FROM t WHERE json_extract_string(payload, '$.properties.coupon') IS NULL
+      UNION ALL
+      SELECT event_name, 'missing required property: properties.price'
+      FROM t WHERE json_extract_string(payload, '$.properties.price') IS NULL
+      UNION ALL
+      SELECT event_name, 'type mismatch: properties.currency must be number'
+      FROM t
+      WHERE json_extract_string(payload, '$.properties.currency') IS NOT NULL
+        AND TRY_CAST(json_extract_string(payload, '$.properties.currency') AS DOUBLE)
+            IS NULL
+      UNION ALL
+      SELECT event_name, 'event not in tracking plan: ' || event_name
+      FROM t
+      WHERE event_name IS NOT NULL
+        AND event_name NOT IN ('Order Completed', 'Product Viewed')
+    )
+    SELECT event_name, violation, count(*) AS n
+    FROM v GROUP BY event_name, violation ORDER BY event_name, violation
+    """,
+    doc=(
+        "Tracking-plan validation violations per (event_name, rule): "
+        "required / type / whitelist rules compiled to ONE codegen'd "
+        "projection over a shared try_parse_json — no row-at-a-time "
+        "schema interpreter. Ref: trackingplan_validation.go:74-144"
+    ),
+    tags=("rudder",),
+)
+def q45(spark, sf):
+    from rudder_server_spark.operators.trackingplan import validate_tracking_plan
+
+    src = _load(spark, sf).where(F.col("event_type") == "track")
+    validated = validate_tracking_plan(
+        src, _Q45_PLAN, payload_col="payload", event_name_col="event_name"
+    )
+    return (
+        validated.select(
+            "event_name", F.explode("violation_errors").alias("violation")
+        )
+        .groupBy("event_name", "violation")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_name", "violation")
+    )
