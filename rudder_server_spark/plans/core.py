@@ -1285,3 +1285,63 @@ def q44(spark, sf):
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
     )
+
+
+# --------------------------------------------------------------------------
+# Q46 CDC apply — the jobsdb status log generalized: a change stream of
+# I(nsert)/U(pdate)/D(elete) ops keyed by user collapses to final state by
+# LATEST op per key, with deletes erasing the row (jobsdb.go:489-521 state
+# machine terminality; q33's merge-load is the delete-free special case).
+# One shuffle on the key; at 100 TB this is the standard snapshot-compaction
+# pass over a CDC log (Delta/Hudi MERGE semantics on plain parquet).
+@register(
+    "q46_cdc_apply",
+    """
+    WITH ops AS (
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+                             ELSE 'U' END AS op,
+             value, ts, event_id
+      FROM events WHERE event_type IN ('signup', 'click', 'error')
+    ),
+    latest AS (
+      SELECT user_id, op, value, ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM ops
+    )
+    SELECT user_id, op AS last_op,
+           CAST(ROUND(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS value, ts
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """,
+    doc=(
+        "CDC log → snapshot: latest op per key wins, deletes erase the "
+        "row. One shuffle on the key — the compaction pass a CDC sink "
+        "runs over plain parquet (Delta MERGE semantics incl. delete)."
+    ),
+    tags=("rudder", "joins"),
+)
+def q46(spark, sf):
+    e = _events(spark, sf)
+    ops = e.where(F.col("event_type").isin("signup", "click", "error")).select(
+        "user_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "value", "ts", "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.round(F.col("value").cast("decimal(18,6)"), 2).cast("double").alias("value"),
+            "ts",
+        )
+        .orderBy("user_id")
+    )
