@@ -107,3 +107,55 @@ def test_flatten_lossless(spark, data):
                 assert got == want or got == float(want), (col, got, want)
             else:
                 assert got == want, (col, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Router throttle invariants (q37's operator) under random job batches
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_throttle_pickup_invariants(spark, data):
+    """For ANY job batch: (1) per (dest, window) picked == min(cap, group
+    size); (2) picked ∪ deferred partitions the batch; (3) the picked set
+    is the (ts, id)-earliest prefix of each group."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.operators.router import throttle_pickup
+
+    base = dt.datetime(2024, 3, 1)
+    n = data.draw(st.integers(1, 60))
+    rows = [
+        (
+            data.draw(st.sampled_from(["a", "b", "c"])),
+            base + dt.timedelta(
+                days=data.draw(st.integers(0, 2)),
+                minutes=data.draw(st.integers(0, 1000)),
+            ),
+            i,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "dest string, ts timestamp, job_id long")
+    cap = data.draw(st.integers(1, 10))
+    out = throttle_pickup(
+        df, dest_col="dest", ts_col="ts", order_col="job_id",
+        caps={"b": max(1, cap // 2)}, default_cap=cap, window="day",
+    ).collect()
+
+    assert len(out) == n  # partition: every job appears exactly once
+    by_group = {}
+    for r in out:
+        by_group.setdefault((r["dest"], r["window_start"]), []).append(r)
+    for (dest, _), grp in by_group.items():
+        c = max(1, cap // 2) if dest == "b" else cap
+        picked = [r for r in grp if r["picked"]]
+        assert len(picked) == min(c, len(grp))
+        # earliest-prefix property: every picked sorts before every deferred
+        key = lambda r: (r["ts"], r["job_id"])
+        if len(picked) < len(grp):
+            worst_picked = max(key(r) for r in picked)
+            best_deferred = min(key(r) for r in grp if not r["picked"])
+            assert worst_picked < best_deferred
