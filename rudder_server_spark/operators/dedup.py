@@ -413,3 +413,44 @@ def canonical_dedup(
         .where(F.col("_rn") == 1)
         .drop("_k", "_rn")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact DIRECTED pairs (a, b, a != b) where containment
+    C(a→b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ threshold —
+    the ASYMMETRIC near-dup relation Jaccard misses: a short document
+    quoted inside a long one scores C≈1 from the short side while the
+    pair's Jaccard stays tiny (Lee et al. 2021 use both; containment
+    catches subset/quotation duplication).
+
+    Same plan skeleton as ngram_jaccard_pairs (shingle self-join, one
+    intersection count per pair) but normalized by the SOURCE side's set
+    size only, and emitted in both directions. Rounded to 6 decimals so
+    the division is portable across engines.
+    """
+    base = _shingle_base(df, id_col, text_col, n)
+    sh = _exploded(base)
+    sizes = base.select("sid", "sz")
+    a = sh.select(F.col("sid").alias("a"), "sh")
+    b = sh.select(F.col("sid").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("sid").alias("a"), F.col("sz").alias("sza")), "a")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter").cast("double") / F.col("sza"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )

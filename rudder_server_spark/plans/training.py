@@ -1293,3 +1293,41 @@ def t34(spark, sf):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t35 — asymmetric containment near-dup (quoted/subset duplication)
+@register(
+    "t35_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks
+    ),
+    sizes AS (SELECT sid, count(*) AS sz FROM sh GROUP BY sid),
+    inter AS (
+      SELECT x.sid AS a, y.sid AS b, count(*) AS i
+      FROM sh x JOIN sh y ON x.sh = y.sh AND x.sid <> y.sid
+      GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(CAST(i AS DOUBLE) / sa.sz, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.sid = a
+    WHERE ROUND(CAST(i AS DOUBLE) / sa.sz, 6) >= 0.8
+    ORDER BY a, b
+    """,
+    doc=(
+        "Directed containment pairs C(a→b) = |A∩B|/|A| ≥ 0.8: the "
+        "asymmetric near-dup relation Jaccard misses — a short document "
+        "quoted inside a long one scores ~1 from the short side. Same "
+        "shingle-join skeleton as t2, normalized by the source side only."
+    ),
+    tags=("training", "dedup"),
+)
+def t35(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.ngram_containment_pairs(d, threshold=0.8).orderBy("a", "b")

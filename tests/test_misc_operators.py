@@ -438,3 +438,26 @@ def test_t34_approx_percentiles_close_to_exact(spark):
         for c in ("p50_chars", "p95_chars"):
             e, a = exact[lang][c], approx[lang][c]
             assert abs(a - e) <= max(2.0, 0.05 * e), (lang, c, a, e)
+
+
+def test_containment_asymmetry(spark):
+    """A short doc quoted inside a long one: containment ≈ 1 from the
+    short side, well below 1 from the long side, while the pair's Jaccard
+    stays under a dedup threshold — the case t35 exists to catch."""
+    from rudder_server_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro words here . " + quote + " . and then many more words follow "
+        "that pad this document out with unrelated content entirely"
+    )
+    df = spark.createDataFrame([(1, quote), (2, long_doc)], "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["containment"]
+             for r in ngram_containment_pairs(df, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0          # every shingle of the quote is in the long doc
+    assert pairs[(2, 1)] < 0.5           # but the long doc is mostly novel
+    jac = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert jac and jac[0]["jaccard"] < 0.5  # Jaccard alone would miss this pair
