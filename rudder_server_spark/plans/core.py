@@ -1345,3 +1345,47 @@ def q46(spark, sf):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q47 hopping windows — §2.6 native `window()` with a slide: 10-minute
+# windows every 5 minutes, so each event lands in exactly two windows (the
+# streaming-compatible windowed-agg shape; same expression runs under
+# readStream + watermark unchanged). The oracle unnests each event into
+# its two window starts — the relational definition of the hop.
+@register(
+    "q47_hopping_windows",
+    """
+    SELECT wstart, count(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([
+               to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
+               to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
+             ]) AS wstart,
+             value
+      FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY wstart ORDER BY wstart
+    """,
+    doc=(
+        "Hopping windows (10 min window, 5 min slide) over purchases: "
+        "each event contributes to exactly two windows; the identical "
+        "expression is streaming-ready under a watermark."
+    ),
+    tags=("windows", "streaming"),
+)
+def q47(spark, sf):
+    e = _events(spark, sf)
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n", "sum_value")
+        .orderBy("wstart")
+    )
