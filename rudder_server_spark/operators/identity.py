@@ -160,3 +160,46 @@ def apply_merge_rules(
             )
         )
     return connected_components(edges)
+
+
+def fuzzy_identifier_pairs(
+    df: DataFrame,
+    id_col: str,
+    max_dist: int = 1,
+    block_prefix: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct identifiers whose edit
+    distance ≤ ``max_dist``, found via BLOCKING — pairs are only compared
+    inside a (length-bucket, prefix) block, which bounds the quadratic
+    all-pairs to per-block sizes (the standard ER blocking scheme; the
+    reference's identity graph joins exact identifiers — this is the fuzzy
+    pre-pass that feeds typo'd emails into the same merge-rule machinery).
+
+    Length bucket = len/2 (strings within distance 1 can differ by one
+    char, so they share a ±1 length window — bucketing len/2 plus
+    comparing adjacent buckets would be fully general; with equal-prefix
+    blocking the common case collapses to same-bucket). One shuffle on the
+    block key; per-block |b|² comparisons stay codegen'd (levenshtein is a
+    built-in). Returns (a, b, dist) with a < b.
+    """
+    ids = df.select(F.col(id_col).alias("ident")).where(
+        F.col("ident").isNotNull()
+    ).distinct()
+    blocked = ids.select(
+        "ident",
+        F.substring("ident", 1, block_prefix).alias("_pfx"),
+        F.floor(F.length("ident") / 2).cast("int").alias("_lb"),
+    )
+    a = blocked.select(
+        F.col("ident").alias("a"), F.col("_pfx").alias("pa"), F.col("_lb").alias("la")
+    )
+    b = blocked.select(
+        F.col("ident").alias("b"), F.col("_pfx").alias("pb"), F.col("_lb").alias("lb")
+    )
+    return (
+        a.join(b, (F.col("pa") == F.col("pb")) & (F.col("la") == F.col("lb")))
+        .where(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("a", "b"))
+        .where(F.col("dist") <= max_dist)
+        .select("a", "b", "dist")
+    )

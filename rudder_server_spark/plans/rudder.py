@@ -705,3 +705,48 @@ def q45(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("event_name", "violation")
     )
+
+
+# --------------------------------------------------------------------------
+# Q48 fuzzy identity matching (J4's fuzzy pre-pass): distinct identify
+# emails whose edit distance ≤ 1, via (prefix, length-bucket) blocking —
+# the ER candidate generation that feeds typo'd identifiers into the same
+# merge-rule machinery the identity graph runs on exact matches. One
+# shuffle on the block key; per-block comparisons stay codegen'd
+# (levenshtein builtin in both engines).
+@register(
+    "q48_fuzzy_identity",
+    f"""
+    WITH ids AS (
+      SELECT DISTINCT json_extract_string(payload, '$.traits.email') AS ident
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE event_type = 'identify'
+        AND json_extract_string(payload, '$.traits.email') IS NOT NULL
+    ),
+    blocked AS (
+      SELECT ident, substr(ident, 1, 2) AS pfx,
+             CAST(floor(length(ident) / 2) AS INT) AS lb
+      FROM ids
+    )
+    SELECT x.ident AS a, y.ident AS b, levenshtein(x.ident, y.ident) AS dist
+    FROM blocked x JOIN blocked y
+      ON x.pfx = y.pfx AND x.lb = y.lb AND x.ident < y.ident
+    WHERE levenshtein(x.ident, y.ident) <= 1
+    ORDER BY a, b
+    """,
+    doc=(
+        "Fuzzy identifier candidate pairs (edit distance ≤ 1) via "
+        "blocking — the ER pre-pass for the identity graph. "
+        "Ref: idresolution.go merge rules (exact); blocking bounds the "
+        "quadratic to per-block sizes at scale."
+    ),
+    tags=("rudder", "joins"),
+)
+def q48(spark, sf):
+    from rudder_server_spark.operators.identity import fuzzy_identifier_pairs
+
+    src = _load(spark, sf).where(F.col("event_type") == "identify")
+    emails = src.select(
+        F.get_json_object("payload", "$.traits.email").alias("email")
+    )
+    return fuzzy_identifier_pairs(emails, "email", max_dist=1).orderBy("a", "b")
