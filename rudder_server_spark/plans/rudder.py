@@ -750,3 +750,55 @@ def q48(spark, sf):
         F.get_json_object("payload", "$.traits.email").alias("email")
     )
     return fuzzy_identifier_pairs(emails, "email", max_dist=1).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# Q49 transport-lag profile (P2 observability): distribution of
+# received_at − sent_at per event type — the clock-skew statistic the
+# timestamp-derivation rule corrects for (gateway/handle.go:1053 skew
+# correction; q15 applies it, this measures it). Integer-µs lag keeps the
+# percentile interpolation bit-stable across engines.
+@register(
+    "q49_transport_lag",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(ROUND(quantile_cont(lag_ms, 0.5), 3) AS DOUBLE) AS p50_ms,
+           CAST(ROUND(quantile_cont(lag_ms, 0.95), 3) AS DOUBLE) AS p95_ms,
+           CAST(max(lag_ms) AS BIGINT) AS max_ms
+    FROM (
+      SELECT event_type,
+             date_diff('microsecond', sent_at, received_at) / 1000 AS lag_ms
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE sent_at IS NOT NULL AND received_at IS NOT NULL
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Per-type transport lag (received_at − sent_at) percentiles — the "
+        "clock-skew statistic P2's timestamp derivation corrects for. "
+        "Narrow µs arithmetic + one bounded group agg."
+    ),
+    tags=("rudder", "aggregation"),
+)
+def q49(spark, sf):
+    src = _load(spark, sf).where(
+        F.col("sent_at").isNotNull() & F.col("received_at").isNotNull()
+    )
+    lag_ms = (
+        (
+        F.unix_micros(F.col("received_at").cast("timestamp"))
+        - F.unix_micros(F.col("sent_at").cast("timestamp"))
+    ) / 1000
+    ).alias("lag_ms")
+    return (
+        src.select("event_type", lag_ms)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("lag_ms", F.lit(0.5)), 3).cast("double").alias("p50_ms"),
+            F.round(F.percentile("lag_ms", F.lit(0.95)), 3).cast("double").alias("p95_ms"),
+            F.max("lag_ms").cast("bigint").alias("max_ms"),
+        )
+        .orderBy("event_type")
+    )
