@@ -120,3 +120,56 @@ except ImportError:  # pragma: no cover — pyspark < 3.5 has no native UDTF
 
     def register_batch_udtf(spark) -> None:
         raise NotImplementedError("native Python UDTFs need pyspark >= 3.5")
+
+
+def _envelope_adapter(df: DataFrame) -> DataFrame:
+    """'data-envelope' family (Stripe-style `{"type": t, "created": epoch,
+    "data": {...}}`): event named by the envelope type, timestamp from the
+    epoch seconds, the inner object as properties — all codegen'd."""
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(F.get_json_object("body", "$.created"))),
+        F.col("received_at"),
+    )
+    return df.select(
+        F.expr("uuid()").alias("message_id"),
+        F.get_json_object("body", "$.data.userId").alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(
+            F.get_json_object("body", "$.type"), F.lit("webhook_event")
+        ).alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                F.from_json(
+                    F.get_json_object("body", "$.data"), "map<string,string>"
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _form_adapter(df: DataFrame) -> DataFrame:
+    """form-encoded family (`k=v&k2=v2` bodies): parsed with str_to_map —
+    no JSON at all; event name from the `event` field."""
+    kv = F.str_to_map(F.col("body"), F.lit("&"), F.lit("="))
+    return df.select(
+        F.expr("uuid()").alias("message_id"),
+        kv.getItem("userId").alias("user_id"),
+        kv.getItem("anonymousId").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(kv.getItem("event"), F.lit("webhook_event")).alias("event_name"),
+        F.col("received_at"),
+        F.col("received_at").alias("sent_at"),
+        F.col("received_at").alias("original_timestamp"),
+        F.to_json(
+            F.struct(F.lit("track").alias("type"), kv.alias("properties"))
+        ).alias("payload"),
+    )
+
+
+register_webhook_adapter("data_envelope", _envelope_adapter)
+register_webhook_adapter("form", _form_adapter)

@@ -461,3 +461,30 @@ def test_containment_asymmetry(spark):
     assert pairs[(2, 1)] < 0.5           # but the long doc is mostly novel
     jac = ngram_jaccard_pairs(df, threshold=0.0).collect()
     assert jac and jac[0]["jaccard"] < 0.5  # Jaccard alone would miss this pair
+
+
+def test_webhook_envelope_and_form_adapters(spark):
+    """The two other common webhook families: epoch-stamped data envelope
+    and form-encoded bodies — both land in the standard event envelope."""
+    import datetime as dtm
+
+    from rudder_server_spark.sources.webhook import adapt_webhook
+
+    t0 = dtm.datetime(2024, 2, 1, 10, 30, 0)
+    env_body = json.dumps(
+        {"type": "customer.created", "created": 1706745600,
+         "data": {"userId": "u9", "plan": "pro"}}
+    )
+    df = spark.createDataFrame([(env_body, t0)], "body string, received_at timestamp")
+    out = adapt_webhook(df, "data_envelope").head()
+    assert out["event_name"] == "customer.created" and out["user_id"] == "u9"
+    assert out["sent_at"] == dtm.datetime(2024, 2, 1, 0, 0, 0)  # epoch, UTC session
+    assert json.loads(out["payload"])["properties"]["plan"] == "pro"
+
+    form = spark.createDataFrame(
+        [("event=Signed+Up&userId=u3&plan=free", t0)],
+        "body string, received_at timestamp",
+    )
+    fo = adapt_webhook(form, "form").head()
+    assert fo["event_name"] == "Signed+Up" and fo["user_id"] == "u3"
+    assert json.loads(fo["payload"])["properties"]["plan"] == "free"
