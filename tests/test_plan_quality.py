@@ -363,3 +363,23 @@ def test_q43_part_dim_broadcasts(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0
+
+
+def test_q45_trackingplan_single_scan_single_parse(spark):
+    """Tracking-plan validation: ONE scan, ONE try_parse_json shared by
+    every rule (the compile-to-columns point — no per-rule re-parse, no
+    row-at-a-time interpreter), one bounded agg exchange."""
+    df = REG["q45_trackingplan"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    # codegen'd projection: no BatchEvalPython / mapInPandas anywhere
+    assert "Python" not in plan
+
+
+def test_q48_fuzzy_blocking_no_cartesian(spark):
+    """Fuzzy identity pairs: the self-join must key on the block columns
+    (hash join), never degenerate to a cartesian/nested-loop — blocking IS
+    the scale guarantee."""
+    df = REG["q48_fuzzy_identity"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
