@@ -39,7 +39,7 @@ def profile_columns(
     """One-pass per-column profile: (col_name, n_nonnull, n_null,
     n_distinct, min_s, max_s), one row per profiled column."""
     cols = cols or df.columns
-    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
     long_df = df.selectExpr(f"stack({len(cols)}, {pairs}) AS (col_name, val)")
     n_distinct = (
         F.count_distinct("val") if exact else F.approx_count_distinct("val")

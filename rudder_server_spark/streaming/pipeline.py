@@ -380,3 +380,44 @@ def suppression_refresh_sink(out_dir: str, suppression_path: str):
         kept.write.mode("append").parquet(out_dir)
 
     return write_batch
+
+
+def transactional_warehouse_sink(out_dir: str):
+    """foreachBatch fan-out sink committed through the atomic pointer-swap
+    protocol (sources/load_commit.py) with ``upload_id = epoch-<id>`` —
+    unifying the streaming and batch commit stories: a REPLAYED epoch
+    (crash between sink completion and checkpoint commit — the window
+    where plain parquet append double-writes) is refused by the
+    idempotency log, so every table advances exactly once per epoch.
+    Per-table MERGE semantics where the table carries (id, received_at);
+    tables without a pk column publish as whole-snapshot overwrites.
+    """
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+    from rudder_server_spark.sources.load_commit import (
+        commit_merge,
+        commit_overwrite,
+        read_table,
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        upload_id = f"epoch-{epoch_id:020d}"
+        batch_df = batch_df.localCheckpoint(eager=True)
+        for name, table in event_table_fanout(batch_df, materialize=True).items():
+            tdir = os.path.join(out_dir, name)
+            if "id" in table.columns and "received_at" in table.columns:
+                commit_merge(
+                    spark, table, tdir, upload_id, pk=("id",), order_col="received_at"
+                )
+            else:
+                existing = read_table(spark, tdir)
+                union = (
+                    existing.unionByName(table, allowMissingColumns=True)
+                    if existing is not None
+                    else table
+                )
+                commit_overwrite(union, tdir, upload_id)
+
+    return write_batch

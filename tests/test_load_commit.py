@@ -88,3 +88,57 @@ def test_reordered_retry_cannot_regress(spark, tmp_path):
     assert not commit_overwrite(v1, d, "u1")  # reordered retry: no-op
     assert current_version(d) == "u2"
     assert [r["id"] for r in read_table(spark, d).collect()] == [2]
+
+
+def test_transactional_streaming_sink_epoch_replay(spark, tmp_path):
+    """The streaming/batch commit unification: a replayed epoch (same
+    epoch_id re-delivered after a crash-before-checkpoint) is a no-op —
+    the table advances exactly once per epoch; a later epoch merges on pk
+    without duplicating."""
+    import json as _json
+    import os as _os
+
+    from rudder_server_spark.sources.load_commit import read_table
+    from rudder_server_spark.streaming.pipeline import (
+        ENVELOPE_SCHEMA,
+        transactional_warehouse_sink,
+    )
+
+    out = str(tmp_path / "wh")
+
+    def batch(ids, ts="2024-02-01T00:00:05.000Z"):
+        rows = [
+            {
+                "message_id": f"m-{i}", "user_id": i, "anonymous_id": f"a-{i}",
+                "event_type": "track", "event_name": "Order Completed",
+                "received_at": ts, "sent_at": ts, "original_timestamp": ts,
+                "payload": _json.dumps(
+                    {"type": "track", "properties": {"price": 1.0 + i},
+                     "context": {"ip": f"10.0.0.{i}"}}
+                ),
+            }
+            for i in ids
+        ]
+        p = tmp_path / f"b{len(ids)}.json"
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        return (
+            spark.read.schema(ENVELOPE_SCHEMA).json(str(p))
+            .withColumn("received_at", F.col("received_at").cast("timestamp"))
+        )
+
+    sink = transactional_warehouse_sink(out)
+    b1 = batch([1, 2, 3])
+    sink(b1, epoch_id=7)
+    tracks = read_table(spark, _os.path.join(out, "tracks"))
+    assert tracks.count() == 3
+
+    sink(b1, epoch_id=7)  # replayed epoch -> refused, no double-apply
+    assert read_table(spark, _os.path.join(out, "tracks")).count() == 3
+
+    # next epoch: one overlapping id (merge, not append) + one new
+    sink(batch([3, 4]), epoch_id=8)
+    t2 = read_table(spark, _os.path.join(out, "tracks"))
+    assert t2.count() == 4
+    assert t2.select("id").distinct().count() == 4
