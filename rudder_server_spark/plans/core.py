@@ -1389,3 +1389,100 @@ def q47(spark, sf):
         .select(F.col("w.start").alias("wstart"), "n", "sum_value")
         .orderBy("wstart")
     )
+
+
+# --------------------------------------------------------------------------
+# Q50 within-session funnel — q29's gap sessions composed with q41's
+# ordered steps: a session converts when it contains view → click →
+# purchase IN ORDER inside the session. Ordered-subsequence detection is
+# three conditional min-aggregates per session (min view, min click after
+# that view, min purchase after that click) — same single (user_id)
+# partitioning as the sessionizer, so the whole query is ONE shuffle plus
+# bounded rollups.
+@register(
+    "q50_session_funnel",
+    """
+    WITH marks AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess_no
+      FROM marks
+    ),
+    steps AS (
+      SELECT user_id, sess_no,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v
+      FROM sess GROUP BY user_id, sess_no
+    ),
+    steps2 AS (
+      SELECT s.user_id, s.sess_no, steps.v,
+             min(CASE WHEN s.event_type = 'click' AND s.ts > steps.v THEN s.ts END) AS c
+      FROM sess s JOIN steps ON s.user_id = steps.user_id AND s.sess_no = steps.sess_no
+      GROUP BY s.user_id, s.sess_no, steps.v
+    ),
+    steps3 AS (
+      SELECT s.user_id, s.sess_no, steps2.v, steps2.c,
+             min(CASE WHEN s.event_type = 'purchase' AND s.ts > steps2.c THEN s.ts END) AS p
+      FROM sess s JOIN steps2 ON s.user_id = steps2.user_id AND s.sess_no = steps2.sess_no
+      GROUP BY s.user_id, s.sess_no, steps2.v, steps2.c
+    )
+    SELECT count(*) AS sessions,
+           SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS with_view,
+           SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS view_then_click,
+           SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS full_conversion
+    FROM steps3
+    """,
+    doc=(
+        "Within-session ordered funnel: sessions containing view → click → "
+        "purchase in order. One (user_id) shuffle shared by the sessionizer "
+        "windows; step detection is conditional min-aggregates."
+    ),
+    tags=("windows", "aggregation"),
+)
+def q50(spark, sf):
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.make_dt_interval(F.lit(0), F.lit(0), F.lit(30), F.lit(0.0))
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | ((F.col("ts") - F.lag("ts").over(w)) > gap),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    # step 1: min view ts per session (window keeps the (user) partitioning)
+    sw = W.partitionBy("user_id", "sess_no")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(sw)
+    with_v = sess.withColumn("v", v)
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v")), F.col("ts"))
+    ).over(sw)
+    with_c = with_v.withColumn("c", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c")), F.col("ts")
+        )
+    ).over(sw)
+    per_sess = (
+        with_c.withColumn("p", p)
+        .groupBy("user_id", "sess_no")
+        .agg(F.first("v").alias("v"), F.first("c").alias("c"), F.first("p").alias("p"))
+    )
+    return per_sess.agg(
+        F.count("*").alias("sessions"),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias("with_view"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias("view_then_click"),
+        F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0)).alias("full_conversion"),
+    )

@@ -383,3 +383,13 @@ def test_q48_fuzzy_blocking_no_cartesian(spark):
     df = REG["q48_fuzzy_identity"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q50_session_funnel_single_exchange(spark):
+    """Sessionize + ordered funnel: the (user_id) window partitioning is
+    shared by the gap marks, the session numbering, all three step
+    windows AND the per-session rollup — exactly ONE hash exchange for
+    the whole pipeline."""
+    df = REG["q50_session_funnel"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
