@@ -8,6 +8,7 @@ oracle read the same generated file, keeping the comparison sound.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rudder_server_spark.operators.flatten import flatten_events
@@ -801,4 +802,96 @@ def q49(spark, sf):
             F.max("lag_ms").cast("bigint").alias("max_ms"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q51 SCD Type-2 trait history (J3's temporal twin): the identifies stream
+# becomes a slowly-changing dimension — one versioned row per (user, plan)
+# CHANGE with [valid_from, valid_to) intervals from lead() and a current
+# flag. The identifies table keeps full history and users keeps latest
+# (warehouse users-table semantics); SCD2 is the interval view warehouse
+# modelers build between them. One (user) shuffle; change compression via
+# lag() on the same partitioning.
+@register(
+    "q51_scd2_traits",
+    f"""
+    WITH src AS (
+      SELECT CAST(user_id AS BIGINT) AS user_id, received_at,
+             json_extract_string(payload, '$.traits.plan') AS plan,
+             message_id
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE event_type = 'identify'
+    ),
+    dedup AS (  -- one row per (user, received_at): latest message wins.
+      -- lag on the SAME (user) partitioning the rest of the query uses
+      -- (ordered so each timestamp's winner comes first) instead of a
+      -- row_number keyed on (user, received_at) — saves a whole exchange
+      SELECT * FROM (
+        SELECT *, lag(received_at) OVER (
+          PARTITION BY user_id ORDER BY received_at, message_id DESC) AS prev_ts
+        FROM src) WHERE prev_ts IS NULL OR prev_ts <> received_at
+    ),
+    changes AS (  -- keep only rows where plan CHANGED vs the previous row
+      SELECT * FROM (
+        SELECT user_id, received_at, plan,
+               lag(plan) OVER w AS prev_plan,
+               lag(1) OVER w AS has_prev
+        FROM dedup
+        WINDOW w AS (PARTITION BY user_id ORDER BY received_at)
+      ) WHERE has_prev IS NULL OR plan IS DISTINCT FROM prev_plan
+    )
+    SELECT user_id, plan,
+           received_at AS valid_from,
+           lead(received_at) OVER (PARTITION BY user_id ORDER BY received_at)
+             AS valid_to,
+           CAST(lead(received_at) OVER (
+             PARTITION BY user_id ORDER BY received_at) IS NULL AS BOOLEAN)
+             AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+    doc=(
+        "SCD Type-2 dimension from the identify stream: change-compressed "
+        "plan versions with [valid_from, valid_to) from lead() and a "
+        "current flag. One (user) shuffle shared by dedup, change "
+        "detection, and interval assignment."
+    ),
+    tags=("rudder", "windows"),
+)
+def q51(spark, sf):
+    src = (
+        _load(spark, sf)
+        .where(F.col("event_type") == "identify")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "received_at",
+            F.get_json_object("payload", "$.traits.plan").alias("plan"),
+            "message_id",
+        )
+    )
+    # dedup on the SAME (user) partitioning as every later window — the
+    # winner of each received_at group sorts first, so a lag() comparison
+    # replaces a (user, received_at)-keyed row_number and its extra exchange
+    wd = W.partitionBy("user_id").orderBy("received_at", F.desc("message_id"))
+    dedup = src.withColumn("prev_ts", F.lag("received_at").over(wd)).where(
+        F.col("prev_ts").isNull() | (F.col("prev_ts") != F.col("received_at"))
+    )
+    w = W.partitionBy("user_id").orderBy("received_at")
+    changes = (
+        dedup.withColumn("prev_plan", F.lag("plan").over(w))
+        .withColumn("has_prev", F.lag(F.lit(1)).over(w))
+        .where(
+            F.col("has_prev").isNull()
+            | ~(F.col("plan").eqNullSafe(F.col("prev_plan")))
+        )
+    )
+    return (
+        changes.select(
+            "user_id", "plan",
+            F.col("received_at").alias("valid_from"),
+            F.lead("received_at").over(w.orderBy("received_at")).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
     )

@@ -393,3 +393,12 @@ def test_q50_session_funnel_single_exchange(spark):
     df = REG["q50_session_funnel"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q51_scd2_single_exchange(spark):
+    """SCD2 build: dedup, change compression, and interval assignment all
+    share the ONE (user_id) partitioning — the lag-based dedup rewrite
+    exists precisely to avoid a second (user, ts)-keyed exchange."""
+    df = REG["q51_scd2_traits"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
