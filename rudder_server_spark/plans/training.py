@@ -1331,3 +1331,33 @@ def t34(spark, sf):
 def t35(spark, sf):
     d = load_table(spark, sf, "documents")
     return D.ngram_containment_pairs(d, threshold=0.8).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# t36 — dedup-tier QA: LSH candidate recall/precision vs the exact tier
+@register(
+    "t36_lsh_recall",
+    None,  # compares two Spark tiers; the exact tier is itself t2's oracle
+    doc=(
+        "Candidate-generator QA: MinHash-LSH pair set (t3's tier) scored "
+        "against the exact Jaccard pair set (t2's tier) — recall = "
+        "|LSH∩exact|/|exact|, precision = |LSH∩exact|/|LSH| on the "
+        "verified output. The monitoring query a production dedup "
+        "pipeline runs on a sample to catch banding-parameter drift; "
+        "full-join of two bounded pair sets, trivially parallel. "
+        "Recall = 1.0 at the fixtures is unit-pinned."
+    ),
+    tags=("training", "dedup"),
+)
+def t36(spark, sf):
+    d = load_table(spark, sf, "documents")
+    exact = D.ngram_jaccard_pairs(d, threshold=0.8).select("a", "b")
+    lsh = D.minhash_lsh_pairs(d, threshold=0.8).select("a", "b")
+    both = exact.intersect(lsh).count()
+    ne, nl = exact.count(), lsh.count()
+    return spark.createDataFrame(
+        [(ne, nl, both,
+          round(both / ne, 6) if ne else 1.0,
+          round(both / nl, 6) if nl else 1.0)],
+        "exact_pairs long, lsh_pairs long, agree long, recall double, precision double",
+    )

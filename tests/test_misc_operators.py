@@ -488,3 +488,14 @@ def test_webhook_envelope_and_form_adapters(spark):
     fo = adapt_webhook(form, "form").head()
     assert fo["event_name"] == "Signed+Up" and fo["user_id"] == "u3"
     assert json.loads(fo["payload"])["properties"]["plan"] == "free"
+
+
+def test_t36_lsh_recall_is_perfect_at_fixtures(spark):
+    """The LSH tier's verified output must equal the exact tier at the
+    fixtures (identical docs always collide in some band): recall ==
+    precision == 1.0. Catches banding-parameter drift."""
+    from rudder_server_spark.plans.registry import load_all
+
+    row = load_all()["t36_lsh_recall"].spark_fn(spark, "/root/testdata/sf0.001").head()
+    assert row["recall"] == 1.0 and row["precision"] == 1.0
+    assert row["exact_pairs"] == row["lsh_pairs"] == row["agree"]
