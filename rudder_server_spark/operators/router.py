@@ -99,3 +99,33 @@ def retry_backoff(
             ),
         )
     )
+
+
+def adaptive_caps(
+    statuses: DataFrame,
+    dest_col: str = "destination_id",
+    ok_col: str = "delivered",
+    base_cap: int = 50,
+    min_cap: int = 5,
+) -> dict:
+    """Adaptive throttling (throttler/factory.go's adaptive mode): derive
+    per-destination caps from the recent delivery outcomes — a destination
+    failing f of its attempts gets cap = max(min_cap, base*(1-f)), so a
+    429-ing destination backs off next sweep and recovers as its error
+    rate falls.
+
+    Returns a {destination: cap} dict for ``throttle_pickup(caps=...)``.
+    The aggregate is bounded (one row per destination) and collected
+    driver-side exactly like the reference's in-memory limiter state.
+    """
+    rates = (
+        statuses.groupBy(dest_col)
+        .agg(
+            (1.0 - F.avg(F.col(ok_col).cast("double"))).alias("fail_rate")
+        )
+        .collect()
+    )
+    return {
+        r[dest_col]: max(min_cap, int(base_cap * (1.0 - r["fail_rate"])))
+        for r in rates
+    }

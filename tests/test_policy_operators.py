@@ -270,3 +270,18 @@ def test_retry_backoff_schedule_and_aborts(spark):
     # backoff for attempt 5 hits the 300s cap (30*2^4=480 -> 300)
     assert by_id[3]["backoff_s"] == 300
     assert by_id[4]["aborted"] and by_id[4]["next_retry_at"] is None
+
+
+def test_adaptive_caps_scale_with_failure_rate(spark):
+    """Adaptive throttling: a failing destination's cap shrinks
+    proportionally (floored at min_cap); healthy destinations keep base."""
+    from rudder_server_spark.operators.router import adaptive_caps
+
+    rows = (
+        [("a", True)] * 10
+        + [("b", True)] * 5 + [("b", False)] * 5
+        + [("c", False)] * 10
+    )
+    df = spark.createDataFrame(rows, "destination_id string, delivered boolean")
+    caps = adaptive_caps(df, base_cap=40, min_cap=5)
+    assert caps == {"a": 40, "b": 20, "c": 5}
