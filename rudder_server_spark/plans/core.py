@@ -1101,9 +1101,11 @@ def q40(spark, sf):
 # Q41 strict-order funnel — the downstream analytics query event pipelines
 # exist to feed (view → click-after-view → purchase-after-click, per user).
 # Each step is a per-user min-ts aggregate constrained to follow the prior
-# step; step frames shrink monotonically, so each join broadcasts. At
-# 100 TB the first aggregate shuffles on user_id once and every later step
-# reuses tiny broadcast sides.
+# step. Step frames shrink monotonically but are per-USER (unbounded at
+# 1e9 users), so they are NOT hint-broadcast: every join keys on user_id —
+# the same partitioning as the step aggregates, so co-partitioned SMJ at
+# scale — and AQE downgrades to broadcast at runtime when a frame is
+# actually small (as it is below ~100M users).
 @register(
     "q41_funnel",
     """
@@ -1139,9 +1141,10 @@ def q41(spark, sf):
     def step(prev, etype):
         src = e.where(F.col("event_type") == etype)
         if prev is not None:
+            # user-keyed equi-join: co-partitions with the step aggregates;
+            # AQE broadcasts at runtime when the frame is small enough
             src = src.join(
-                F.broadcast(prev.select("user_id", F.col("t").alias("_pt"))),
-                "user_id",
+                prev.select("user_id", F.col("t").alias("_pt")), "user_id"
             ).where(F.col("ts") > F.col("_pt"))
         return src.groupBy("user_id").agg(F.min("ts").alias("t"))
 
@@ -1161,9 +1164,11 @@ def q41(spark, sf):
 
 # --------------------------------------------------------------------------
 # Q42 weekly cohort retention — cohort = first-seen week; cell = distinct
-# users of that cohort active k weeks later. One user_id shuffle for the
-# cohort assignment (tiny result, broadcast back), then a single grouped
-# distinct count keyed on (cohort_week, offset) — bounded output.
+# users of that cohort active k weeks later. The cohort map is one row per
+# USER (unbounded at scale), so the join back is a user_id-keyed equi-join
+# sharing the assignment aggregate's partitioning — AQE broadcasts at
+# runtime only when the map is actually small; the final distinct count is
+# keyed on (cohort_week, offset) with bounded output.
 @register(
     "q42_cohort_retention",
     """
@@ -1192,7 +1197,7 @@ def q42(spark, sf):
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     return (
-        e.join(F.broadcast(first_seen), "user_id")
+        e.join(first_seen, "user_id")
         .withColumn(
             "week_offset",
             (
