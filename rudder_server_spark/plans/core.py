@@ -1044,11 +1044,13 @@ def q39(spark, sf):
 
 # --------------------------------------------------------------------------
 # Q40 TPC-H Q5-shaped multi-join (§2.4 J7 at depth): six-table star join —
-# the canonical join-order / broadcast test. region+nation are broadcast
-# literals-sized dims; customer and supplier broadcast after the region
-# filter; the only big-big join is lineitem ⋈ orders on the shared orderkey,
-# and the c_nationkey = s_nationkey condition closes the star. At 100 TB
-# the plan must keep every dim on the build side — one shuffle total.
+# the canonical join-order / broadcast test. Only region+nation are
+# HINT-broadcast (bounded at 5/25 rows at every SF); customer and supplier
+# GROW with SF, so their joins stay key-equi and AQE downgrades them to
+# broadcast at runtime while they fit (as at any tested SF) — at extreme
+# SF they become co-partitioned shuffle joins instead of OOMing the
+# executors with a forced build side. lineitem ⋈ orders is the one
+# always-big join, on the shared orderkey.
 @register(
     "q40_tpch_q5",
     """
@@ -1085,9 +1087,9 @@ def q40(spark, sf):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(c),
+            c,
             (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))

@@ -315,10 +315,11 @@ def test_q39_profile_single_scan(spark):
 
 
 def test_q40_tpch_q5_dims_broadcast(spark):
-    """TPC-H Q5: every dimension (region, nation, supplier, customer) stays
-    on a broadcast build side — the only join allowed to shuffle is
-    lineitem ⋈ orders; no nested-loop/cartesian anywhere. At 100 TB a
-    shuffled dim join here is the canonical scale-killer."""
+    """TPC-H Q5: at test SF every dimension lands on a broadcast build
+    side (region/nation by HINT — bounded; supplier/customer by AQE's
+    runtime size check, since they grow with SF and a forced build side
+    would OOM at extreme scale); the only join allowed to shuffle is
+    lineitem ⋈ orders, and never a nested-loop/cartesian."""
     df = REG["q40_tpch_q5"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 4
