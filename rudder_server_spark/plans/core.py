@@ -1213,8 +1213,11 @@ def q42(spark, sf):
 
 
 # --------------------------------------------------------------------------
-# Q43 TPC-H Q14-shaped promo revenue share — lineitem ⋈ part with the part
-# dim broadcast, monthly share of promo revenue for one year. The ratio
+# Q43 TPC-H Q14-shaped promo revenue share — lineitem ⋈ part, monthly
+# share of promo revenue for one year. part GROWS with SF, so no
+# broadcast hint: the join keys on partkey and AQE broadcasts at runtime
+# while part fits (any tested SF), falling back to a co-partitioned
+# shuffle join at extreme scale. The ratio
 # divides two EXACT decimal sums (order-independent), so the double result
 # is bit-stable across engines; the month bucket keeps output bounded.
 @register(
@@ -1245,7 +1248,7 @@ def q43(spark, sf):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
         .agg(
             F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)

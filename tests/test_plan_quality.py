@@ -358,8 +358,9 @@ def test_t33_vocab_broadcast_join(spark):
 
 
 def test_q43_part_dim_broadcasts(spark):
-    """TPC-H Q14: the part dim must broadcast — lineitem is the only big
-    side and the month-bucket agg is the only shuffle."""
+    """TPC-H Q14: part joins by AQE's runtime broadcast at test SF (no
+    hint — part grows with SF); lineitem is the only big side and the
+    month-bucket agg is the only shuffle."""
     df = REG["q43_tpch_q14"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
