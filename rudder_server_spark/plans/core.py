@@ -49,7 +49,10 @@ def q2(spark, sf):
 # --------------------------------------------------------------------------
 # Q3 pileup counts — unprocessed-jobs anti/outer join + grouped counts
 # (jobsdb/jobsdb_get.go:86-160). Keep events with NO later purchase by the
-# same user. The per-user max-purchase-ts aggregate is tiny → broadcast it.
+# same user. The per-user max-purchase-ts aggregate is one row per
+# purchasing user — unbounded at scale — so no broadcast hint: the join
+# keys on user_id (co-partitioned with the aggregate) and AQE broadcasts
+# at runtime while it fits.
 @register(
     "q3_pileup",
     """
@@ -73,7 +76,7 @@ def q3(spark, sf):
         .agg(F.max("ts").alias("max_purchase_ts"))
     )
     return (
-        e.join(F.broadcast(mp), "user_id", "left")
+        e.join(mp, "user_id", "left")
         .where(F.col("max_purchase_ts").isNull() | (F.col("ts") >= F.col("max_purchase_ts")))
         .groupBy("event_type")
         .agg(
@@ -129,9 +132,12 @@ def q4(spark, sf):
 )
 def q5(spark, sf):
     e = _events(spark, sf)
+    # per-user frame (unbounded at scale): user_id-keyed anti-join, AQE
+    # broadcasts at runtime when small. The OPERATOR (suppress_users)
+    # keeps its hint because real suppression LISTS are bounded config.
     suppressed = e.where(F.col("event_type") == "error").select("user_id").distinct()
     return (
-        e.join(F.broadcast(suppressed), "user_id", "left_anti")
+        e.join(suppressed, "user_id", "left_anti")
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
         .orderBy("event_type")
@@ -338,7 +344,7 @@ def q20(spark, sf):
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")

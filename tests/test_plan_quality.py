@@ -24,8 +24,9 @@ def _optimized(df) -> str:
 
 
 def test_q20_broadcasts_customer_side(spark):
-    """TPC-H Q3: the filtered customer dim must broadcast — a shuffle join
-    of lineitem×orders×customer at 100 TB dies on the customer exchange."""
+    """TPC-H Q3: the filtered customer side broadcasts at test SF via
+    AQE's runtime size check (no hint — customer grows with SF, so a
+    forced build side would OOM at extreme scale)."""
     df = REG["q20_tpch_q3"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
