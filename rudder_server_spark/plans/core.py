@@ -1502,3 +1502,55 @@ def q50(spark, sf):
         F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0)).alias("view_then_click"),
         F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0)).alias("full_conversion"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q52 grouping sets — §2.5's multi-granularity aggregate in its general
+# form (q21's ROLLUP is the prefix special case; q17's fan-out counts use
+# the same Expand internally): one pass over events producing (type, day),
+# (type), and (day) granularities with grouping flags distinguishing the
+# null-key rows from genuine nulls. Expand multiplies rows by the set
+# count BEFORE the shuffle, but partial aggs combine map-side — still one
+# exchange at 100 TB.
+@register(
+    "q52_grouping_sets",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           GROUPING(event_type) AS g_type,
+           GROUPING(date_trunc('day', ts)) AS g_day,
+           count(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                            (event_type), (date_trunc('day', ts)))
+    ORDER BY g_type, g_day, event_type NULLS FIRST, day NULLS FIRST
+    """,
+    doc=(
+        "GROUPING SETS over (type, day) / (type) / (day) with grouping "
+        "flags — one Expand + one exchange, map-side partial aggs."
+    ),
+    tags=("aggregation",),
+)
+def q52(spark, sf):
+    e = _events(spark, sf).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    out = (
+        e.groupingSets(
+            [["event_type", "day"], ["event_type"], ["day"]],
+            "event_type", "day",
+        )
+        .agg(
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("day").cast("bigint").alias("g_day"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("event_type", "day", "g_type", "g_day", "n", "sum_value")
+    )
+    return out.orderBy(
+        "g_type", "g_day",
+        F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first(),
+    )
