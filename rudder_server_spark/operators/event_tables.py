@@ -646,16 +646,21 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
     per table (and build the identity mapping's connected components just to
     count its rows). Instead the whole result is ONE lazy plan:
 
-    - a single GROUPING SETS aggregate over three narrow envelope columns
-      yields every non-identity table's count — the detail grain
-      (event_type, event_name) carries the per-event tables, and the
-      (event_type) subtotal grain carries the envelope tables plus the
-      global ``users`` count_distinct (so no per-group distinct-sum
-      overcount, and no driver-side event-name discovery: the name→table
-      normalization runs as codegen'd string expressions, table_name_expr,
-      applied AFTER aggregation so the regex chain touches the bounded
-      group set, not every corpus row; raw names that normalize to the
-      same table merge in the final per-table sum)
+    - a corpus-reducing pre-aggregate on (event_type, event_name, uid,
+      rid) — uid kept only on identify rows, rid only on extract rows, so
+      its output is ~(#event names + #identify users + #extract records)
+      rows — followed by a GROUPING SETS aggregate over that tiny frame:
+      the detail grain (event_type, event_name) carries the per-event
+      tables, and the (event_type) subtotal grain carries the envelope
+      tables plus the global ``users`` count_distinct. The pre-aggregate
+      matters because Spark plans mixed DISTINCT + plain aggregates with
+      an Expand that multiplies every input row by the distinct-group
+      count (x3 here, on top of the grouping-set x2) — pre-reducing moves
+      that Expand off the corpus onto the bounded group set (measured
+      ~2x at sf0.1). Name→table normalization (table_name_expr) likewise
+      runs AFTER aggregation, and raw names that normalize to the same
+      table merge in the final per-table sum; no driver-side event-name
+      discovery anywhere
     - one small payload-parsing subtree over merge rows only (predicate
       pushed to the scan; the fixture clusters by event_type so row-group
       pruning skips everything else) computes BOTH identity-table counts
@@ -674,23 +679,34 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
     has_record_id = "record_id" in df.columns
     event_types = ["track", "extract"] if has_record_id else ["track"]
 
+    uid = F.when(et == "identify", F.col("user_id"))
+    rid = (
+        F.when(et == "extract", F.col("record_id"))
+        if has_record_id
+        else F.lit(None).cast("string")
+    )
+    base = (
+        df.select(
+            "event_type",
+            # event_name only feeds per-event tables (track/extract)
+            F.when(et.isin(event_types), F.col("event_name")).alias("event_name"),
+            uid.alias("_uid"),
+            rid.alias("_rid"),
+        )
+        .groupBy("event_type", "event_name", "_uid", "_rid")
+        .agg(F.count("*").alias("cnt"))
+    )
     g = (
-        df.groupingSets(
+        base.groupingSets(
             [["event_type", "event_name"], ["event_type"]],
             "event_type",
             "event_name",
         )
         .agg(
             F.grouping("event_name").alias("_sub"),
-            F.count("*").alias("n"),
-            F.count_distinct(
-                F.when(F.col("user_id").isNotNull(), F.col("user_id"))
-            ).alias("nu"),
-            (
-                F.count_distinct("record_id")
-                if has_record_id
-                else F.lit(0).cast("bigint")
-            ).alias("nr"),
+            F.sum("cnt").alias("n"),
+            F.count_distinct("_uid").alias("nu"),
+            F.count_distinct("_rid").alias("nr"),
         )
         .withColumn(
             "_tbl",
@@ -762,9 +778,13 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
                 )
             ).alias("e")
         )
+        # pre-dedup the exploded pairs so the two count_distincts (which
+        # would otherwise Expand x2) aggregate an already-unique tiny frame
+        .select("e.rule", "e.prop")
+        .distinct()
         .agg(
-            F.count_distinct("e.rule").alias("rudder_identity_merge_rules"),
-            F.count_distinct("e.prop").alias("rudder_identity_mappings"),
+            F.count_distinct("rule").alias("rudder_identity_merge_rules"),
+            F.count_distinct("prop").alias("rudder_identity_mappings"),
         )
         .select(
             F.explode(
