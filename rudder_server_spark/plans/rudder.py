@@ -895,3 +895,59 @@ def q51(spark, sf):
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from")
     )
+
+
+# --------------------------------------------------------------------------
+# Q53 regulation deletion sweep — the GDPR right-to-be-forgotten audit the
+# regulation worker runs before purging a user cohort from the warehouse
+# (regulation-worker/: suppress-with-delete jobs walk every destination /
+# warehouse table; enterprise/suppress-user/handler.go feeds the cohort).
+# Per envelope table: rows that the delete will purge vs retain, and the
+# distinct purged-user count. The cohort here is the deterministic md5
+# bucket (first hex digit '0' — 1/16 of identified users), standing in for
+# the regulation service's configured list.
+@register(
+    "q53_regulation_sweep",
+    f"""
+    SELECT event_type,
+           SUM(CASE WHEN sup THEN 1 ELSE 0 END) AS deleted,
+           SUM(CASE WHEN sup THEN 0 ELSE 1 END) AS retained,
+           COUNT(DISTINCT CASE WHEN sup THEN user_id END) AS users_purged
+    FROM (
+      SELECT event_type, user_id,
+             user_id IS NOT NULL AND substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0' AS sup
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Deletion-sweep audit: per fan-out table, purged vs retained row "
+        "counts and purged-user cardinality for a suppression cohort. "
+        "Pre-reduced on (event_type, suppressed-user) so the distinct "
+        "count never Expands the corpus — same shape as q17's counts. "
+        "Ref: regulation-worker delete jobs; suppress-user/handler.go:27"
+    ),
+    tags=("rudder", "aggregation"),
+)
+def q53(spark, sf):
+    env = _load(spark, sf)
+    sup = F.col("user_id").isNotNull() & (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0"
+    )
+    # pre-reduce: suppressed rows keep their user_id as the group key, all
+    # retained rows collapse to one NULL-key group per event_type — the
+    # final distinct is a plain count over an already-unique tiny frame
+    b = (
+        env.select("event_type", F.when(sup, F.col("user_id")).alias("_su"))
+        .groupBy("event_type", "_su")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("_su").isNotNull(), F.col("cnt")).otherwise(0)).alias("deleted"),
+            F.sum(F.when(F.col("_su").isNull(), F.col("cnt")).otherwise(0)).alias("retained"),
+            F.count("_su").alias("users_purged"),
+        )
+        .orderBy("event_type")
+    )

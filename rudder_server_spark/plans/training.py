@@ -1361,3 +1361,107 @@ def t36(spark, sf):
           round(both / nl, 6) if nl else 1.0)],
         "exact_pairs long, lsh_pairs long, agree long, recall double, precision double",
     )
+
+
+# --------------------------------------------------------------------------
+# t37 — stratified deterministic sample: exactly k docs per language, keyed
+# on content-stable md5 tickets (reshard/rerun-invariant). The Spark plan is
+# the two-phase cutoff design (operators/sampling.py): per-stratum counts →
+# broadcast → narrow ticket prefilter → exact rank over ~2k survivors per
+# stratum; the oracle ranks every row, which is the semantics being
+# implemented and exactly what the prefilter provably preserves.
+@register(
+    "t37_stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 14), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    ORDER BY lang, doc_id
+    """,
+    doc=(
+        "Exactly 50 docs per language stratum, the 50 smallest md5 tickets "
+        "— reproducible subsampling for eval carve-outs / pilot corpora. "
+        "Two-phase at scale: broadcast per-stratum counts, codegen'd "
+        "ticket-cutoff prefilter (keeps ~2k rows/stratum), exact rank on "
+        "the survivors — never a full per-stratum sort."
+    ),
+    tags=("training", "sampling"),
+)
+def t37(spark, sf):
+    from rudder_server_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf, "documents")
+    return (
+        stratified_sample(d, "lang", k=50, id_col="doc_id")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# t38 — source-mix rebalancing (flatten-toward-uniform upsampling): the data
+# mixing step before training (GPT-3 §2.2 / The Pile §1 upsample rare
+# high-quality components by small factors). Factors = mean-stratum-size/n,
+# floored at 1 (never downsample here), capped at 4; fractional parts round
+# stochastically on each doc's md5 ticket — unbiased per stratum,
+# deterministic per doc, and expressed as pure codegen'd hex-string
+# compares on BOTH engines (no hex parsing anywhere).
+@register(
+    "t38_rebalance_mix",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT sum(n) * 1.0 / count(*) AS mean_n FROM c),
+    f AS (
+      SELECT lang, n, least(4.0, greatest(1.0, mean_n / n)) AS factor
+      FROM c, m
+    ),
+    d AS (
+      SELECT d.lang, factor, n,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 14) <
+                       lpad(lower(to_hex(CAST(floor((factor - floor(factor)) * power(2, 56)) AS BIGINT))), 14, '0')
+                  THEN CAST(floor(factor) AS BIGINT) + 1
+                  ELSE CAST(floor(factor) AS BIGINT) END AS repeats
+      FROM documents d JOIN f USING (lang)
+    )
+    SELECT lang, min(n) AS n_docs,
+           CAST(ROUND(min(factor), 6) AS DOUBLE) AS factor,
+           SUM(repeats) AS total_repeats
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "Per-language rebalancing audit: factor = mean-size/n in [1, 4], "
+        "total post-rebalance row count with ticket-based stochastic "
+        "rounding. One narrow pass + two tiny broadcast aggregates."
+    ),
+    tags=("training", "sampling"),
+)
+def t38(spark, sf):
+    from rudder_server_spark.operators.sampling import rebalance_repeats
+
+    d = load_table(spark, sf, "documents")
+    r = rebalance_repeats(d, source_col="lang", id_col="doc_id", max_repeat=4.0)
+    counts = r.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("repeats").alias("total_repeats"),
+    )
+    # recompute the factor exactly as the operator does (bounded agg — the
+    # per-doc repeats column is not the factor)
+    c = d.groupBy("lang").agg(F.count("*").alias("_n"))
+    mean_n = c.agg((F.sum("_n") / F.count("*")).alias("_mean_n"))
+    f = c.crossJoin(F.broadcast(mean_n)).select(
+        "lang",
+        F.round(
+            F.least(F.lit(4.0), F.greatest(F.lit(1.0), F.col("_mean_n") / F.col("_n"))),
+            6,
+        ).cast("double").alias("factor"),
+    )
+    return (
+        counts.join(f, "lang")
+        .select("lang", "n_docs", "factor", "total_repeats")
+        .orderBy("lang")
+    )

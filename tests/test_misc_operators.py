@@ -499,3 +499,56 @@ def test_t36_lsh_recall_is_perfect_at_fixtures(spark):
     row = load_all()["t36_lsh_recall"].spark_fn(spark, "/root/testdata/sf0.001").head()
     assert row["recall"] == 1.0 and row["precision"] == 1.0
     assert row["exact_pairs"] == row["lsh_pairs"] == row["agree"]
+
+
+def test_stratified_sample_matches_full_rank_and_is_layout_stable(spark):
+    from pyspark.sql import Window as W
+
+    from rudder_server_spark.operators.sampling import (
+        stratified_sample,
+        ticket_hex,
+    )
+    from rudder_server_spark.sources.fixtures import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    k = 5
+    got = stratified_sample(d, "lang", k=k).select("lang", "doc_id")
+    # brute-force: rank EVERY row per stratum (the oracle semantics)
+    w = W.partitionBy("lang").orderBy(ticket_hex(F.col("doc_id")), "doc_id")
+    want = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("lang", "doc_id")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    # exactly min(k, n) per stratum
+    per = dict(got.groupBy("lang").count().collect())
+    n = dict(d.groupBy("lang").count().collect())
+    assert per == {lang: min(k, c) for lang, c in n.items()}
+    # resharding must not change the sample (content-keyed tickets)
+    reshuffled = stratified_sample(d.repartition(7, "doc_id"), "lang", k=k)
+    assert sorted(reshuffled.select("lang", "doc_id").collect()) == sorted(got.collect())
+
+
+def test_rebalance_repeats_bounds_and_determinism(spark):
+    from rudder_server_spark.operators.sampling import rebalance_repeats
+    from rudder_server_spark.sources.fixtures import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    r = rebalance_repeats(d, source_col="lang", id_col="doc_id", max_repeat=4.0)
+    rows = r.select("lang", "doc_id", "repeats").collect()
+    # every repeat within [1, ceil(cap)]
+    assert all(1 <= x["repeats"] <= 4 for x in rows)
+    # per-stratum: repeats differ by at most 1 (floor vs stochastic +1)
+    spread = r.groupBy("lang").agg(
+        (F.max("repeats") - F.min("repeats")).alias("spread")
+    )
+    assert all(x["spread"] <= 1 for x in spread.collect())
+    # deterministic under resharding
+    again = rebalance_repeats(
+        d.repartition(5, "doc_id"), source_col="lang", id_col="doc_id", max_repeat=4.0
+    )
+    assert sorted(again.select("lang", "doc_id", "repeats").collect()) == sorted(rows)
+    # uniform strata rebalance to a no-op (factor 1 everywhere)
+    uni = rebalance_repeats(d, source_col="source", id_col="doc_id")
+    assert uni.where(F.col("repeats") != 1).count() == 0
