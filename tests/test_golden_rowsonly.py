@@ -27,7 +27,15 @@ def _norm(v):
 
 @pytest.mark.parametrize(
     "name",
-    ["t4_simhash", "t11_ann_lsh", "t12_hll_tracked_users", "t14_ann_ivf", "t27_semdedup"],
+    [
+        "t4_simhash",
+        "t11_ann_lsh",
+        "t12_hll_tracked_users",
+        "t14_ann_ivf",
+        "t27_semdedup",
+        "t34_approx_percentiles",
+        "t36_lsh_recall",
+    ],
 )
 def test_golden(name, spark):
     with open(os.path.join(GOLDEN_DIR, f"{name}_sf0.001.json")) as f:
