@@ -405,3 +405,65 @@ def test_q51_scd2_single_exchange(spark):
     df = REG["q51_scd2_traits"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q39_profile_no_expand(spark):
+    """The exact column profile must plan as the manual two-phase distinct
+    (partial count per (col_name, val) → fold) — Spark's built-in mixed
+    DISTINCT plan would insert an Expand that doubles every unpivoted row
+    before the shuffle."""
+    df = REG["q39_column_profile"].spark_fn(spark, SF_DIR)
+    assert "Expand" not in _plan(df)
+
+
+def test_q17_counts_pre_reduce_before_expand(spark):
+    """fanout_table_counts: the grouping-sets Expand must sit ABOVE the
+    corpus-reducing pre-aggregate on (event_type, event_name, _uid, _rid)
+    — i.e. it multiplies the bounded group set, not the corpus."""
+    from rudder_server_spark.operators.event_tables import fanout_table_counts
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    env = spark.read.parquet(rudder_events_path(SF_DIR))
+    plan = _plan(fanout_table_counts(env))
+    lines = plan.splitlines()
+    # the pre-reduction partial aggregate on the 4-column grain (the node
+    # that actually touches corpus rows)
+    pre = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "_uid" in ln and "partial_count(1)" in ln
+    ]
+    assert pre, plan
+    # every Expand that references the reduced grain prints ABOVE (parent
+    # of) that partial aggregate — i.e. Expand consumes the reduced frame
+    expands = [i for i, ln in enumerate(lines) if "Expand [[" in ln and "_uid" in ln]
+    assert expands and max(expands) < min(pre), plan
+
+
+def test_q53_sweep_no_expand(spark):
+    """Regulation sweep: purged-user distinct aggregates the pre-reduced
+    (event_type, suppressed-user) frame — never an Expand over the corpus."""
+    df = REG["q53_regulation_sweep"].spark_fn(spark, SF_DIR)
+    assert "Expand" not in _plan(df)
+
+
+def test_t37_sample_broadcasts_counts_and_filters_before_rank(spark):
+    """Stratified sample: per-stratum counts broadcast (never shuffle the
+    corpus for a bounded dim), and the ticket-cutoff filter sits BELOW the
+    row_number window so the per-stratum sort only ranks survivors."""
+    df = REG["t37_stratified_sample"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # tree prints parents above children: the Window must appear before
+    # (above) the cutoff filter's conv(...) ticket expression
+    assert "Window" in plan and "conv(" in plan
+    assert plan.index("Window") < plan.index("conv(")
+
+
+def test_t38_rebalance_no_cartesian(spark):
+    """Mix rebalancing: the factor table joins back via broadcast; the
+    1-row mean joins via BroadcastNestedLoop — never a CartesianProduct."""
+    df = REG["t38_rebalance_mix"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
