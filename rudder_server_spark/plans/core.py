@@ -1554,3 +1554,98 @@ def q52(spark, sf):
         "g_type", "g_day",
         F.col("event_type").asc_nulls_first(), F.col("day").asc_nulls_first(),
     )
+
+
+# --------------------------------------------------------------------------
+# Q54 TPC-H Q17-shaped correlated aggregate — "small-quantity orders":
+# lineitems below 20% of their part's average quantity, for one brand. The
+# relational shape §2.11 lacked: a per-group aggregate re-joined against
+# the detail rows it was computed from (DuckDB plans it as a correlated
+# scalar subquery; Spark as an explicit pre-aggregate + equi-join).
+@register(
+    "q54_tpch_q17",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem ll WHERE ll.l_partkey = l.l_partkey
+      )
+    """,
+    doc=(
+        "TPC-H Q17: revenue of below-one-fifth-of-average-quantity orders "
+        "for one brand. The per-part average is computed ONLY over the "
+        "brand's parts (semi-join pushes the part filter into the "
+        "aggregate — at 100 TB this is the difference between aggregating "
+        "every part's lineitems and ~1/25 of them), then joined back to "
+        "the detail rows; the bounded part dim broadcasts to both sides. "
+        "l_quantity is integral so the double average is order-exact on "
+        "both engines."
+    ),
+)
+def q54(spark, sf):
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    rel = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    thr = rel.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr")
+    )
+    return (
+        rel.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55 RANGE-frame rolling window — per-user rolling 1-hour event count and
+# value sum, the time-interval frame (§2.6 beyond ROWS) that rate/volume
+# monitors compute. RANGE BETWEEN means peers at the same second share a
+# frame on both engines; the value sum goes through DECIMAL so sliding
+# accumulation order cannot skew the doubles.
+@register(
+    "q55_rolling_1h",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS roll_cnt,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS roll_sum
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """,
+    doc=(
+        "Per-user rolling 1-hour count + sum via a RANGE interval frame "
+        "(time-based, not row-based): one exchange on user_id, one sort, "
+        "incremental frame evaluation — the per-key rate-monitor shape."
+    ),
+)
+def q55(spark, sf):
+    e = _events(spark, sf)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("roll_cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+            .cast("double")
+            .alias("roll_sum"),
+        )
+        .orderBy("event_id")
+    )
