@@ -1649,3 +1649,48 @@ def q55(spark, sf):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q56 hot-key salted aggregation — events has only a handful of event_type
+# values, so a naive groupBy funnels the whole corpus through ~6 reducers.
+# The salted two-phase shape (operators/skew.py) spreads each hot key over
+# 16 salt buckets first; the final aggregate moves 16 pre-aggregated rows
+# per key. Results are salt-layout-independent (counts/sums re-fold), so
+# the oracle is the plain GROUP BY.
+@register(
+    "q56_hotkey_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Per-event-type counts + value sums via explicit two-phase salted "
+        "aggregation: partial agg on (key, salt in [0,16)), final fold on "
+        "key — the hot-key shape AQE cannot fix for hash aggregates "
+        "(skew-join splitting only covers joins). Decimal sums keep the "
+        "fold order-exact, so salting never changes the result."
+    ),
+    tags=("aggregation", "skew"),
+)
+def q56(spark, sf):
+    from rudder_server_spark.operators.skew import with_salt
+
+    e = _events(spark, sf)
+    partial = (
+        with_salt(e, 16)
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("_pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_ps"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_pc").cast("bigint").alias("n"),
+            F.round(F.sum("_ps"), 2).cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
