@@ -421,3 +421,65 @@ def transactional_warehouse_sink(out_dir: str):
                 commit_overwrite(union, tdir, upload_id)
 
     return write_batch
+
+
+# ---------------------------------------------------------------------------
+# TTL dedup keystore (reference parity: services/dedup/dedup.go:43-120 keeps
+# message-id keys in BadgerDB with a ~30-day TTL and drops re-deliveries).
+# `dropDuplicatesWithinWatermark` (the F1 default above) bounds state by
+# EVENT-TIME watermark; the reference's keystore is bounded by WALL-CLOCK
+# TTL instead. transformWithStateInPandas expresses exactly that: one
+# value-state entry per dedup key with a TTL, RocksDB-backed at scale.
+
+
+def ttl_dedup_stream(
+    stream: DataFrame,
+    key_col: str = "message_id",
+    ttl_ms: int = 30 * 24 * 3600 * 1000,
+) -> DataFrame:
+    """Drop rows whose dedup key has a live (non-expired) state entry —
+    across micro-batches and within a batch (first occurrence wins).
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``) — transformWithState is built
+    on its column-family support. The processor class is defined inside
+    this function so cloudpickle ships it by value (workers don't need
+    this package importable).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = stream.schema
+
+    class _TtlDedup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # one tiny entry per key; TTL evicts it after ttl_ms of
+            # wall-clock, after which the key dedups afresh — the BadgerDB
+            # keystore semantics (re-sends beyond the TTL re-deliver)
+            self._seen = handle.getValueState("seen", "seen byte", ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                for _ in rows:
+                    pass
+                return
+            emitted = False
+            for pdf in rows:
+                if not emitted and len(pdf):
+                    yield pdf.iloc[[0]]
+                    emitted = True
+            if emitted:
+                self._seen.update((1,))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TtlDedup(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

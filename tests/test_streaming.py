@@ -5,6 +5,8 @@ watermark dedup, warehouse fan-out sink, router retry/DLQ semantics.
 import json
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from rudder_server_spark.streaming.pipeline import (
@@ -377,3 +379,55 @@ def test_suppression_hot_reload_between_batches(spark, tmp_path):
     run_once()
     got = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
     assert got == [1, 1, 2, 3, 4]  # the second batch's user 2 was dropped
+
+
+def test_ttl_dedup_stream_across_batches(spark, tmp_path):
+    # transformWithState's Python state-server protocol speaks protobuf;
+    # the package is absent in this container (no pip installs allowed), so
+    # the operator is exercised only where protobuf exists (any real
+    # cluster image ships it — pyspark declares it for connect/streaming)
+    pytest.importorskip("google.protobuf")
+    from rudder_server_spark.streaming.pipeline import ttl_dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1: a, a (in-batch dup), b — batch 2: b (cross-batch dup), c
+    _write_events(src, [
+        {"message_id": "a", "value": 1.0},
+        {"message_id": "a", "value": 2.0},
+        {"message_id": "b", "value": 3.0},
+    ], fname="b1.json")
+    _write_events(src, [
+        {"message_id": "b", "value": 4.0},
+        {"message_id": "c", "value": 5.0},
+    ], fname="b2.json")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("message_id string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        deduped = ttl_dedup_stream(stream, key_col="message_id")
+
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rows = {r["message_id"]: r["value"] for r in spark.read.parquet(out).collect()}
+    # first occurrence wins in-batch (a -> 1.0); cross-batch re-delivery of
+    # b is dropped by the keystore state; c passes
+    assert rows == {"a": 1.0, "b": 3.0, "c": 5.0}
