@@ -1465,3 +1465,48 @@ def t38(spark, sf):
         .select("lang", "n_docs", "factor", "total_repeats")
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# t39 — length-curriculum buckets: equal-population deciles over a total
+# (n_chars, doc_id) order — the curriculum-learning pre-step (short/easy
+# docs first) and the length-bucketing batching uses. NOTE the declared
+# query is the exact-ntile ORACLE tier: a global ntile is a single ordered
+# partition, fine at fixture scale, wrong at 100 TB — the production path
+# computes approximate decile cutpoints (approx_percentile, one narrow
+# pass) and range-buckets by value, trading exact equal counts for a
+# fully-parallel narrow map (t21/t34 hold the percentile machinery).
+@register(
+    "t39_curriculum_buckets",
+    """
+    SELECT bucket, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM (
+      SELECT ntile(10) OVER (ORDER BY n_chars, doc_id) AS bucket, n_chars
+      FROM documents
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc=(
+        "Equal-population length deciles (ntile 10 over a total order) "
+        "with per-bucket size and char-length range — curriculum / "
+        "length-batching audit. Exact tier for the oracle; see docstring "
+        "for the scale path."
+    ),
+    tags=("training", "sampling"),
+)
+def t39(spark, sf):
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        d.select(F.ntile(10).over(w).alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )

@@ -552,3 +552,31 @@ def test_rebalance_repeats_bounds_and_determinism(spark):
     # uniform strata rebalance to a no-op (factor 1 everywhere)
     uni = rebalance_repeats(d, source_col="source", id_col="doc_id")
     assert uni.where(F.col("repeats") != 1).count() == 0
+
+
+def test_webhook_signature_verification(spark):
+    import hashlib
+    import hmac
+
+    from rudder_server_spark.sources.webhook import verify_webhook_signatures
+
+    secrets = {"shopify": "s3cret", "github": "hunter2"}
+    body = '{"event":"order"}'
+    good = hmac.new(b"s3cret", body.encode(), hashlib.sha256).hexdigest()
+    rows = [
+        ("shopify", body, good),                    # valid
+        ("shopify", body, "deadbeef"),              # forged
+        ("github", body, good),                     # wrong source secret
+        ("unknown", body, good),                    # unregistered source
+        ("shopify", body, None),                    # missing header
+    ]
+    df = spark.createDataFrame(rows, "source_type string, body string, signature string")
+    got = {
+        (r["source_type"], r["signature"]): r["sig_valid"]
+        for r in verify_webhook_signatures(df, secrets).collect()
+    }
+    assert got[("shopify", good)] is True
+    assert got[("shopify", "deadbeef")] is False
+    assert got[("github", good)] is False
+    assert got[("unknown", good)] is False
+    assert got[("shopify", None)] is False
