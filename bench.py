@@ -137,14 +137,17 @@ def main() -> None:
         warm[name] = min(run_once(name), run_once(name))
         print(f"# {name}: {timings[name]:.2f}s warm {warm[name]:.2f}s", file=sys.stderr, flush=True)
 
-    # decorrelated third sweep: transient host/kernel interference episodes
+    # decorrelated sweeps: transient host/kernel interference episodes
     # last ~10-20s and can swallow BOTH back-to-back warm runs of one query;
     # revisiting every query minutes later makes the min a faithful
     # steady-state number (observed: a query stable at 1.4s measured 5.2s in
-    # both adjacent runs during one such episode)
-    for name in BENCH_QUERIES:
-        if name in warm:
-            warm[name] = min(warm[name], run_once(name))
+    # both adjacent runs during one such episode). Two sweeps: per-query
+    # minima on this shared VM fluctuate ~±0.2-0.3s between single runs, so
+    # one extra pass materially tightens the steady-state estimate.
+    for _sweep in range(2):
+        for name in BENCH_QUERIES:
+            if name in warm:
+                warm[name] = min(warm[name], run_once(name))
 
     # measure this run's per-query scheduling floor: a near-zero-WORK query
     # with the STAGE SHAPE of a typical declared query (scan → shuffle agg →

@@ -14,18 +14,23 @@ the WHOLE corpus inside each stratum; at 100 TB a hot stratum becomes one
 giant sort. Instead:
 
   1. one tiny agg: per-stratum row counts (broadcast to the scan);
-  2. prefilter: keep rows whose ticket fraction ≤ 2k/n — a codegen'd
+  2. prefilter: keep rows whose ticket fraction ≤ (2k+8)/n — a codegen'd
      narrow filter that discards ~all of the corpus without a shuffle
-     (the 2x safety factor makes undershoot vanishingly unlikely:
-     P[Binomial(n, 2k/n) < k] ≈ e^{-k/4}; strata with n ≤ 2k keep
-     everything, so small strata are exact by construction);
-  3. exact rank on the ~2k survivors per stratum, take k.
+     (strata with n below the cutoff numerator keep everything, so small
+     strata are exact by construction);
+  3. exactness guard: a column-pruned pass counts survivors per stratum;
+     any stratum whose prefilter kept fewer than min(k, n) rows (possible
+     for tiny k — at k=1 the 2k/n cut misses the minimum ticket with
+     probability (1-2/n)^n ≈ 13%; the +8 margin makes it rare, the guard
+     makes it impossible) is ranked IN FULL instead. The guard pass reads
+     only (stratum, id) — never the payload columns — and when no stratum
+     falls back, AQE's empty-relation elimination collapses the fallback
+     join to nothing at runtime;
+  4. exact rank on the survivors (plus any fallback strata), take k.
 
   The sort that remains touches ≈ 2k·#strata rows regardless of corpus
-  size. Undershoot, while astronomically rare, is detectable (stratum
-  yields < min(k, n) rows) — callers needing a hard guarantee re-run with
-  a larger factor; the fixtures are fixed so the declared query is
-  deterministic.
+  size, and the result provably equals rank-everything for every input
+  (property-tested in tests/test_sampling_property.py).
 
 ``rebalance_repeats`` — per-source repeat factors that flatten the source
 mix toward uniform (the "data mixing" step before training; cf. GPT-3 §2.2
@@ -76,18 +81,29 @@ def stratified_sample(
     safety: float = 2.0,
 ) -> DataFrame:
     """Exactly min(k, n) rows per stratum — the k smallest md5 tickets —
-    without ranking more than ~safety·k rows per stratum."""
+    without ranking more than ~safety·k rows per stratum (module docstring
+    has the plan shape and the exactness guard)."""
     t = ticket(F.col(id_col))
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
-    cut = F.least(F.lit(1.0), F.lit(safety * k) / F.col("_n"))
-    surv = (
-        df.join(F.broadcast(counts), stratum_col)
-        .where(t <= cut)
-        .drop("_n")
+    cut = F.least(F.lit(1.0), (F.lit(safety * k) + F.lit(8.0)) / F.col("_n"))
+    surv = df.join(F.broadcast(counts), stratum_col).where(t <= cut)
+    # exactness guard: strata whose prefilter kept fewer than min(k, n)
+    # rows rank in full. The detection pass prunes to (stratum, id); with
+    # no fallback strata AQE collapses both joins at runtime.
+    kept = surv.groupBy(stratum_col).agg(F.count("*").alias("_m"))
+    need_full = (
+        counts.join(kept, stratum_col, "left")
+        .where(F.coalesce(F.col("_m"), F.lit(0)) < F.least(F.lit(k), F.col("_n")))
+        .select(stratum_col)
+    )
+    ranked_input = (
+        surv.drop("_n")
+        .join(F.broadcast(need_full), stratum_col, "left_anti")
+        .unionByName(df.join(F.broadcast(need_full), stratum_col, "left_semi"))
     )
     w = W.partitionBy(stratum_col).orderBy(ticket_hex(F.col(id_col)), id_col)
     return (
-        surv.withColumn("_rn", F.row_number().over(w))
+        ranked_input.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
