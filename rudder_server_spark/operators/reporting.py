@@ -99,3 +99,24 @@ def in_exclude_window(ts: Column, start_hour: int, end_hour: int) -> Column:
     if start_hour <= end_hour:
         return (h >= start_hour) & (h < end_hour)
     return (h >= start_hour) | (h < end_hour)
+
+
+def sync_window_start_expr(ts: Column, freq_minutes: Column, start_minutes: Column) -> Column:
+    """Column-parameterized twin of :func:`sync_window_start` for
+    per-destination frequencies (scheduling.go reads syncFrequency per
+    destination config): pure epoch arithmetic instead of ``F.window``
+    (whose duration must be a literal), identical results for literal
+    inputs (unit-pinned)."""
+    sec = F.unix_timestamp(ts)
+    fs = freq_minutes.cast("long") * 60
+    ss = start_minutes.cast("long") * 60
+    return F.timestamp_seconds(F.floor((sec - ss) / fs) * fs + ss)
+
+
+def in_exclude_window_expr(ts: Column, start_hour: Column, end_hour: Column) -> Column:
+    """Column-parameterized twin of :func:`in_exclude_window` (wraps
+    midnight when start > end)."""
+    h = F.hour(ts)
+    return F.when(
+        start_hour <= end_hour, (h >= start_hour) & (h < end_hour)
+    ).otherwise((h >= start_hour) | (h < end_hour))

@@ -1694,3 +1694,64 @@ def q56(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q57 upload-window scheduling — §2.10 tumbling sync windows under the
+# oracle gate: every event assigned to its destination's upload window
+# (per-destination syncFrequency anchored at syncStartAt,
+# warehouse/router/scheduling.go:28-192), with the window flagged when it
+# opens inside the destination's exclusion band (incl. a midnight-wrapping
+# band). Configs are bounded control-plane rows → broadcast nested-loop;
+# the window arithmetic is pure codegen'd epoch math.
+@register(
+    "q57_upload_windows",
+    """
+    WITH c(dest, freq, start_min, es, ee) AS (
+      VALUES ('wh_a', 60, 0, 2, 4), ('wh_b', 30, 15, 22, 1)
+    ),
+    j AS (
+      SELECT dest,
+             make_timestamp(CAST((floor((floor(epoch(ts)) - start_min*60) / (freq*60)) * (freq*60) + start_min*60) * 1000000 AS BIGINT)) AS window_start
+      FROM events CROSS JOIN c
+    )
+    SELECT dest, window_start, count(*) AS n,
+           CASE WHEN dest = 'wh_a'
+                THEN NOT (hour(window_start) >= 2 AND hour(window_start) < 4)
+                ELSE NOT (hour(window_start) >= 22 OR hour(window_start) < 1)
+           END AS upload_allowed
+    FROM j GROUP BY dest, window_start ORDER BY dest, window_start
+    """,
+    doc=(
+        "Per-destination upload windows: event counts per (destination, "
+        "sync window) with exclusion-band flagging — the scheduling "
+        "statistic the warehouse router derives before picking staging "
+        "batches. Column-parameterized window math (per-row frequency), "
+        "broadcast config join."
+    ),
+    tags=("rudder", "windows"),
+)
+def q57(spark, sf):
+    from rudder_server_spark.operators.reporting import (
+        in_exclude_window_expr,
+        sync_window_start_expr,
+    )
+
+    configs = spark.createDataFrame(
+        [("wh_a", 60, 0, 2, 4), ("wh_b", 30, 15, 22, 1)],
+        "dest string, freq int, start_min int, es int, ee int",
+    )
+    e = _events(spark, sf)
+    j = e.crossJoin(F.broadcast(configs))
+    ws = sync_window_start_expr(F.col("ts"), F.col("freq"), F.col("start_min"))
+    j = j.select("dest", ws.alias("window_start"), "es", "ee")
+    return (
+        j.groupBy("dest", "window_start")
+        .agg(
+            F.count("*").alias("n"),
+            (~F.max(in_exclude_window_expr(F.col("window_start"), F.col("es"), F.col("ee")))).alias(
+                "upload_allowed"
+            ),
+        )
+        .orderBy("dest", "window_start")
+    )

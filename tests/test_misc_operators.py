@@ -580,3 +580,22 @@ def test_webhook_signature_verification(spark):
     assert got[("github", good)] is False
     assert got[("unknown", good)] is False
     assert got[("shopify", None)] is False
+
+
+def test_sync_window_expr_variants_agree(spark):
+    from rudder_server_spark.operators.reporting import (
+        in_exclude_window,
+        in_exclude_window_expr,
+        sync_window_start,
+        sync_window_start_expr,
+    )
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select("ts")
+    both = e.select(
+        sync_window_start(F.col("ts"), 45, 10).alias("a"),
+        sync_window_start_expr(F.col("ts"), F.lit(45), F.lit(10)).alias("b"),
+        in_exclude_window(F.col("ts"), 22, 3).alias("x"),
+        in_exclude_window_expr(F.col("ts"), F.lit(22), F.lit(3)).alias("y"),
+    )
+    assert both.where((F.col("a") != F.col("b")) | (F.col("x") != F.col("y"))).count() == 0
