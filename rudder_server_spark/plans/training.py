@@ -1510,3 +1510,52 @@ def t39(spark, sf):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# t40 — int8 embedding quantization audit: per vector, the quantization
+# scale and integer code checksums, hash-matched against a DuckDB oracle
+# that re-derives the same codes in SQL. The quantizer itself is a numpy
+# mapInPandas narrow map (operators/quantize.py — the FAISS SQ8 storage
+# shape); the checksum aggregation explodes the 64-dim code JVM-side.
+@register(
+    "t40_embedding_quantize",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
+           list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS q_sum,
+           list_max(list_transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS q_max
+    FROM q ORDER BY vec_id
+    """,
+    doc=(
+        "Symmetric int8 quantization (scale = 127/max|x|, floor(x*s+0.5)) "
+        "— 4x storage cut for vector columns; scale and code checksums "
+        "per vector, bit-matched across engines via floor-based rounding."
+    ),
+    tags=("training", "embeddings"),
+)
+def t40(spark, sf):
+    from rudder_server_spark.operators.quantize import quantize_embeddings
+
+    e = load_table(spark, sf, "embeddings")
+    q = quantize_embeddings(e)
+    return (
+        q.select(
+            "vec_id",
+            F.floor(F.col("scale") * 1e6).cast("bigint").alias("scale_micro"),
+            F.explode("q").alias("x"),
+        )
+        .groupBy("vec_id", "scale_micro")
+        .agg(
+            F.sum("x").alias("q_sum"),
+            F.max(F.abs(F.col("x").cast("bigint"))).alias("q_max"),
+        )
+        .select("vec_id", "scale_micro", "q_sum", "q_max")
+        .orderBy("vec_id")
+    )

@@ -599,3 +599,28 @@ def test_sync_window_expr_variants_agree(spark):
         in_exclude_window_expr(F.col("ts"), F.lit(22), F.lit(3)).alias("y"),
     )
     assert both.where((F.col("a") != F.col("b")) | (F.col("x") != F.col("y"))).count() == 0
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import numpy as np
+
+    from rudder_server_spark.operators.quantize import quantize_embeddings
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_embeddings(e)
+    joined = {r["vec_id"]: r for r in q.collect()}
+    for r in e.limit(20).collect():
+        out = joined[r["vec_id"]]
+        a = np.asarray(r["embedding"], dtype=np.float64)
+        s = out["scale"]
+        code = np.asarray(out["q"], dtype=np.float64)
+        assert len(code) == len(a)
+        assert np.abs(code).max() <= 127
+        # reconstruction error bounded by half a quantization step
+        recon = code / s
+        assert np.abs(recon - a).max() <= (0.5 / s) + 1e-12
+    # zero vector: scale 0, all-zero code
+    z = spark.createDataFrame([(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    zr = quantize_embeddings(z).collect()[0]
+    assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0]
