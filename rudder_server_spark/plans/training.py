@@ -1559,3 +1559,30 @@ def t40(spark, sf):
         .select("vec_id", "scale_micro", "q_sum", "q_max")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t41 — SQ8 quantized ANN with exact rescoring: coarse-rank on the int8
+# codes (the 4x-smaller column is all the corpus scan touches), exact
+# float rescore of 4k candidates, final top-k. Approximate coarse tier →
+# rows-only; the unit test pins recall against q27's exact top-k and the
+# golden pins the output.
+@register(
+    "t41_ann_quantized",
+    None,  # coarse tier is approximate → rows-only; recall unit-pinned
+    doc=(
+        "Two-stage SQ8 ANN (FAISS SQ8 + refine shape): int8-code integer "
+        "dot product for candidate ranking, float cosine rescoring of "
+        "rescore_factor*k survivors. The corpus scan reads only the "
+        "quantized column."
+    ),
+    tags=("training", "similarity", "embeddings"),
+)
+def t41(spark, sf):
+    from rudder_server_spark.operators.quantize import quantized_topk
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return quantized_topk(
+        e.where(F.col("vec_id") != 0), [float(v) for v in qvec], k=10
+    )

@@ -35,6 +35,7 @@ def _norm(v):
         "t27_semdedup",
         "t34_approx_percentiles",
         "t36_lsh_recall",
+        "t41_ann_quantized",
     ],
 )
 def test_golden(name, spark):

@@ -624,3 +624,22 @@ def test_quantize_embeddings_roundtrip(spark):
     z = spark.createDataFrame([(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
     zr = quantize_embeddings(z).collect()[0]
     assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0]
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from rudder_server_spark.operators.quantize import quantized_topk
+    from rudder_server_spark.operators.similarity import brute_force_topk
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).head()["embedding"]]
+    rest = e.where(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in brute_force_topk(rest, qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in quantized_topk(rest, qvec, k=10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+    # rescoring reports EXACT similarities: the overlap's sims must match
+    exact_sims = {r["vec_id"]: r["sim"] for r in brute_force_topk(rest, qvec, k=10).collect()}
+    for r in quantized_topk(rest, qvec, k=10).collect():
+        if r["vec_id"] in exact_sims:
+            assert abs(r["sim"] - exact_sims[r["vec_id"]]) < 1e-9
