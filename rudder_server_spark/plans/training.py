@@ -1586,3 +1586,83 @@ def t41(spark, sf):
     return quantized_topk(
         e.where(F.col("vec_id") != 0), [float(v) for v in qvec], k=10
     )
+
+
+# --------------------------------------------------------------------------
+# t42 — contamination-aware split: the composition a real pipeline ships —
+# t15's leakage-safe hash split, then t19's n-gram contamination pass
+# quarantines training docs that share ≥3 distinct 5-grams with any
+# val/test doc (the GPT-3 appendix-C decontamination step applied to the
+# split itself). Eval side is bounded (2/16ths) → Catalyst broadcasts the
+# gram join; everything else is the narrow split map.
+@register(
+    "t42_decontaminated_split",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE
+               WHEN nib >= 14 AND nib < 15 THEN 'val'
+               WHEN nib >= 15 AND nib < 16 THEN 'test'
+               ELSE 'train'
+             END AS split
+      FROM (
+        SELECT doc_id, text,
+               CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+                 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+                 ELSE CAST(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+               END AS nib
+        FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM s
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+      FROM toks
+    ),
+    cont AS (
+      SELECT tg.doc_id
+      FROM g tg
+      JOIN (SELECT doc_id FROM s WHERE split = 'train') tr USING (doc_id)
+      JOIN (SELECT DISTINCT gram FROM g
+            JOIN (SELECT doc_id FROM s WHERE split IN ('val','test')) ev USING (doc_id)) eg
+        ON tg.gram = eg.gram
+      GROUP BY tg.doc_id HAVING count(DISTINCT tg.gram) >= 3
+    )
+    SELECT CASE WHEN split = 'train' AND doc_id IN (SELECT doc_id FROM cont)
+                THEN 'quarantined' ELSE split END AS split,
+           count(*) AS n
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Leakage-safe hash split + 5-gram decontamination: training docs "
+        "sharing ≥3 distinct 5-grams with any val/test doc move to "
+        "'quarantined'. Per-split doc counts."
+    ),
+    tags=("training", "dedup", "sampling"),
+)
+def t42(spark, sf):
+    d = load_table(spark, sf, "documents")
+    sp = X.hash_split(d, key_col="doc_id")
+    train = sp.where(F.col("split") == "train")
+    evals = sp.where(F.col("split").isin("val", "test"))
+    cont = (
+        D.contamination_counts(train, evals, n=5)
+        .where(F.col("shared_ngrams") >= 3)
+        .select(F.col("train_doc").alias("doc_id"), F.lit(True).alias("_q"))
+    )
+    return (
+        sp.join(cont, "doc_id", "left")
+        .withColumn(
+            "split",
+            F.when(F.col("_q") & (F.col("split") == "train"), "quarantined").otherwise(
+                F.col("split")
+            ),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
