@@ -1755,3 +1755,41 @@ def q57(spark, sf):
         )
         .orderBy("dest", "window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# Q58 capped ordered pickup — the jobsdb wrap-query (§2.7,
+# jobsdb_get.go:550-570): jobs in id order, stopping once the CUMULATIVE
+# event count reaches the cap, with one extra row kept so a single
+# oversized job still returns. The global running sum is fine here by
+# construction — pickup operates on one bounded dataset page (≤100k rows
+# by the rotation policy), never the whole corpus; dataset pruning
+# happens before this operator.
+@register(
+    "q58_capped_pickup",
+    """
+    SELECT event_id, ec FROM (
+      SELECT event_id, ec,
+             SUM(ec) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM (SELECT event_id, 1 + event_id % 5 AS ec FROM events)
+    ) WHERE running - ec < 20000
+    ORDER BY event_id
+    """,
+    doc=(
+        "Ordered pickup with a cumulative event-count cap (20k): the "
+        "batch-size guard every jobsdb read applies; one-extra-row "
+        "semantics so an oversized first job still returns. Operates on a "
+        "bounded dataset page by construction (see comment)."
+    ),
+    tags=("jobsdb", "sorts"),
+)
+def q58(spark, sf):
+    from rudder_server_spark.sources.jobsdb import ordered_pickup
+
+    e = _events(spark, sf).select(
+        "event_id", (1 + F.col("event_id") % 5).alias("ec")
+    )
+    return ordered_pickup(
+        e, job_id="event_id", event_count_col="ec", max_events=20000
+    ).orderBy("event_id")
