@@ -1793,3 +1793,69 @@ def q58(spark, sf):
     return ordered_pickup(
         e, job_id="event_id", event_count_col="ec", max_events=20000
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Q59 consent filter under the oracle gate (F8, consent.go:44-230): each
+# event carries denied consent categories (derived deterministically from
+# its payload here — real events carry them in context.consentManagement);
+# the destination consents to ['ads','functional']. Event-destination
+# pairs whose denied set overlaps the destination's categories drop; the
+# query audits kept/dropped per event_type. Pure column predicate — no
+# shuffle beyond the final grouped count.
+@register(
+    "q59_consent_filter",
+    """
+    SELECT event_type,
+           SUM(CASE WHEN NOT ov THEN 1 ELSE 0 END) AS kept,
+           SUM(CASE WHEN ov THEN 1 ELSE 0 END) AS dropped
+    FROM (
+      SELECT event_type,
+             len(list_intersect(
+               CASE CAST(json_extract(props, '$.k') AS INT) % 4
+                 WHEN 0 THEN ['ads']
+                 WHEN 1 THEN ['analytics', 'ads']
+                 WHEN 2 THEN CAST([] AS VARCHAR[])
+                 ELSE ['marketing']
+               END,
+               ['ads', 'functional'])) > 0 AS ov
+      FROM events
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Consent-category filter audit: kept vs dropped per event_type "
+        "for a destination consenting to ['ads','functional'], denied "
+        "sets derived per event. arrays_overlap predicate, codegen'd."
+    ),
+    tags=("filters",),
+)
+def q59(spark, sf):
+    from rudder_server_spark.operators.filters import consent_filter
+
+    e = _events(spark, sf)
+    k4 = F.get_json_object("props", "$.k").cast("int") % 4
+    denied = (
+        F.when(k4 == 0, F.array(F.lit("ads")))
+        .when(k4 == 1, F.array(F.lit("analytics"), F.lit("ads")))
+        .when(k4 == 2, F.array().cast("array<string>"))
+        .otherwise(F.array(F.lit("marketing")))
+    )
+    tagged = e.select(
+        "event_type",
+        denied.alias("denied_consent_ids"),
+        F.array(F.lit("ads"), F.lit("functional")).alias("consent_category_ids"),
+    )
+    kept = consent_filter(tagged).groupBy("event_type").agg(
+        F.count("*").alias("kept")
+    )
+    total = tagged.groupBy("event_type").agg(F.count("*").alias("_n"))
+    return (
+        total.join(kept, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+            (F.col("_n") - F.coalesce("kept", F.lit(0))).alias("dropped"),
+        )
+        .orderBy("event_type")
+    )
