@@ -1859,3 +1859,232 @@ def q59(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q60 TPC-H Q4-shaped EXISTS semi-join: orders in a window that have at
+# least one late-shipping lineitem, counted by priority. The EXISTS
+# decorrelates to a LEFT SEMI join on orderkey with the ship>order
+# inequality as a join residual — no aggregation or dedup of the big
+# lineitem side is ever materialized, and the o_orderdate range filter
+# reaches the parquet scan before the shuffle. At 100 TB both sides
+# shuffle once on orderkey (or colocate for free on bucketed layouts,
+# sources/bucketed.py).
+@register(
+    "q60_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4: priority distribution of 1996 orders with a "
+        "later-than-order-date shipment. EXISTS = left-semi join with an "
+        "inequality residual on the equi-shuffled orderkey."
+    ),
+    tags=("relational", "joins"),
+)
+def q60(spark, sf):
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load_table(spark, sf, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 TPC-H Q13-shaped distribution: how many customers placed k
+# non-urgent orders, including k=0 — the canonical outer-join +
+# double-aggregate histogram. The ON-clause predicate filters the orders
+# side BEFORE the left join (equivalent semantics, and it pushes to the
+# scan); first aggregate shuffles on custkey (co-partitioned with the
+# join), second aggregate reduces the per-customer counts — already tiny
+# (one row per customer → one row per distinct k) — so the second
+# exchange moves ~KB at any SF.
+@register(
+    "q61_tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13: customer distribution by non-urgent order count, "
+        "zero-order customers included via the left join."
+    ),
+    tags=("relational", "aggregation"),
+)
+def q61(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q62 TPC-H Q18-shaped large-order pickout: orders whose total quantity
+# exceeds a threshold, joined back to customer detail — the
+# HAVING-subquery-as-semi-join pattern. The qualifying-key aggregate and
+# the detail join both key on l_orderkey/o_orderkey, so the plan reuses
+# ONE exchange partitioning for the heavy side (AQE sees the shared
+# hash); the qualifier output (rare keys) broadcasts at runtime. Top-100
+# is TakeOrderedAndProject — per-partition heaps, no global sort.
+@register(
+    "q62_tpch_q18",
+    """
+    SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q18: customers with orders totalling >150 units. "
+        "HAVING-filtered key set applied as a semi join on the shared "
+        "orderkey partitioning; bounded top-100 output."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q62(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q63 TPC-H Q22-shaped dormant-rich-customer audit: customers with
+# above-average balance and NO orders, rolled up per nation. Two classic
+# shapes in one plan: a scalar aggregate subquery (1-row frame,
+# broadcast cross join — never a shuffle) and NOT EXISTS as a LEFT ANTI
+# join against the big orders table (shuffles once on custkey; the anti
+# side only carries the join key, pruned at the scan).
+@register(
+    "q63_tpch_q22",
+    """
+    WITH ab AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    doc=(
+        "TPC-H Q22: above-average-balance customers with no orders, per "
+        "nation. Scalar subquery broadcasts; NOT EXISTS is a left-anti "
+        "join keyed on custkey."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q63(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    ab = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q64 TPC-H Q10-shaped returned-revenue ranking: per-customer revenue
+# lost to returns in a half-year, with nation detail, top 20. The
+# l_returnflag + o_orderdate filters both reach their parquet scans
+# (row-group stats skip on the date-clustered layout); nation is a
+# bounded broadcast dim; orders⋈lineitem is the one big shuffle on
+# orderkey, then one agg shuffle on custkey that the customer join
+# reuses. Top-20 via TakeOrderedAndProject.
+@register(
+    "q64_tpch_q10",
+    """
+    SELECT c.c_custkey, c_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c.c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10: top-20 customers by returned revenue in 1996H1. "
+        "Pushed scans, broadcast nation, orderkey shuffle reused by the "
+        "custkey aggregate."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q64(spark, sf):
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
