@@ -213,3 +213,65 @@ def ivf_topk(
     probe = sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
     cand = df_assigned.where(F.col(cell_col).isin(probe))
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def group_centroid_diversity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    centroid_round: int = 6,
+    cos_round: int = 7,
+) -> DataFrame:
+    """Per-group embedding centroid + intra-group diversity profile.
+
+    The data-curation statistic behind cluster-balance / domain-diversity
+    decisions (and SemDeDup's cell quality check): for each group, the
+    mean vector and how tightly members hug it (avg / min cosine to the
+    centroid — low avg = diverse group, low min = outliers present).
+
+    Scale shape: the centroid is computed as `dim` columnar AVG aggregates
+    (one shuffle with map-side combine, NO posexplode — exploding would
+    multiply the corpus x dim before the shuffle). The per-group centroid
+    frame is one row per group → broadcast back; the cosine is explicit
+    per-index arithmetic (dim is known), fully whole-stage-codegen — the
+    interpreted zip_with/aggregate fold measured 4x slower on this shape.
+    Determinism across engines: the centroid and the per-row cosine are
+    rounded (summation-order noise ~1e-13 vs rounding grain 1e-6/1e-7) so
+    the oracle comparison is exact.
+
+    Built as ONE generated SQL statement (a single JVM-side parse): the
+    4x-dim-wide expression tree assembled Column-by-Column costs ~10s of
+    driver-side Py4J round-trips per call — the q16 DataFrame-construction
+    lesson; execution itself is fast either way.
+
+    `dim` comes from one bounded metadata row (first vector's length).
+    """
+    dim_row = df.select(F.size(vec_col).alias("s")).first()
+    dim = dim_row["s"] if dim_row else 0
+    spark = df.sparkSession
+    view = "_gcd_input"
+    df.createOrReplaceTempView(view)
+    cent_cols = ", ".join(
+        f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), {centroid_round}) AS _c{i}"
+        for i in range(dim)
+    )
+    ev = lambda i: f"CAST(e.{vec_col}[{i}] AS DOUBLE)"
+    dot_vc = " + ".join(f"{ev(i)} * c._c{i}" for i in range(dim))
+    nv = " + ".join(f"{ev(i)} * {ev(i)}" for i in range(dim))
+    nc = " + ".join(f"c._c{i} * c._c{i}" for i in range(dim))
+    return spark.sql(
+        f"""
+        WITH cent AS (
+          SELECT {group_col}, {cent_cols} FROM {view} GROUP BY {group_col}
+        ),
+        cos AS (
+          SELECT /*+ BROADCAST(c) */ e.{group_col} AS {group_col},
+                 round(({dot_vc}) / (sqrt({nv}) * sqrt({nc})), {cos_round}) AS _cs
+          FROM {view} e JOIN cent c ON e.{group_col} = c.{group_col}
+        )
+        SELECT {group_col}, count(*) AS n_vectors,
+               CAST(round(avg(_cs), 5) AS DOUBLE) AS avg_cos,
+               CAST(round(min(_cs), 5) AS DOUBLE) AS min_cos
+        FROM cos GROUP BY {group_col} ORDER BY {group_col}
+        """
+    )

@@ -1666,3 +1666,50 @@ def t42(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# t43 per-group embedding centroid + diversity — the curation statistic
+# behind cluster balancing and outlier triage: per label, the mean
+# vector and how tightly members hug it. Columnar dim-wise AVG (no
+# explode), centroid broadcast back, codegen'd cosine fold; rounding at
+# the centroid and per-row cosine pins cross-engine determinism (see
+# operators/similarity.py::group_centroid_diversity).
+@register(
+    "t43_centroid_diversity",
+    """
+    WITH ex AS (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(cv ORDER BY d) AS c FROM (
+        SELECT label, d, round(avg(v), 6) AS cv FROM ex GROUP BY label, d
+      ) GROUP BY label
+    ),
+    cos AS (
+      SELECT e.label,
+             round(
+               list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                  * sqrt(list_dot_product(c, c))),
+               7) AS cs
+      FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label, count(*) AS n_vectors,
+           CAST(round(avg(cs), 5) AS DOUBLE) AS avg_cos,
+           CAST(round(min(cs), 5) AS DOUBLE) AS min_cos
+    FROM cos GROUP BY label ORDER BY label
+    """,
+    doc=(
+        "Per-label embedding centroid diversity: member count, avg and "
+        "min cosine-to-centroid. Dim-wise columnar AVG + broadcast "
+        "centroid join; deterministic via fixed-point rounding."
+    ),
+    tags=("training", "similarity"),
+)
+def t43(spark, sf):
+    e = load_table(spark, sf, "embeddings")
+    return S.group_centroid_diversity(e, group_col="label", vec_col="embedding")

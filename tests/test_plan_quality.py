@@ -467,3 +467,52 @@ def test_t38_rebalance_no_cartesian(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q60_exists_is_semi_join(spark):
+    """TPC-H Q4: EXISTS must plan as a LEFT SEMI join (no aggregate or
+    distinct materialization of the lineitem side) with the date filter
+    pushed to the orders scan."""
+    df = REG["q60_tpch_q4"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan
+
+
+def test_q63_not_exists_is_anti_join(spark):
+    """TPC-H Q22: NOT EXISTS plans as LEFT ANTI; the scalar avg subquery
+    broadcasts (BroadcastNestedLoopJoin or BroadcastExchange on a 1-row
+    frame) — never a shuffle of the customer side for the scalar."""
+    df = REG["q63_tpch_q22"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_q62_top100_is_take_ordered(spark):
+    """TPC-H Q18: the ORDER BY + LIMIT 100 must plan as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    df = REG["q62_tpch_q18"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q64_top20_take_ordered_nation_broadcast(spark):
+    """TPC-H Q10: top-20 via TakeOrderedAndProject; nation joins as a
+    hint-broadcast dim; returnflag + date filters reach their scans."""
+    df = REG["q64_tpch_q10"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+
+
+def test_t43_centroid_no_explode(spark):
+    """Centroid diversity: the dim-wise aggregate must NOT explode the
+    vector column (a Generate node would multiply the corpus x dim
+    before the shuffle); the centroid frame joins back as a broadcast."""
+    df = REG["t43_centroid_diversity"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Generate" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
