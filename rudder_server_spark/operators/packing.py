@@ -219,3 +219,37 @@ def mixture_sample(
         F.lit(float(default_rate)),
     )
     return df.where(bucket < F.least(rate, F.lit(1.0)) * 65536)
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "ntok",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus selection under a token budget: keep the highest-scoring
+    documents until ``budget`` tokens are reached.
+
+    The "train on the best N billion tokens" curation step: docs are
+    ranked by (score DESC, id ASC) and a doc is kept iff it STARTS within
+    the budget — the crossing doc is kept (q58's one-extra pickup
+    semantics), so a single over-budget doc still selects.
+
+    Scale shape: the global ranking never materializes on one node — the
+    cumulative token count comes from `global_cumsum`'s two-pass
+    range-partitioned prefix sum (the struct sort key (-score, id) gives
+    descending-score order with a deterministic tie-break). One range
+    exchange + one metadata-scale collect, same as pack_sequences.
+
+    Returns the selected rows with the running total (`_cum`) dropped.
+    """
+    keyed = df.withColumn(
+        "_rank_key",
+        F.struct((-F.col(score_col)).alias("s"), F.col(id_col).alias("i")),
+    )
+    cum = global_cumsum(keyed, token_col, "_rank_key", out_col="_cum")
+    return (
+        cum.where((F.col("_cum") - F.col(token_col)) < budget)
+        .drop("_rank_key", "_cum")
+    )

@@ -1713,3 +1713,61 @@ def t42(spark, sf):
 def t43(spark, sf):
     e = load_table(spark, sf, "embeddings")
     return S.group_centroid_diversity(e, group_col="label", vec_col="embedding")
+
+
+# --------------------------------------------------------------------------
+# t44 token-budget corpus selection — "train on the best 40k tokens":
+# docs ranked by a quality score (distinct-token ratio), selected in
+# rank order until the token budget, one-extra crossing semantics
+# (q58's pickup rule). The global ranking runs as packing's two-pass
+# range-partitioned prefix sum — no single-task window. Per-source
+# rollup of what survived.
+@register(
+    "t44_budget_select",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS ntok,
+             CAST(round(
+               CAST(len(list_distinct(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE)
+               / greatest(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')), 1), 6) AS DOUBLE) AS score
+      FROM documents
+    ),
+    sel AS (
+      SELECT *, SUM(ntok) OVER (ORDER BY score DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM scored
+    )
+    SELECT source, count(*) AS n_docs, SUM(ntok) AS sel_tokens,
+           CAST(round(avg(score), 6) AS DOUBLE) AS avg_score
+    FROM sel WHERE cum - ntok < 40000 GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "Token-budget corpus selection: highest-scoring docs (distinct-"
+        "token ratio) kept until 40k tokens, crossing doc included; "
+        "per-source doc/token/score rollup of the selection."
+    ),
+    tags=("training", "sampling"),
+)
+def t44(spark, sf):
+    from rudder_server_spark.operators.packing import budget_select
+
+    d = load_table(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(X.TOKEN_REGEX), 0)
+    ntok = F.size(toks)
+    score = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(ntok, F.lit(1)).cast("double"),
+        6,
+    )
+    scored = d.select("doc_id", "source", ntok.alias("ntok"), score.alias("score"))
+    return (
+        budget_select(scored, budget=40000)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("sel_tokens"),
+            F.round(F.avg("score"), 6).cast("double").alias("avg_score"),
+        )
+        .orderBy("source")
+    )
