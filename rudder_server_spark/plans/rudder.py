@@ -951,3 +951,64 @@ def q53(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q65 delayed-event stats — processor/delayed/stats.go:29-84: every event
+# classified missing_original_timestamp → missing_sent_at → late
+# (sentAt−originalTimestamp > threshold, default 10d) → on-time, counted
+# per SDK version tag (context.library name/version, 'unknown' when the
+# payload has no library — alias/merge events here). Field presence and
+# the lag are derived deterministically from the message counter (the
+# fixture's real timestamps carry a constant transport lag — same
+# derivation pattern as q59's consent sets); the classification
+# precedence and tag shape are the reference's. Pure codegen CASE over
+# one narrow scan + one bounded grouped count.
+@register(
+    "q65_delayed_events",
+    f"""
+    WITH b AS (
+      SELECT CAST(substr(message_id, 5) AS INT) AS k,
+             CASE WHEN json_extract_string(payload, '$.context.library.name') IS NULL
+                  THEN 'unknown'
+                  ELSE json_extract_string(payload, '$.context.library.name') || '/' ||
+                       json_extract_string(payload, '$.context.library.version')
+             END AS sdk_version
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    SELECT status, sdk_version, count(*) AS n FROM (
+      SELECT CASE WHEN k % 17 = 0 THEN 'missing_original_timestamp'
+                  WHEN k % 23 = 0 THEN 'missing_sent_at'
+                  WHEN (k % 1000) * 3600 > 240 * 3600 THEN 'late'
+                  ELSE 'on-time' END AS status,
+             sdk_version
+      FROM b
+    ) GROUP BY status, sdk_version ORDER BY status, sdk_version
+    """,
+    doc=(
+        "Delayed-event classification per SDK version: missing-field "
+        "precedence, then late vs on-time against the 10-day threshold. "
+        "Ref: processor/delayed/stats.go:29-84"
+    ),
+    tags=("rudder", "aggregation"),
+)
+def q65(spark, sf):
+    src = _load(spark, sf)
+    k = F.substring("message_id", 5, 10).cast("int")
+    name = F.get_json_object("payload", "$.context.library.name")
+    ver = F.get_json_object("payload", "$.context.library.version")
+    sdk = F.when(name.isNull(), F.lit("unknown")).otherwise(
+        F.concat(name, F.lit("/"), ver)
+    )
+    status = (
+        F.when(k % 17 == 0, F.lit("missing_original_timestamp"))
+        .when(k % 23 == 0, F.lit("missing_sent_at"))
+        .when((k % 1000) * 3600 > 240 * 3600, F.lit("late"))
+        .otherwise(F.lit("on-time"))
+    )
+    return (
+        src.select(status.alias("status"), sdk.alias("sdk_version"))
+        .groupBy("status", "sdk_version")
+        .agg(F.count("*").alias("n"))
+        .orderBy("status", "sdk_version")
+    )
