@@ -2088,3 +2088,156 @@ def q64(spark, sf):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q66 TPC-H Q15-shaped top-supplier argmax: revenue per supplier for a
+# quarter, keep the supplier(s) hitting the GLOBAL max — the scalar-MAX-
+# subquery-with-ties shape (DISTINCT ON / argmax without a window). The
+# revenue aggregate shuffles once on suppkey; the global max reduces that
+# bounded frame to ONE row which broadcasts back (never a shuffle of the
+# aggregate for the comparison); supplier detail joins on the handful of
+# winners. Rounding before the max compare keeps the tie set
+# deterministic across engines.
+@register(
+    "q66_tpch_q15",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15: supplier(s) with the maximum quarterly revenue. "
+        "Scalar MAX subquery over the bounded per-supplier aggregate, "
+        "broadcast back; ties kept."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q66(spark, sf):
+    s = load_table(spark, sf, "supplier")
+    l = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx._mx, "inner")
+    return (
+        s.join(top, s.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q67 TPC-H Q6-shaped forecast filter-agg: the zero-shuffle plan — every
+# predicate reaches the parquet scan (PushedFilters on shipdate /
+# discount / quantity), one scalar partial-agg per task, one single-row
+# final reduce. The plan to beat at 100 TB is "scan only the row groups
+# the date range touches and never exchange anything".
+@register(
+    "q67_tpch_q6",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6: revenue delta from discount forecast. All predicates "
+        "pushed to the scan; scalar aggregate, zero shuffles."
+    ),
+    tags=("relational", "aggregation"),
+)
+def q67(spark, sf):
+    l = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q68 TPC-H Q19-shaped disjunctive-predicate join: revenue over an
+# OR-of-ANDs across both join sides (brand+size on part, quantity on
+# lineitem). The canonical partial-pushdown test: the per-side
+# implications (brand IN (...), size ≤ 35, quantity ≤ 13) prune each
+# scan BEFORE the partkey join, and the full disjunction evaluates as
+# the join residual. part is SF-growing → no broadcast hint, AQE
+# decides.
+@register(
+    "q68_tpch_q19",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 25 AND l.l_quantity BETWEEN 2 AND 12)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 35 AND l.l_quantity BETWEEN 3 AND 13)
+    """,
+    doc=(
+        "TPC-H Q19: disjunctive brand/size/quantity revenue. Per-side "
+        "implied predicates prune the scans; the OR-of-ANDs is the join "
+        "residual."
+    ),
+    tags=("relational", "joins"),
+)
+def q68(spark, sf):
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(2, 12)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 35)
+            & F.col("l_quantity").between(3, 13)
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1771,3 +1771,38 @@ def t44(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t45 pair-similarity histogram — the threshold-sweep the dedup operator
+# needs tuning: how many near-dup pairs appear at each Jaccard band
+# (0.2-wide buckets), computed in ONE pass over the same shingle
+# self-join t2 runs — pick the threshold, then run the dedup. The
+# bucket index comes from integer intersection/union counts (5*i/u),
+# so banding is float-safe across engines.
+@register(
+    "t45_jaccard_histogram",
+    f"""
+    WITH {_JACCARD_CTES.replace(">= 0.8", ">= 0.2")}
+    SELECT least(CAST(floor(jaccard * 5) AS INT), 4) AS bucket,
+           count(*) AS n_pairs
+    FROM jac GROUP BY bucket ORDER BY bucket
+    """,
+    doc=(
+        "Near-dup pair histogram by Jaccard band (width 0.2, pairs >= "
+        "0.2): the dedup-threshold tuning sweep, one shingle self-join "
+        "pass."
+    ),
+    tags=("training", "dedup"),
+)
+def t45(spark, sf):
+    d = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.2)
+    return (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 5).cast("int"), F.lit(4)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket")
+    )
