@@ -1,0 +1,103 @@
+"""Batch-mode processor pipeline: the SURVEY §3.1 event lifecycle as one
+composable function over the repo's operators.
+
+The reference's processor consumes gateway batches and runs, in order:
+in-batch + keystore dedup (processor.go:1941-1983), user suppression
+(handle.go:574-602), source→destination fan-out over the workspace config
+(processor.go getEnabledDestinations), consent filtering (consent.go),
+and supported-message-type filtering (eventfilter/eventfilter.go — jobs
+are marked `filtered`, not dropped). This module chains the same stages
+— every stage a DataFrame transformation from `operators/` — so a batch
+corpus flows the path a live gateway stream would, with the workspace
+config supplied by `sources/config.py::load_workspace_config`.
+
+Scale: the config frames are bounded control-plane dimensions (broadcast
+joins); dedup is the only corpus-keyed shuffle; the fan-out multiplies
+rows by the per-source destination count exactly like the reference's
+job fan-out. Everything stays lazy — callers get DataFrames, not
+side effects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from rudder_server_spark.operators.filters import (
+    batch_dedup,
+    consent_filter,
+    fanout_to_destinations,
+    filter_supported_types,
+    suppress_users,
+)
+
+ALL_MESSAGE_TYPES = [
+    "track",
+    "identify",
+    "page",
+    "screen",
+    "group",
+    "alias",
+    "merge",
+    "extract",
+]
+
+
+def run_batch_pipeline(
+    events: DataFrame,
+    config: dict[str, DataFrame],
+    suppression: DataFrame | None = None,
+    source_col: str = "source_id",
+    denied_col: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the §3.1 stage chain; returns lazy DataFrames.
+
+    ``events`` must carry ``source_col`` plus the envelope columns
+    (message_id/record_id/received_at/...); ``config`` is
+    load_workspace_config's output; ``suppression`` a (user_id) frame;
+    ``denied_col`` names an array<string> column of denied consent
+    categories when consent enforcement applies.
+
+    Returns {"jobs": per-destination jobs with a `status` column
+    ('ok'/'filtered' — reference keeps filtered jobs with status),
+    "delivered": status=='ok' only, "stage_counts": one row per stage
+    with surviving row counts (the A8 gateway-stats audit)}.
+    """
+    deduped = batch_dedup(events, record_id="record_id")
+    suppressed = (
+        suppress_users(deduped, suppression) if suppression is not None else deduped
+    )
+    # enabled-source gate: disabled sources never reach the processor
+    enabled_src = F.broadcast(
+        config["sources"].where(F.col("enabled")).select(source_col)
+    )
+    gated = suppressed.join(enabled_src, source_col, "left_semi")
+    fanned = fanout_to_destinations(gated, config["connections"], source_col=source_col)
+    if denied_col is not None:
+        cats = config["destinations"].select("destination_id", "consent_category_ids")
+        fanned = consent_filter(
+            fanned.join(F.broadcast(cats), "destination_id", "left"),
+            denied_col=denied_col,
+        ).drop("consent_category_ids")
+    # NULL supported list = "all types supported" (eventfilter.go's
+    # missing-config default) — resolve before the membership test
+    type_cfg = config["destinations"].select(
+        "destination_id",
+        F.coalesce(
+            "supported_message_types",
+            F.array(*[F.lit(t) for t in ALL_MESSAGE_TYPES]),
+        ).alias("supported_message_types"),
+    )
+    jobs = filter_supported_types(fanned, dest_config=type_cfg)
+    delivered = jobs.where(F.col("status") == "ok")
+    counts = None
+    for name, df in [
+        ("1_input", events),
+        ("2_deduped", deduped),
+        ("3_suppressed", suppressed),
+        ("4_fanned_out", fanned),
+        ("5_jobs", jobs),
+        ("6_delivered", delivered),
+    ]:
+        c = df.agg(F.count("*").alias("n")).select(F.lit(name).alias("stage"), "n")
+        counts = c if counts is None else counts.unionAll(c)
+    return {"jobs": jobs, "delivered": delivered, "stage_counts": counts}

@@ -1012,3 +1012,131 @@ def q65(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("status", "sdk_version")
     )
+
+
+# --------------------------------------------------------------------------
+# Q69 batch processor pipeline end-to-end — the whole §3.1 lifecycle
+# under ONE oracle row: recordId-aware F1 dedup → F2 suppression →
+# enabled-source gate → J10 destination fan-out from a parsed workspace
+# config (sources/config.py) → F8 consent drop → F7 supported-type
+# status. Config/suppression/consent inputs derive deterministically
+# from the corpus (q59/q65's derivation pattern); the stage chain and
+# filtered-not-dropped semantics are the processor's
+# (processor.go:1941-1983, handle.go:574-602, eventfilter.go,
+# consent.go). Config frames broadcast; dedup is the only corpus-keyed
+# shuffle.
+@register(
+    "q69_batch_pipeline",
+    f"""
+    WITH e AS (
+      SELECT *, CAST(substr(message_id, 5) AS INT) AS k,
+             CASE WHEN record_id IS NOT NULL AND len(record_id) > 0
+                  THEN record_id ELSE message_id END AS dk
+      FROM read_parquet('{_ORACLE_PATH}')
+    ),
+    d AS (
+      SELECT * FROM e
+      QUALIFY row_number() OVER (PARTITION BY dk ORDER BY received_at, message_id) = 1
+    ),
+    s AS (
+      SELECT * FROM d
+      WHERE user_id IS NULL OR substr(md5(CAST(user_id AS VARCHAR)), 1, 1) <> '0'
+    ),
+    src AS (
+      SELECT *, 'src-' || CAST(k % 3 AS VARCHAR) AS source_id,
+             CASE k % 4 WHEN 0 THEN ['ads'] WHEN 1 THEN ['analytics','ads']
+                  WHEN 2 THEN CAST([] AS VARCHAR[]) ELSE ['marketing'] END AS denied
+      FROM s
+    ),
+    conn(source_id, destination_id) AS (
+      VALUES ('src-0','d1'),('src-0','d2'),('src-1','d1'),('src-2','d2')
+    ),
+    dest(destination_id, supported, cats) AS (VALUES
+      ('d1', ['track','identify','page','screen','group','alias','merge'], ['ads','functional']),
+      ('d2', ['track','identify','page','screen','group','alias','merge','extract'], CAST([] AS VARCHAR[]))
+    ),
+    f AS (SELECT src.*, c.destination_id FROM src JOIN conn c USING (source_id)),
+    cns AS (
+      SELECT f.* FROM f JOIN dest USING (destination_id)
+      WHERE NOT coalesce(len(list_intersect(denied, cats)) > 0, FALSE)
+    ),
+    j AS (
+      SELECT cns.*, CASE WHEN list_contains(supported, event_type)
+                         THEN 'ok' ELSE 'filtered' END AS status
+      FROM cns JOIN dest USING (destination_id)
+    )
+    SELECT destination_id, status, count(*) AS n
+    FROM j GROUP BY destination_id, status ORDER BY destination_id, status
+    """,
+    doc=(
+        "§3.1 batch pipeline end-to-end: dedup → suppression → config "
+        "fan-out → consent → type-status, per-destination job counts. "
+        "Ref: processor.go:1941-1983, eventfilter.go, consent.go"
+    ),
+    tags=("rudder", "pipeline"),
+)
+def q69(spark, sf):
+    from rudder_server_spark.pipeline_batch import run_batch_pipeline
+    from rudder_server_spark.sources.config import load_workspace_config
+
+    src = _load(spark, sf)
+    k = F.substring("message_id", 5, 10).cast("int")
+    k4 = k % 4
+    denied = (
+        F.when(k4 == 0, F.array(F.lit("ads")))
+        .when(k4 == 1, F.array(F.lit("analytics"), F.lit("ads")))
+        .when(k4 == 2, F.array().cast("array<string>"))
+        .otherwise(F.array(F.lit("marketing")))
+    )
+    ev = src.withColumn(
+        "source_id", F.concat(F.lit("src-"), (k % 3).cast("string"))
+    ).withColumn("denied_consent_ids", denied)
+    d1 = {
+        "id": "d1",
+        "name": "Webhook out",
+        "enabled": True,
+        "destinationDefinition": {
+            "name": "WEBHOOK",
+            "config": {
+                "supportedMessageTypes": [
+                    "track", "identify", "page", "screen", "group", "alias", "merge",
+                ]
+            },
+        },
+        "config": {"consentManagement": {"consentCategoryIds": ["ads", "functional"]}},
+    }
+    d2 = {
+        "id": "d2",
+        "name": "Object store",
+        "enabled": True,
+        "destinationDefinition": {"name": "S3", "config": {}},
+        "config": {},
+    }
+    cfg = load_workspace_config(
+        spark,
+        {
+            "workspaceId": "ws-1",
+            "sources": [
+                {"id": "src-0", "name": "s0", "writeKey": "wk0", "enabled": True,
+                 "destinations": [d1, d2]},
+                {"id": "src-1", "name": "s1", "writeKey": "wk1", "enabled": True,
+                 "destinations": [d1]},
+                {"id": "src-2", "name": "s2", "writeKey": "wk2", "enabled": True,
+                 "destinations": [d2]},
+            ],
+        },
+    )
+    supp = (
+        src.where(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0")
+        .select("user_id")
+        .distinct()
+    )
+    out = run_batch_pipeline(
+        ev, cfg, suppression=supp, denied_col="denied_consent_ids"
+    )
+    return (
+        out["jobs"]
+        .groupBy("destination_id", "status")
+        .agg(F.count("*").alias("n"))
+        .orderBy("destination_id", "status")
+    )
