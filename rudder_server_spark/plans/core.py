@@ -2241,3 +2241,58 @@ def q68(spark, sf):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q70 workspace-fair pickup — the isolation-mode scheduling shape
+# (processor/isolation, router per-workspace workers; jobsdb pickup
+# iterates workspaces so one hot tenant cannot starve the rest): jobs
+# rank WITHIN their workspace (one workspace-keyed window shuffle), then
+# the global pick orders by (rank, workspace) — a round-robin interleave
+# — under a total cap. The cap is TakeOrderedAndProject (per-partition
+# heaps), never a global sort; at 1e9 jobs the only full-corpus exchange
+# is the per-workspace window.
+@register(
+    "q70_fair_pickup",
+    """
+    WITH j AS (
+      SELECT event_id, 'ws-' || CAST(user_id % 5 AS VARCHAR) AS ws
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    r AS (
+      SELECT event_id, ws,
+             row_number() OVER (PARTITION BY ws ORDER BY event_id) AS rnk
+      FROM j
+    ),
+    pick AS (SELECT * FROM r ORDER BY rnk, ws, event_id LIMIT 1000)
+    SELECT ws, count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id
+    FROM pick GROUP BY ws ORDER BY ws
+    """,
+    doc=(
+        "Fair pickup across workspaces: per-workspace rank, global "
+        "(rank, workspace) interleave capped at 1000 — one tenant's "
+        "backlog cannot starve the others. Ref: processor/isolation, "
+        "router worker partitioning."
+    ),
+    tags=("jobsdb", "sorts"),
+)
+def q70(spark, sf):
+    e = _events(spark, sf).where(F.col("user_id").isNotNull())
+    j = e.select(
+        "event_id", F.concat(F.lit("ws-"), (F.col("user_id") % 5).cast("string")).alias("ws")
+    )
+    w = W.partitionBy("ws").orderBy("event_id")
+    pick = (
+        j.withColumn("rnk", F.row_number().over(w))
+        .orderBy("rnk", "ws", "event_id")
+        .limit(1000)
+    )
+    return (
+        pick.groupBy("ws")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .orderBy("ws")
+    )

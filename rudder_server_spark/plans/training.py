@@ -1806,3 +1806,55 @@ def t45(spark, sf):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# t46 BPE merge-candidate pair counts — the first iteration of BPE
+# vocabulary training: corpus-wide counts of ADJACENT token pairs, top
+# candidates to merge (t13 counts unigrams; the pair statistic is what
+# the merge loop actually ranks). Pairs come from zipping the token
+# array against its own shift (two codegen'd slices — no posexplode
+# self-join); explode → map-side partial count → top-k via per-
+# partition heaps. One shuffle of (pair, partial count) at any scale.
+@register(
+    "t46_bpe_pairs",
+    r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]') AS t
+      FROM documents
+    ),
+    p AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT a, b, count(*) AS n FROM p GROUP BY a, b ORDER BY n DESC, a, b LIMIT 32
+    """,
+    doc=(
+        "BPE merge candidates: top-32 adjacent token pairs by corpus "
+        "frequency. Shifted-slice zip, no self-join; one partial-agg "
+        "shuffle."
+    ),
+    tags=("training", "text"),
+)
+def t46(spark, sf):
+    d = load_table(spark, sf, "documents")
+    t = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\r]"), 0
+    )
+    toks = d.select(t.alias("t")).where(F.size("t") >= 2)
+    zipped = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("a"),
+                F.slice("t", 2, F.size("t") - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    return (
+        zipped.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(32)
+    )
