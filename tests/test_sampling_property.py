@@ -83,3 +83,38 @@ def test_rebalance_repeats_bounds_hold(spark, spec):
     # per-source spread at most 1 (floor vs stochastic +1)
     for reps in by_src.values():
         assert max(reps) - min(reps) <= 1
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(1, 500), st.integers(0, 100)), min_size=1, max_size=40
+    ),
+    budget=st.integers(0, 2000),
+)
+def test_budget_select_is_rank_prefix(spark, docs, budget):
+    """budget_select must equal the brute-force prefix of the
+    (score DESC, id ASC) ranking for ANY token/score distribution and
+    budget — including budget=0 (nothing selects unless... the one-extra
+    rule keeps the first doc only when it starts at 0 < budget is false,
+    so 0 selects nothing), zero-token docs (start == previous cum, so
+    they ride along while under budget), and over-corpus budgets
+    (everything selects)."""
+    from rudder_server_spark.operators.packing import budget_select
+
+    rows = [(i, ntok, float(score) / 10.0) for i, (ntok, score) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, ntok long, score double")
+
+    got = sorted(r["doc_id"] for r in budget_select(df, budget).collect())
+
+    ranked = sorted(rows, key=lambda r: (-r[2], r[0]))
+    want, cum = [], 0
+    for i, ntok, _ in ranked:
+        if cum < budget:
+            want.append(i)
+        cum += ntok
+    assert got == sorted(want)
