@@ -1,0 +1,67 @@
+"""§3.2 warehouse-upload pipeline end-to-end: dedup → fan-out →
+per-table atomic MERGE → completeness counts, across two uploads with
+an idempotent replay in between (the reference's upload state machine:
+a re-run of a committed upload must be a no-op,
+processor.go:2835-3098 / state_update_table_uploads.go)."""
+
+import datetime as dt
+
+from rudder_server_spark.pipeline_warehouse import run_warehouse_upload
+from rudder_server_spark.sources import load_commit
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+SCHEMA = (
+    "message_id string, user_id long, anonymous_id string, event_type string, "
+    "event_name string, received_at timestamp, sent_at timestamp, "
+    "original_timestamp timestamp, payload string"
+)
+
+
+def _env(i, etype, name, payload):
+    t = T0 + dt.timedelta(seconds=i)
+    return (f"msg-{i:06d}", i, f"anon-{i:04d}", etype, name, t, t, t, payload)
+
+
+def _track(i, price):
+    return _env(
+        i, "track", "Order Completed",
+        '{"type":"track","properties":{"price":%s,"quantity":1},'
+        '"context":{"ip":"10.0.0.1"}}' % price,
+    )
+
+
+def test_upload_merge_and_replay(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    batch1 = spark.createDataFrame(
+        [_track(0, 10.0), _track(1, 11.0), _track(1, 11.0)], SCHEMA
+    )  # msg-1 duplicated in-batch -> dedup keeps one
+    out1 = run_warehouse_upload(spark, batch1, wh, "up-1")
+    assert "tracks" in out1["tables"] and out1["committed"]["tracks"]
+    counts1 = {r["table_name"]: r["n"] for r in out1["counts"].collect()}
+    assert counts1["tracks"] == 2
+    assert counts1["order_completed"] == 2
+
+    # replay of the SAME upload id: every table refuses (idempotent no-op)
+    replay = run_warehouse_upload(spark, batch1, wh, "up-1")
+    assert not any(replay["committed"].values())
+    assert {r["table_name"]: r["n"] for r in replay["counts"].collect()}[
+        "tracks"
+    ] == 2
+
+    # second upload: one overlapping message (same id -> MERGE replaces,
+    # landed count grows by the truly-new row only) + one new row
+    batch2 = spark.createDataFrame([_track(1, 99.0), _track(2, 12.0)], SCHEMA)
+    out2 = run_warehouse_upload(spark, batch2, wh, "up-2")
+    assert out2["committed"]["tracks"]
+    counts2 = {r["table_name"]: r["n"] for r in out2["counts"].collect()}
+    assert counts2["tracks"] == 3
+
+    # the MERGE kept the latest version of the overlapping row
+    live = load_commit.read_table(spark, f"{wh}/tracks")
+    price = {r["id"]: r for r in live.collect()}
+    assert len(price) == 3
+
+    # crash-safety artifact: previous snapshot versions still on disk
+    # until vacuum, pointer names the current one
+    assert load_commit.current_version(f"{wh}/tracks") == "up-2"
