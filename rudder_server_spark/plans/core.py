@@ -2296,3 +2296,69 @@ def q70(spark, sf):
         )
         .orderBy("ws")
     )
+
+
+# --------------------------------------------------------------------------
+# Q71 TPC-H Q7-shaped bilateral volume shipping: revenue between two
+# nations by direction and year. The nation dimension joins TWICE
+# (supplier side + customer side) with the (n1,n2)|(n2,n1) pair filter
+# as a residual — both copies broadcast (25 rows at any SF); year
+# extraction is a codegen'd date_part on the already-filtered rows. The
+# only big shuffles are lineitem⋈orders (orderkey) and the customer
+# join (custkey).
+@register(
+    "q71_tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7: two-nation shipping volume by direction and "
+        "year. Nation broadcasts twice; the pair predicate is the join "
+        "residual."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q71(spark, sf):
+    s = load_table(spark, sf, "supplier")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    l = load_table(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

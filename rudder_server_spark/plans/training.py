@@ -1858,3 +1858,56 @@ def t46(spark, sf):
         .orderBy(F.desc("n"), "a", "b")
         .limit(32)
     )
+
+
+# --------------------------------------------------------------------------
+# t47 dataset card — the one-glance corpus summary a training run is
+# signed off against: size, token volume, language/source breadth,
+# exact-duplicate rate, length center. Long (metric, value) format.
+# Every DISTINCT is pre-reduced to its bounded grain (grouped frame →
+# count) so no Expand ever touches the corpus (house rule, SCALE.md);
+# the dup-rate statistic folds distinct-count and total-count out of
+# ONE md5-grouped aggregate (1 − groups/Σcount), its only shuffle.
+@register(
+    "t47_dataset_card",
+    f"""
+    SELECT 'avg_chars' AS metric, CAST(round(avg(n_chars), 3) AS DOUBLE) AS value FROM documents
+    UNION ALL SELECT 'exact_dup_rate', CAST(round(
+      1 - count(DISTINCT md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))) * 1.0
+        / count(*), 6) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'n_docs', CAST(count(*) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'p50_chars', CAST(round(quantile_cont(n_chars, 0.5), 3) AS DOUBLE) FROM documents
+    UNION ALL SELECT 'total_tokens', CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE) FROM documents
+    ORDER BY metric
+    """,
+    doc=(
+        "Dataset card: docs/tokens/langs/sources/dup-rate/length summary "
+        "in one long-format frame; distincts pre-reduced, no Expand."
+    ),
+    tags=("training", "aggregation"),
+)
+def t47(spark, sf):
+    d = load_table(spark, sf, "documents")
+    row = lambda name, df: df.select(F.lit(name).alias("metric"), F.col("value").cast("double"))
+    norm_md5 = F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+    dup = (
+        d.select(norm_md5.alias("_h"))
+        .groupBy("_h")
+        .agg(F.count("*").alias("c"))
+        .agg(F.round(1 - F.count("*") / F.sum("c"), 6).alias("value"))
+    )
+    parts = [
+        row("avg_chars", d.agg(F.round(F.avg("n_chars"), 3).alias("value"))),
+        row("exact_dup_rate", dup),
+        row("n_docs", d.agg(F.count("*").alias("value"))),
+        row("n_langs", d.groupBy("lang").count().agg(F.count("*").alias("value"))),
+        row("n_sources", d.groupBy("source").count().agg(F.count("*").alias("value"))),
+        row("p50_chars", d.agg(F.round(F.percentile("n_chars", F.lit(0.5)), 3).alias("value"))),
+        row("total_tokens", d.agg(F.sum(X.token_count(F.col("text"))).alias("value"))),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("metric")
