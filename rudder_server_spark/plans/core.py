@@ -2362,3 +2362,78 @@ def q71(spark, sf):
         .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Q72 TPC-H Q8-shaped market share: one nation's share of a region's
+# revenue for one part type, by order year — the conditional-share
+# aggregate (sum(CASE)/sum) over the widest join in the suite (part,
+# lineitem, orders, customer, supplier, nation x2, region). part is
+# filtered on p_type BEFORE the join (the selective probe side);
+# nation/region broadcast; supplier's nation only labels the numerator.
+# Shares divide two already-aggregated decimals — exact, then rounded.
+@register(
+    "q72_tpch_q8",
+    """
+    SELECT o_year,
+           CAST(ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                      / SUM(volume), 6) AS DOUBLE) AS mkt_share,
+           count(*) AS n_lines
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc=(
+        "TPC-H Q8: NATION_3's share of ASIA revenue for PROMO parts per "
+        "year. Conditional-share aggregate over the widest star join; "
+        "dims broadcast, selective part filter before the join."
+    ),
+    tags=("relational", "joins", "aggregation"),
+)
+def q72(spark, sf):
+    p = load_table(spark, sf, "part").where(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("_nk2")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    base = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"), "left_semi")
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(num / F.sum("volume"), 6).cast("double").alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
