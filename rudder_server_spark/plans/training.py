@@ -1911,3 +1911,67 @@ def t47(spark, sf):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("metric")
+
+
+# --------------------------------------------------------------------------
+# t48 packing-efficiency audit — the statistic that justifies sequence
+# packing: for each candidate seq_len, tokens wasted by pad-per-document
+# (every doc padded up to a seq_len multiple — the no-packing loader)
+# vs concat-and-chunk (waste = only the final partial chunk, computed
+# from the corpus total). One narrow pass computes per-doc ceil-padding
+# for all three lengths; the per-length rollup is three sums over one
+# bounded pre-aggregate. Savings = the fraction of padded batch slots
+# packing reclaims.
+@register(
+    "t48_packing_efficiency",
+    f"""
+    WITH d AS (
+      SELECT len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS ntok FROM documents
+      WHERE len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) > 0
+    ),
+    l(seq_len) AS (VALUES (128), (512), (2048)),
+    per AS (
+      SELECT seq_len, SUM(ntok) AS total_tokens,
+             SUM(CAST(ceil(ntok * 1.0 / seq_len) AS BIGINT) * seq_len) AS padded_slots
+      FROM d CROSS JOIN l GROUP BY seq_len
+    )
+    SELECT seq_len, total_tokens,
+           padded_slots - total_tokens AS padded_waste,
+           CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) * seq_len - total_tokens AS packed_waste,
+           CAST(round(1 - (CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) * seq_len * 1.0)
+                          / padded_slots, 6) AS DOUBLE) AS packing_savings
+    FROM per ORDER BY seq_len
+    """,
+    doc=(
+        "Packing efficiency by seq_len (128/512/2048): padded-per-doc "
+        "waste vs concat-and-chunk waste and the batch-slot savings "
+        "fraction. One narrow pass, bounded rollup."
+    ),
+    tags=("training", "aggregation"),
+)
+def t48(spark, sf):
+    d = load_table(spark, sf, "documents")
+    ntok = X.token_count(F.col("text"))
+    base = d.select(ntok.alias("ntok")).where(F.col("ntok") > 0)
+    lens = spark.createDataFrame([(128,), (512,), (2048,)], "seq_len int")
+    per = (
+        base.crossJoin(F.broadcast(lens))
+        .groupBy("seq_len")
+        .agg(
+            F.sum("ntok").alias("total_tokens"),
+            F.sum(
+                F.ceil(F.col("ntok") * 1.0 / F.col("seq_len")).cast("long")
+                * F.col("seq_len")
+            ).alias("padded_slots"),
+        )
+    )
+    packed_slots = F.ceil(F.col("total_tokens") * 1.0 / F.col("seq_len")).cast("long") * F.col("seq_len")
+    return per.select(
+        "seq_len",
+        "total_tokens",
+        (F.col("padded_slots") - F.col("total_tokens")).alias("padded_waste"),
+        (packed_slots - F.col("total_tokens")).alias("packed_waste"),
+        F.round(1 - packed_slots * 1.0 / F.col("padded_slots"), 6)
+        .cast("double")
+        .alias("packing_savings"),
+    ).orderBy("seq_len")
