@@ -62,7 +62,9 @@ def run_batch_pipeline(
     "delivered": status=='ok' only, "stage_counts": one row per stage
     with surviving row counts (the A8 gateway-stats audit)}.
     """
-    deduped = batch_dedup(events, record_id="record_id")
+    deduped = batch_dedup(
+        events, record_id="record_id" if "record_id" in events.columns else None
+    )
     suppressed = (
         suppress_users(deduped, suppression) if suppression is not None else deduped
     )
