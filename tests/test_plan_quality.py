@@ -516,3 +516,19 @@ def test_t43_centroid_no_explode(spark):
     plan = _plan(df)
     assert "Generate" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q71_q72_nation_broadcast_twice(spark):
+    """TPC-H Q7/Q8: the nation dim joins twice (supplier + customer
+    side) and BOTH copies must broadcast — a shuffle of a 25-row dim
+    against the lineitem join would be a planning regression."""
+    for name in ("q71_tpch_q7", "q72_tpch_q8"):
+        plan = _plan(REG[name].spark_fn(spark, SF_DIR))
+        assert plan.count("BroadcastHashJoin") >= 2, (name, plan)
+
+
+def test_t47_dataset_card_no_expand(spark):
+    """Dataset card: every DISTINCT is pre-reduced — an Expand node
+    would mean a mixed-distinct aggregate touched the corpus."""
+    plan = _plan(REG["t47_dataset_card"].spark_fn(spark, SF_DIR))
+    assert "Expand" not in plan, plan
