@@ -1975,3 +1975,48 @@ def t48(spark, sf):
         .cast("double")
         .alias("packing_savings"),
     ).orderBy("seq_len")
+
+
+# --------------------------------------------------------------------------
+# t49 duplication attribution — near-dup pairs split by whether both
+# sides come from the same source: a high cross-source rate means
+# syndicated/mirrored content (dedup globally), a high within-source
+# rate means a crawler re-fetching itself (fix the source). Reuses the
+# exact Jaccard pair tier; the source labels join onto the (small)
+# pair frame — AQE broadcasts the pair side against the corpus, so the
+# corpus is never reshuffled for the lookup.
+@register(
+    "t49_dup_attribution",
+    f"""
+    WITH {_JACCARD_CTES},
+    lab AS (
+      SELECT CASE WHEN da.source = db.source THEN 'within_source'
+                  ELSE 'cross_source' END AS scope
+      FROM jac j
+      JOIN documents da ON da.doc_id = j.a
+      JOIN documents db ON db.doc_id = j.b
+    )
+    SELECT scope, count(*) AS n_pairs FROM lab
+    GROUP BY scope ORDER BY scope
+    """,
+    doc=(
+        "Near-dup pair attribution: within-source vs cross-source pair "
+        "counts at Jaccard >= 0.8 — the syndication-vs-recrawl "
+        "diagnostic."
+    ),
+    tags=("training", "dedup"),
+)
+def t49(spark, sf):
+    d = load_table(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.8)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "a").withColumnRenamed("source", "sa"), "a")
+        .join(src.withColumnRenamed("doc_id", "b").withColumnRenamed("source", "sb"), "b")
+        .select(
+            F.when(F.col("sa") == F.col("sb"), "within_source")
+            .otherwise("cross_source")
+            .alias("scope")
+        )
+    )
+    return lab.groupBy("scope").agg(F.count("*").alias("n_pairs")).orderBy("scope")
