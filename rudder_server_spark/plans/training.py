@@ -2020,3 +2020,36 @@ def t49(spark, sf):
         )
     )
     return lab.groupBy("scope").agg(F.count("*").alias("n_pairs")).orderBy("scope")
+
+
+# --------------------------------------------------------------------------
+# t50 duplicate-family histogram — how MANY copies exact-dup families
+# have (family size 1 = unique, 2, 3, ...): the multiplicity profile
+# that decides between keep-one dedup (long tail of pairs) and
+# upstream-source fixes (a few huge families). Two bounded aggregates
+# after the one corpus-keyed shuffle on the normalized-text hash.
+@register(
+    "t50_dup_family_histogram",
+    """
+    SELECT family_size, count(*) AS n_families FROM (
+      SELECT count(*) AS family_size
+      FROM documents
+      GROUP BY md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')))
+    ) GROUP BY family_size ORDER BY family_size
+    """,
+    doc=(
+        "Exact-dup family-size histogram over the normalized-text hash: "
+        "one corpus shuffle, two bounded rollups."
+    ),
+    tags=("training", "dedup"),
+)
+def t50(spark, sf):
+    d = load_table(spark, sf, "documents")
+    norm_md5 = F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+    return (
+        d.groupBy(norm_md5.alias("_h"))
+        .agg(F.count("*").alias("family_size"))
+        .groupBy("family_size")
+        .agg(F.count("*").alias("n_families"))
+        .orderBy("family_size")
+    )
