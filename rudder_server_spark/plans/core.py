@@ -434,7 +434,7 @@ def q22(spark, sf):
         "o_orderkey",
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.lead("o_totalprice").over(w).alias("next_price"),
-        F.rank().over(wr).alias("price_rank"),
+        F.rank().over(wr).cast("long").alias("price_rank"),
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
                 w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -461,7 +461,7 @@ def q23(spark, sf):
     o = load_table(spark, sf, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 3)
         .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rn")
@@ -889,8 +889,8 @@ def q36(spark, sf):
       FROM events
     )
     SELECT event_type,
-           SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS picked,
-           SUM(CASE WHEN rn > cap THEN 1 ELSE 0 END) AS deferred,
+           CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS picked,
+           CAST(SUM(CASE WHEN rn > cap THEN 1 ELSE 0 END) AS BIGINT) AS deferred,
            count(DISTINCT CASE WHEN rn > cap THEN window_start END)
              AS saturated_windows
     FROM t GROUP BY event_type ORDER BY event_type
@@ -1006,28 +1006,28 @@ def q38(spark, sf):
     "q39_column_profile",
     """
     SELECT 'event_id' AS col_name, count(CAST(event_id AS VARCHAR)) AS n_nonnull,
-           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT CAST(event_id AS VARCHAR)) AS n_distinct,
            min(CAST(event_id AS VARCHAR)) AS min_s, max(CAST(event_id AS VARCHAR)) AS max_s
     FROM events
     UNION ALL
-    SELECT 'ts', count(CAST(ts AS VARCHAR)), SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+    SELECT 'ts', count(CAST(ts AS VARCHAR)), CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT CAST(ts AS VARCHAR)), min(CAST(ts AS VARCHAR)), max(CAST(ts AS VARCHAR))
     FROM events
     UNION ALL
-    SELECT 'user_id', count(CAST(user_id AS VARCHAR)), SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+    SELECT 'user_id', count(CAST(user_id AS VARCHAR)), CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT CAST(user_id AS VARCHAR)), min(CAST(user_id AS VARCHAR)), max(CAST(user_id AS VARCHAR))
     FROM events
     UNION ALL
-    SELECT 'event_type', count(event_type), SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+    SELECT 'event_type', count(event_type), CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT event_type), min(event_type), max(event_type)
     FROM events
     UNION ALL
-    SELECT 'value', count(CAST(value AS VARCHAR)), SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+    SELECT 'value', count(CAST(value AS VARCHAR)), CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT CAST(value AS VARCHAR)), min(CAST(value AS VARCHAR)), max(CAST(value AS VARCHAR))
     FROM events
     UNION ALL
-    SELECT 'props', count(props), SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+    SELECT 'props', count(props), CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT props), min(props), max(props)
     FROM events
     ORDER BY col_name
@@ -1275,11 +1275,11 @@ def q43(spark, sf):
     "q44_pivot_daily_counts",
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY day ORDER BY day
     """,
     doc=(
@@ -1376,8 +1376,8 @@ def q46(spark, sf):
            CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM (
       SELECT unnest([
-               to_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)),
-               to_timestamp(CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT))
+               make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000),
+               make_timestamp((CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300) * 1000000)
              ]) AS wstart,
              value
       FROM events WHERE event_type = 'purchase'
@@ -1449,9 +1449,9 @@ def q47(spark, sf):
       GROUP BY s.user_id, s.sess_no, steps2.v, steps2.c
     )
     SELECT count(*) AS sessions,
-           SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS with_view,
-           SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS view_then_click,
-           SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS full_conversion
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_view,
+           CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS view_then_click,
+           CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS full_conversion
     FROM steps3
     """,
     doc=(
@@ -1807,8 +1807,8 @@ def q58(spark, sf):
     "q59_consent_filter",
     """
     SELECT event_type,
-           SUM(CASE WHEN NOT ov THEN 1 ELSE 0 END) AS kept,
-           SUM(CASE WHEN ov THEN 1 ELSE 0 END) AS dropped
+           CAST(SUM(CASE WHEN NOT ov THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT) AS dropped
     FROM (
       SELECT event_type,
              len(list_intersect(
@@ -2358,7 +2358,7 @@ def q71(spark, sf):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
         .where(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(F.round(F.sum(vol), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -2423,7 +2423,7 @@ def q72(spark, sf):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"), "left_semi")
         .select(
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
             vol.alias("volume"),
             F.col("supp_nation"),
         )

@@ -729,7 +729,7 @@ def q45(spark, sf):
              CAST(floor(length(ident) / 2) AS INT) AS lb
       FROM ids
     )
-    SELECT x.ident AS a, y.ident AS b, levenshtein(x.ident, y.ident) AS dist
+    SELECT x.ident AS a, y.ident AS b, CAST(levenshtein(x.ident, y.ident) AS INTEGER) AS dist
     FROM blocked x JOIN blocked y
       ON x.pfx = y.pfx AND x.lb = y.lb AND x.ident < y.ident
     WHERE levenshtein(x.ident, y.ident) <= 1
@@ -910,8 +910,8 @@ def q51(spark, sf):
     "q53_regulation_sweep",
     f"""
     SELECT event_type,
-           SUM(CASE WHEN sup THEN 1 ELSE 0 END) AS deleted,
-           SUM(CASE WHEN sup THEN 0 ELSE 1 END) AS retained,
+           CAST(SUM(CASE WHEN sup THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+           CAST(SUM(CASE WHEN sup THEN 0 ELSE 1 END) AS BIGINT) AS retained,
            COUNT(DISTINCT CASE WHEN sup THEN user_id END) AS users_purged
     FROM (
       SELECT event_type, user_id,

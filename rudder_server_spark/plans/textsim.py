@@ -21,7 +21,7 @@ from rudder_server_spark.sources.fixtures import load_table
     """
     SELECT lang, count(*) AS cnt,
            CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 3) AS DOUBLE) AS avg_chars,
-           SUM(CASE WHEN contains(lower(text), 'data') THEN 1 ELSE 0 END) AS data_cnt
+           CAST(SUM(CASE WHEN contains(lower(text), 'data') THEN 1 ELSE 0 END) AS BIGINT) AS data_cnt
     FROM documents GROUP BY lang ORDER BY lang
     """,
     doc="Per-lang doc stats. SURVEY Q26.",

@@ -178,8 +178,8 @@ def t6(spark, sf):
     "t7_quality",
     f"""
     SELECT doc_id,
-           length(text) AS q_n_chars,
-           len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS q_n_tokens,
+           CAST(length(text) AS INTEGER) AS q_n_chars,
+           CAST(len(regexp_extract_all(text, '{X.TOKEN_REGEX}')) AS INTEGER) AS q_n_tokens,
            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
              / greatest(length(text), 1) AS q_alpha_ratio,
            CAST(length(regexp_replace(text, '[^.,;:!?'']', '', 'g')) AS DOUBLE)
@@ -219,7 +219,7 @@ def t7(spark, sf):
     "t8_token_stats",
     f"""
     SELECT source, count(*) AS cnt,
-           SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS BIGINT) AS total_tokens,
            CAST(ROUND(CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS DOUBLE) / count(*), 3) AS DOUBLE) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source
     """,
@@ -470,7 +470,7 @@ _NIB = """
       FROM (SELECT doc_id, {_NIB} AS nib FROM ded) d
       JOIN en e USING (doc_id)
     )
-    SELECT split, count(*) AS n_docs, SUM(ntok) AS total_tokens,
+    SELECT split, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
            CAST(ROUND(CAST(SUM(ntok) AS DOUBLE) / count(*), 3) AS DOUBLE) AS avg_tokens
     FROM assigned GROUP BY split ORDER BY split
     """,
@@ -658,10 +658,10 @@ _EMAIL_SQL = X.EMAIL_REGEX
       count(*) AS n_events,
       count(*) FILTER (len(regexp_extract_all(payload, '{_EMAIL_SQL}')) > 0)
         AS events_with_email,
-      SUM(len(regexp_extract_all(payload, '{_EMAIL_SQL}'))) AS emails_found,
-      SUM(length(payload)
+      CAST(SUM(len(regexp_extract_all(payload, '{_EMAIL_SQL}'))) AS BIGINT) AS emails_found,
+      CAST(SUM(length(payload)
           - length(regexp_replace(payload, '{_EMAIL_SQL}', '[EMAIL]', 'g'))
-          + 7 * len(regexp_extract_all(payload, '{_EMAIL_SQL}')))
+          + 7 * len(regexp_extract_all(payload, '{_EMAIL_SQL}'))) AS BIGINT)
         AS chars_redacted
     FROM read_parquet('{_RE_ORACLE}')
     GROUP BY event_type ORDER BY event_type
@@ -746,7 +746,7 @@ def t21(spark, sf):
              SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
       FROM tok WHERE ntok > 0
     )
-    SELECT doc_id, ntok, cend - ntok AS start_tok,
+    SELECT doc_id, ntok, CAST(cend - ntok AS BIGINT) AS start_tok,
            CAST(FLOOR((cend - ntok) / 512.0) AS BIGINT) AS seq_first,
            CAST(FLOOR((cend - 1) / 512.0) AS BIGINT) AS seq_last,
            CAST(FLOOR((cend - 1) / 512.0)
@@ -922,7 +922,7 @@ def t31(spark, sf):
              ) AS rk
       FROM documents
     )
-    SELECT source, count(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT source, count(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM ranked WHERE rk <= 50
     GROUP BY source ORDER BY source
     """,
@@ -1092,8 +1092,8 @@ def t24(spark, sf):
              ) - 1 AS pos
       FROM documents
     )
-    SELECT shard, count(*) AS n_docs, SUM(ntok) AS total_tokens,
-           SUM(pos * doc_id) AS order_check
+    SELECT shard, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_check
     FROM assigned GROUP BY shard ORDER BY shard
     """,
     doc=(
@@ -1162,7 +1162,7 @@ def t26(spark, sf):
     "t23_mixture_sample",
     f"""
     SELECT source, count(*) AS n_kept,
-           SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS tokens_kept
+           CAST(SUM(len(regexp_extract_all(text, '{X.TOKEN_REGEX}'))) AS BIGINT) AS tokens_kept
     FROM documents
     WHERE {_MIX_BUCKET} < {_MIX_RATE} * 65536
     GROUP BY source ORDER BY source
@@ -1243,7 +1243,7 @@ def t32(spark, sf):
         GROUP BY token ORDER BY c DESC, token LIMIT 100)
     )
     SELECT doc_id, count(*) AS n_tok,
-           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            CAST(ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
                            AS DOUBLE) / count(*), 6) AS DOUBLE) AS oov_rate
     FROM toks LEFT JOIN vocab v USING (token)
@@ -1430,7 +1430,7 @@ def t37(spark, sf):
     )
     SELECT lang, min(n) AS n_docs,
            CAST(ROUND(min(factor), 6) AS DOUBLE) AS factor,
-           SUM(repeats) AS total_repeats
+           CAST(SUM(repeats) AS BIGINT) AS total_repeats
     FROM d GROUP BY lang ORDER BY lang
     """,
     doc=(
@@ -1501,7 +1501,7 @@ def t39(spark, sf):
     d = load_table(spark, sf, "documents")
     w = W.orderBy("n_chars", "doc_id")
     return (
-        d.select(F.ntile(10).over(w).alias("bucket"), "n_chars")
+        d.select(F.ntile(10).over(w).cast("long").alias("bucket"), "n_chars")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1529,7 +1529,7 @@ def t39(spark, sf):
     )
     SELECT vec_id,
            CAST(floor(scale * 1e6) AS BIGINT) AS scale_micro,
-           list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS q_sum,
+           CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
            list_max(list_transform(embedding, x -> abs(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))) AS q_max
     FROM q ORDER BY vec_id
     """,
@@ -1738,7 +1738,7 @@ def t43(spark, sf):
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM scored
     )
-    SELECT source, count(*) AS n_docs, SUM(ntok) AS sel_tokens,
+    SELECT source, count(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS sel_tokens,
            CAST(round(avg(score), 6) AS DOUBLE) AS avg_score
     FROM sel WHERE cum - ntok < 40000 GROUP BY source ORDER BY source
     """,
@@ -1800,7 +1800,7 @@ def t45(spark, sf):
     pairs = D.ngram_jaccard_pairs(d, threshold=0.2)
     return (
         pairs.select(
-            F.least(F.floor(F.col("jaccard") * 5).cast("int"), F.lit(4)).alias("bucket")
+            F.least(F.floor(F.col("jaccard") * 5), F.lit(4)).cast("long").alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n_pairs"))
@@ -1931,13 +1931,13 @@ def t47(spark, sf):
     ),
     l(seq_len) AS (VALUES (128), (512), (2048)),
     per AS (
-      SELECT seq_len, SUM(ntok) AS total_tokens,
+      SELECT seq_len, CAST(SUM(ntok) AS BIGINT) AS total_tokens,
              SUM(CAST(ceil(ntok * 1.0 / seq_len) AS BIGINT) * seq_len) AS padded_slots
       FROM d CROSS JOIN l GROUP BY seq_len
     )
     SELECT seq_len, total_tokens,
-           padded_slots - total_tokens AS padded_waste,
-           CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) * seq_len - total_tokens AS packed_waste,
+           CAST(padded_slots - total_tokens AS BIGINT) AS padded_waste,
+           CAST(CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) * seq_len - total_tokens AS BIGINT) AS packed_waste,
            CAST(round(1 - (CAST(ceil(total_tokens * 1.0 / seq_len) AS BIGINT) * seq_len * 1.0)
                           / padded_slots, 6) AS DOUBLE) AS packing_savings
     FROM per ORDER BY seq_len

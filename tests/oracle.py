@@ -45,7 +45,93 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+# ---------------------------------------------------------------------------
+# Strict output-type checks (VERDICT r2 "What's wrong" #1): the driver's
+# hasher distinguishes DuckDB HUGEINT (int128) and TIMESTAMPTZ from Spark's
+# BIGINT / TIMESTAMP even when every value matches, so an oracle that emits
+# either type fails the driver while passing a value-only comparator. These
+# checks make that class of defect fail the repo's own tests.
+
+#: DuckDB output types that the driver's harness can never hash-match.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "TIME ZONE")
+
+
+def duck_output_types(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """(column, declared_type) for an oracle's output, via DESCRIBE."""
+    return [(c, t) for c, t, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()]
+
+
+def banned_type_columns(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple[str, str]]:
+    """Oracle output columns whose DuckDB type the driver cannot hash-match."""
+    return [
+        (c, t)
+        for c, t in duck_output_types(con, sql)
+        if any(b in t.upper() for b in BANNED_DUCK_TYPES)
+    ]
+
+
+def _canon_duck(t: str) -> str:
+    """Canonicalize a DuckDB declared type to a Spark-comparable name."""
+    t = t.strip()
+    u = t.upper()
+    if u.endswith("[]"):
+        return f"array<{_canon_duck(t[:-2])}>"
+    simple = {
+        "BIGINT": "bigint", "INT8": "bigint", "LONG": "bigint",
+        "INTEGER": "int", "INT": "int", "INT4": "int",
+        "SMALLINT": "smallint", "INT2": "smallint",
+        "TINYINT": "tinyint", "INT1": "tinyint",
+        "DOUBLE": "double", "FLOAT8": "double",
+        "FLOAT": "float", "REAL": "float", "FLOAT4": "float",
+        "VARCHAR": "string", "TEXT": "string", "STRING": "string",
+        "BOOLEAN": "boolean", "BOOL": "boolean",
+        "TIMESTAMP": "timestamp", "DATETIME": "timestamp",
+        "DATE": "date", "BLOB": "binary", "HUGEINT": "hugeint",
+        "UHUGEINT": "uhugeint",
+    }
+    if u in simple:
+        return simple[u]
+    if u.startswith("DECIMAL"):
+        return "decimal" + u[len("DECIMAL"):].replace(" ", "").lower()
+    if u.startswith("STRUCT") or u.startswith("MAP") or u.startswith("UNION"):
+        return "nested"  # compared loosely; none of our oracles emit these
+    return u.lower()
+
+
+def _canon_spark(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_canon_spark(t[6:-1])}>"
+    if t in ("timestamp_ntz",):
+        return "timestamp"
+    if t.startswith("struct") or t.startswith("map"):
+        return "nested"
+    return t.replace(" ", "")
+
+
+def type_mismatches(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Per-column canonical dtype diffs between the Spark result and the oracle."""
+    s_types = {c: _canon_spark(t) for c, t in spark_df.dtypes}
+    out = []
+    for c, t in duck_output_types(con, sql):
+        canon = _canon_duck(t)
+        if c not in s_types:
+            out.append(f"{c}: oracle-only column (duck {t})")
+        elif s_types[c] != canon:
+            out.append(f"{c}: spark={s_types[c]} duck={canon} ({t})")
+    return out
+
+
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    strict_types: bool = True,
+) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
@@ -53,6 +139,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     d_rows = [tuple(r) for r in rel.fetchall()]
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if strict_types:
+        banned = banned_type_columns(con, sql)
+        if banned:
+            return False, f"oracle emits driver-unhashable types: {banned}"
+        mism = type_mismatches(spark_df, con, sql)
+        if mism:
+            return False, f"dtype mismatch vs oracle: {mism}"
     if len(s_rows) != len(d_rows):
         return False, f"row count: spark={len(s_rows)} duck={len(d_rows)}"
     sn = normalize_rows(s_cols, s_rows)
