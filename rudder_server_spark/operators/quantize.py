@@ -76,31 +76,34 @@ def quantized_topk(
     The production read path scans ONLY the 4x-smaller code column for the
     coarse stage (at 100 TB that is the entire point: the float vectors
     are fetched for ~k·rescore_factor rows, not the corpus). Both stages
-    are codegen'd zip_with/aggregate folds — no Python in the scan.
+    are generated per-index arithmetic in one SQL string each — fully
+    whole-stage-codegen (interpreted zip_with/aggregate folds measured
+    4-10x slower on these shapes; see operators/similarity.py).
     """
     import pyspark.sql.functions as F
 
-    from rudder_server_spark.operators.similarity import cosine
+    from rudder_server_spark.operators.similarity import cosine_query
 
     codes = quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
     # quantize the query the same way (driver-side, bounded)
     m = max(abs(float(v)) for v in query_vec) or 1.0
     qs = 127.0 / m
     q_code = [int((float(v) * qs + 0.5) // 1) for v in query_vec]
-    qarr = F.array(*[F.lit(c) for c in q_code])
-    int_dot = F.aggregate(
-        F.zip_with(F.col("q"), qarr, lambda x, y: x.cast("long") * y.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    int_dot = F.expr(
+        "(" + " + ".join(
+            f"CAST(q[{i}] AS BIGINT) * {c}" for i, c in enumerate(q_code)
+        ) + ")"
     )
     # scale back so ordering matches the float dot product's
     coarse = codes.select(
         id_col, (int_dot.cast("double") / (F.col("scale") * F.lit(qs))).alias("approx_dot")
     ).orderBy(F.desc("approx_dot"), id_col).limit(rescore_factor * k)
-    qvec = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         coarse.join(df.select(id_col, vec_col), id_col)
-        .select(F.col(id_col), F.round(cosine(F.col(vec_col), qvec), 6).alias("sim"))
+        .select(
+            F.col(id_col),
+            F.round(cosine_query(vec_col, [float(v) for v in query_vec]), 6).alias("sim"),
+        )
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )

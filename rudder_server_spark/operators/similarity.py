@@ -1,42 +1,86 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k is the exact baseline (one broadcast of the query
-vector, a narrow map computing the dot product JVM-side via zip_with +
-aggregate, then a top-k). The LSH-bucketed variant is the 100 TB scale path:
-random-hyperplane signatures bucket vectors so each query probes only its
-bucket (and optionally neighboring buckets), turning O(N) scans into
+Brute-force cosine top-k is the exact baseline (the query vector inlined
+as literals, a narrow map computing the dot product JVM-side, then a
+top-k). The LSH-bucketed variant is the 100 TB scale path: random-
+hyperplane signatures bucket vectors so each query probes only its bucket
+(and optionally neighboring buckets), turning O(N) scans into
 O(N / 2^bits) with recall controlled by the number of hash tables.
 
-No Python in the hot path: dot products run inside codegen with
-`F.zip_with` + `F.aggregate`.
+No Python in the hot path — and no interpreted higher-order functions
+either: `zip_with`/`aggregate`/`transform` lambdas evaluate OUTSIDE
+whole-stage codegen (measured 3.5-10x slower on the dedup shapes, 4x on
+the centroid-cosine shape — see group_centroid_diversity), so every dot
+product / norm here is generated as explicit per-index arithmetic in ONE
+SQL string (`F.expr`), which parses once and stays fully codegen'd.
+Embedding dims are known and fixed per corpus (64 in the fixtures), so
+the expansion is always available.
+
+Determinism: generated sums are left-associated ((x0+x1)+x2)..., the same
+order as DuckDB's list_sum fold, so rounded comparisons are exact across
+engines.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential left-fold dot product (deterministic order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _flit(v: float) -> str:
+    """A float literal that round-trips exactly into Spark SQL."""
+    return repr(float(v))
+
+
+def _el(vec_col: str, i: int) -> str:
+    return f"CAST({vec_col}[{i}] AS DOUBLE)"
+
+
+def dot_query_sql(vec_col: str, query: list[float]) -> str:
+    """SQL for ``vec · query`` with the query inlined as literals."""
+    return "(" + " + ".join(
+        f"{_el(vec_col, i)} * {_flit(v)}" for i, v in enumerate(query)
+    ) + ")"
+
+
+def dot_cols_sql(a_col: str, b_col: str, dim: int) -> str:
+    """SQL for the dot product of two vector columns of known ``dim``."""
+    return "(" + " + ".join(
+        f"{_el(a_col, i)} * {_el(b_col, i)}" for i in range(dim)
+    ) + ")"
+
+
+def norm_sq_sql(vec_col: str, dim: int) -> str:
+    """SQL for ``vec · vec`` (squared L2 norm)."""
+    return dot_cols_sql(vec_col, vec_col, dim)
+
+
+def cosine_query(vec_col: str, query: list[float]) -> Column:
+    """Cosine of a vector column against a literal query vector.
+
+    The query norm is folded driver-side in the same left-to-right order
+    (bit-identical to an engine-side sequential fold).
+    """
+    qn = math.sqrt(sum(float(v) * float(v) for v in query))
+    return F.expr(
+        f"{dot_query_sql(vec_col, query)}"
+        f" / (sqrt({norm_sq_sql(vec_col, len(query))}) * {_flit(qn)})"
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def cosine_cols(a_col: str, b_col: str, dim: int) -> Column:
+    """Cosine between two vector columns of known ``dim``."""
+    return F.expr(
+        f"{dot_cols_sql(a_col, b_col, dim)}"
+        f" / (sqrt({norm_sq_sql(a_col, dim)}) * sqrt({norm_sq_sql(b_col, dim)}))"
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def vector_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Dim of the vector column from one bounded metadata row."""
+    row = df.select(F.size(vec_col).alias("s")).first()
+    return int(row["s"]) if row and row["s"] is not None else 0
 
 
 def brute_force_topk(
@@ -47,8 +91,7 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine similarity against a literal query vector."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    sim = cosine(F.col(vec_col), q)
+    sim = cosine_query(vec_col, query_vec)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("sim"))
         .orderBy(F.desc("sim"), id_col)
@@ -56,21 +99,23 @@ def brute_force_topk(
     )
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i).
 
-    Planes are fixed literals (seeded off-line) so bucketing is deterministic.
-    At scale: `df.withColumn("bucket", lsh_bucket(...))` then repartition by
-    bucket; queries hash the same way and probe one partition.
+    Planes are fixed literals (seeded off-line) so bucketing is
+    deterministic. At scale: ``df.withColumn("bucket", lsh_bucket(...))``
+    then repartition by bucket; queries hash the same way and probe one
+    partition. One generated SQL expression — each plane's dot product is
+    a codegen'd per-index sum.
     """
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(float(v)) for v in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        f"(CASE WHEN {dot_query_sql(vec_col, p)} >= 0 THEN 1 ELSE 0 END)"
         for p in planes
     ]
-    out = F.lit(0)
+    acc = "0"
     for b in bits:
-        out = out * 2 + b
-    return out
+        acc = f"({acc} * 2 + {b})"
+    return F.expr(acc)
 
 
 def lsh_topk(
@@ -89,7 +134,7 @@ def lsh_topk(
     for p in planes:
         s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
         q_bucket = q_bucket * 2 + (1 if s >= 0 else 0)
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, planes))
     cand = bucketed.where(F.col("_bucket") == q_bucket)
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
@@ -131,26 +176,30 @@ def ivf_assign(
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid — pure column expressions
-    over broadcast centroid literals (argmin of squared L2), codegen'd."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(v)) for v in c]),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    """Assign each vector to its nearest centroid (argmin of squared L2).
+
+    One generated SQL expression: the k per-centroid distances are built
+    once into an ``array(...)`` and the cell is
+    ``array_position(d, array_min(d)) - 1`` — first occurrence of the
+    minimum, so ties pick the lowest cell index. Each distance expression
+    appears exactly twice in the tree (array_min + array_position), not
+    k× as a least()+CASE chain would after projection collapse — keeping
+    codegen'd expression size O(k·dim).
+    """
+    dists = ", ".join(
+        "("
+        + " + ".join(
+            f"({_el(vec_col, i)} - {_flit(v)}) * ({_el(vec_col, i)} - {_flit(v)})"
+            for i, v in enumerate(c)
         )
+        + ")"
         for c in centroids
-    ]
-    best = F.least(*dists)
-    cell = F.lit(None).cast("int")
-    # reversed so ties pick the lowest cell index
-    for i in reversed(range(len(dists))):
-        cell = F.when(dists[i] == best, F.lit(i)).otherwise(cell)
-    return df.withColumn(cell_col, cell)
+    )
+    cell = (
+        f"CAST(array_position(array({dists}), "
+        f"array_min(array({dists}))) AS INT) - 1"
+    )
+    return df.withColumn(cell_col, F.expr(cell))
 
 
 def semdedup(
@@ -176,13 +225,14 @@ def semdedup(
     keep-min-id convention as exact_dedup / t5. Deterministic given the
     (seeded) centroids.
     """
+    dim = len(centroids[0]) if centroids else vector_dim(df, vec_col)
     a = ivf_assign(df, centroids, vec_col, cell_col)
     l = a.select(F.col(cell_col), F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
     r = a.select(F.col(cell_col), F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
     dropped = (
         l.join(r, cell_col)
         .where(F.col("a") < F.col("b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .where(cosine_cols("_va", "_vb", dim) >= threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
         .withColumn("_d", F.lit(True))
@@ -245,33 +295,58 @@ def group_centroid_diversity(
     lesson; execution itself is fast either way.
 
     `dim` comes from one bounded metadata row (first vector's length).
+    An empty input short-circuits to an empty result (the generated SQL
+    would otherwise be unparseable at dim=0), and the temp view is
+    per-call unique and dropped after spark.sql's eager analysis.
     """
-    dim_row = df.select(F.size(vec_col).alias("s")).first()
-    dim = dim_row["s"] if dim_row else 0
+    import uuid
+
+    dim = vector_dim(df, vec_col)
     spark = df.sparkSession
-    view = "_gcd_input"
-    df.createOrReplaceTempView(view)
-    cent_cols = ", ".join(
-        f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), {centroid_round}) AS _c{i}"
-        for i in range(dim)
-    )
-    ev = lambda i: f"CAST(e.{vec_col}[{i}] AS DOUBLE)"
-    dot_vc = " + ".join(f"{ev(i)} * c._c{i}" for i in range(dim))
-    nv = " + ".join(f"{ev(i)} * {ev(i)}" for i in range(dim))
-    nc = " + ".join(f"c._c{i} * c._c{i}" for i in range(dim))
-    return spark.sql(
-        f"""
-        WITH cent AS (
-          SELECT {group_col}, {cent_cols} FROM {view} GROUP BY {group_col}
-        ),
-        cos AS (
-          SELECT /*+ BROADCAST(c) */ e.{group_col} AS {group_col},
-                 round(({dot_vc}) / (sqrt({nv}) * sqrt({nc})), {cos_round}) AS _cs
-          FROM {view} e JOIN cent c ON e.{group_col} = c.{group_col}
+    if dim == 0:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
         )
-        SELECT {group_col}, count(*) AS n_vectors,
-               CAST(round(avg(_cs), 5) AS DOUBLE) AS avg_cos,
-               CAST(round(min(_cs), 5) AS DOUBLE) AS min_cos
-        FROM cos GROUP BY {group_col} ORDER BY {group_col}
-        """
-    )
+
+        gf = df.schema[group_col]
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField(group_col, gf.dataType),
+                    StructField("n_vectors", LongType()),
+                    StructField("avg_cos", DoubleType()),
+                    StructField("min_cos", DoubleType()),
+                ]
+            ),
+        )
+    view = f"_gcd_input_{uuid.uuid4().hex}"
+    df.createOrReplaceTempView(view)
+    try:
+        cent_cols = ", ".join(
+            f"round(avg(CAST({vec_col}[{i}] AS DOUBLE)), {centroid_round}) AS _c{i}"
+            for i in range(dim)
+        )
+        ev = lambda i: f"CAST(e.{vec_col}[{i}] AS DOUBLE)"
+        dot_vc = " + ".join(f"{ev(i)} * c._c{i}" for i in range(dim))
+        nv = " + ".join(f"{ev(i)} * {ev(i)}" for i in range(dim))
+        nc = " + ".join(f"c._c{i} * c._c{i}" for i in range(dim))
+        return spark.sql(
+            f"""
+            WITH cent AS (
+              SELECT {group_col}, {cent_cols} FROM {view} GROUP BY {group_col}
+            ),
+            cos AS (
+              SELECT /*+ BROADCAST(c) */ e.{group_col} AS {group_col},
+                     round(({dot_vc}) / (sqrt({nv}) * sqrt({nc})), {cos_round}) AS _cs
+              FROM {view} e JOIN cent c ON e.{group_col} = c.{group_col}
+            )
+            SELECT {group_col}, count(*) AS n_vectors,
+                   CAST(round(avg(_cs), 5) AS DOUBLE) AS avg_cos,
+                   CAST(round(min(_cs), 5) AS DOUBLE) AS min_cos
+            FROM cos GROUP BY {group_col} ORDER BY {group_col}
+            """
+        )
+    finally:
+        # spark.sql analyzes eagerly, so the plan no longer needs the view
+        spark.catalog.dropTempView(view)

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rudder_server_spark.operators.dedup import normalize_text
-from rudder_server_spark.operators.similarity import cosine
+from rudder_server_spark.operators.similarity import cosine_query
 from rudder_server_spark.plans.registry import register
 from rudder_server_spark.sources.fixtures import load_table
 
@@ -68,10 +68,12 @@ def q26(spark, sf):
 def q27(spark, sf):
     e = load_table(spark, sf, "embeddings")
     qvec = e.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(v)) for v in qvec])
     return (
         e.where(F.col("vec_id") != 0)
-        .select("vec_id", F.round(cosine(F.col("embedding"), q), 6).alias("sim"))
+        .select(
+            "vec_id",
+            F.round(cosine_query("embedding", [float(v) for v in qvec]), 6).alias("sim"),
+        )
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )

@@ -147,7 +147,7 @@ def t5(spark, sf):
     e = load_table(spark, sf, "embeddings")
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    sim = S.cosine(F.col("ea"), F.col("eb"))
+    sim = S.cosine_cols("ea", "eb", S.vector_dim(e))
     return (
         a.join(b, F.col("a") < F.col("b"))
         .withColumn("_sim", sim)
