@@ -122,12 +122,21 @@ def filter_supported_types(
 ) -> DataFrame:
     """F7: annotate each event 'ok' / 'filtered' against the destination's
     supportedMessageTypes; filtered rows are KEPT with status (the
-    reference marks jobs `filtered`, not dropped)."""
+    reference marks jobs `filtered`, not dropped).
+
+    A NULL supported list means the destination definition carries no
+    supportedMessageTypes config, and the reference then skips type
+    filtering entirely (GetSupportedMessageTypes returns ok=false,
+    eventfilter.go:24-44) — even for message types outside the known
+    8-type vocabulary. An explicitly EMPTY list filters everything.
+    """
     joined = df.join(F.broadcast(dest_config), [dest_col], "left")
     return joined.withColumn(
         "status",
         F.when(
-            F.array_contains(F.col(supported_col), F.col(type_col)), F.lit("ok")
+            F.col(supported_col).isNull()
+            | F.array_contains(F.col(supported_col), F.col(type_col)),
+            F.lit("ok"),
         ).otherwise(F.lit("filtered")),
     ).drop(supported_col)
 

@@ -80,26 +80,47 @@ def run_batch_pipeline(
             fanned.join(F.broadcast(cats), "destination_id", "left"),
             denied_col=denied_col,
         ).drop("consent_category_ids")
-    # NULL supported list = "all types supported" (eventfilter.go's
-    # missing-config default) — resolve before the membership test
+    # NULL supported list = skip type filtering entirely (eventfilter.go's
+    # missing-config path) — expressed directly in filter_supported_types,
+    # so event types outside the known vocabulary still deliver
     type_cfg = config["destinations"].select(
-        "destination_id",
-        F.coalesce(
-            "supported_message_types",
-            F.array(*[F.lit(t) for t in ALL_MESSAGE_TYPES]),
-        ).alias("supported_message_types"),
+        "destination_id", "supported_message_types"
     )
     jobs = filter_supported_types(fanned, dest_config=type_cfg)
     delivered = jobs.where(F.col("status") == "ok")
-    counts = None
-    for name, df in [
-        ("1_input", events),
-        ("2_deduped", deduped),
-        ("3_suppressed", suppressed),
-        ("4_fanned_out", fanned),
-        ("5_jobs", jobs),
-        ("6_delivered", delivered),
-    ]:
-        c = df.agg(F.count("*").alias("n")).select(F.lit(name).alias("stage"), "n")
-        counts = c if counts is None else counts.unionAll(c)
+    # stage_counts cost shape: three jobs, not six re-executions of the
+    # same lineage — fanned/jobs/delivered share ONE conditional aggregate
+    # over `jobs` (filter_supported_types keeps every fan-out row, so
+    # 4_fanned_out == 5_jobs by construction), and the deduped frame is
+    # cached so the dedup window + suppression run once across the
+    # 2_deduped / 3_suppressed counts AND any later jobs/delivered action
+    # (mirrors the commit_merge caching note; callers doing a pure
+    # streaming pass can ignore stage_counts and never pay the cache).
+    deduped.cache()
+    c_in = events.agg(F.count("*").alias("n")).select(
+        F.lit("1_input").alias("stage"), "n"
+    )
+    c_dedup = deduped.agg(F.count("*").alias("n")).select(
+        F.lit("2_deduped").alias("stage"), "n"
+    )
+    c_supp = suppressed.agg(F.count("*").alias("n")).select(
+        F.lit("3_suppressed").alias("stage"), "n"
+    )
+    c_jobs = (
+        jobs.agg(
+            F.count("*").alias("_n_all"),
+            F.count(F.when(F.col("status") == "ok", 1)).alias("_n_ok"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("4_fanned_out").alias("stage"), F.col("_n_all").alias("n")),
+                    F.struct(F.lit("5_jobs").alias("stage"), F.col("_n_all").alias("n")),
+                    F.struct(F.lit("6_delivered").alias("stage"), F.col("_n_ok").alias("n")),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.n")
+    )
+    counts = c_in.unionAll(c_dedup).unionAll(c_supp).unionAll(c_jobs)
     return {"jobs": jobs, "delivered": delivered, "stage_counts": counts}

@@ -80,19 +80,44 @@ def load_workspace_config(
         for d in s.get("destinations", []) or []:
             ddef = d.get("destinationDefinition", {}) or {}
             dcfg = d.get("config", {}) or {}
-            smt = (ddef.get("config") or {}).get("supportedMessageTypes") or dcfg.get(
-                "supportedMessageTypes"
-            )
-            consent = (
-                (dcfg.get("consentManagement") or {}).get("consentCategoryIds")
-                or dcfg.get("oneTrustCookieCategories")
-                or []
-            )
-            if isinstance(consent, list):
+            # GetSupportedMessageTypes (eventfilter.go:24-44) returns
+            # (nil, false) only when the KEY is absent — an explicitly
+            # empty configured list means NO types are supported, so []
+            # must survive as [] (NULL = allow-all only for missing key)
+            ddef_cfg = ddef.get("config") or {}
+            if "supportedMessageTypes" in ddef_cfg:
+                smt = ddef_cfg["supportedMessageTypes"]
+            elif "supportedMessageTypes" in dcfg:
+                smt = dcfg["supportedMessageTypes"]
+            else:
+                smt = None
+            # GCM consent config (consent.go getGenericConsentManagementData)
+            # is a LIST of provider configs {provider, resolutionStrategy,
+            # consents: [{consent}]}; flatten every provider's consent ids.
+            # Legacy oneTrustCookieCategories ([{oneTrustCookieCategory}]
+            # or plain strings) is the fallback when GCM is absent.
+            cm = dcfg.get("consentManagement")
+            if isinstance(cm, list):
+                consent = [
+                    c.get("consent") if isinstance(c, dict) else c
+                    for p in cm
+                    for c in (p.get("consents") or [])
+                ]
+            elif isinstance(cm, dict):
+                consent = [
+                    c.get("consent") if isinstance(c, dict) else c
+                    for c in (cm.get("consents") or [])
+                ]
+            else:
+                consent = []
+            consent = [c for c in consent if c]
+            if not consent:
+                legacy = dcfg.get("oneTrustCookieCategories") or []
                 consent = [
                     c.get("oneTrustCookieCategory", c) if isinstance(c, dict) else c
-                    for c in consent
+                    for c in legacy
                 ]
+                consent = [c for c in consent if c]
             did = d.get("id")
             dest_rows.append(
                 (
@@ -102,7 +127,7 @@ def load_workspace_config(
                     ddef.get("name"),
                     bool(d.get("enabled", False)),
                     bool(d.get("isProcessorEnabled", d.get("enabled", False))),
-                    list(smt) if smt else None,
+                    list(smt) if smt is not None else None,
                     list(consent) if consent else [],
                 )
             )

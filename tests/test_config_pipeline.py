@@ -27,8 +27,16 @@ CFG = {
                         "name": "WEBHOOK",
                         "config": {"supportedMessageTypes": ["track"]},
                     },
+                    # reference GCM shape: a LIST of provider configs
+                    # (processor/consent.go getGenericConsentManagementData)
                     "config": {
-                        "consentManagement": {"consentCategoryIds": ["ads"]}
+                        "consentManagement": [
+                            {
+                                "provider": "oneTrust",
+                                "resolutionStrategy": "or",
+                                "consents": [{"consent": "ads"}],
+                            }
+                        ]
                     },
                 },
                 {
@@ -113,3 +121,58 @@ def test_batch_pipeline_stages(spark):
     # disabled source m5 reached no destination
     assert not any(m == "m5" for m, _ in jobs)
     assert out["delivered"].count() == 2  # m1@d-all, m2@d-all (m2@d-types is filtered)
+
+
+def test_config_edge_semantics(spark):
+    """Reference edge cases (ADVICE r2): an explicitly EMPTY
+    supportedMessageTypes list supports NOTHING (eventfilter.go returns
+    ([], true), not allow-all); a missing key delivers even unknown
+    custom types; legacy oneTrustCookieCategories is the consent
+    fallback only when GCM config is absent."""
+    cfg_dict = {
+        "workspaceId": "ws-e",
+        "sources": [
+            {
+                "id": "s1", "name": "s", "writeKey": "wk", "enabled": True,
+                "destinations": [
+                    {
+                        "id": "d-none", "name": "nothing", "enabled": True,
+                        "destinationDefinition": {
+                            "name": "X",
+                            "config": {"supportedMessageTypes": []},
+                        },
+                        "config": {},
+                    },
+                    {
+                        "id": "d-legacy", "name": "legacy", "enabled": True,
+                        "destinationDefinition": {"name": "Y", "config": {}},
+                        "config": {
+                            "oneTrustCookieCategories": [
+                                {"oneTrustCookieCategory": "marketing"}
+                            ]
+                        },
+                    },
+                ],
+            }
+        ],
+    }
+    cfg = load_workspace_config(spark, cfg_dict)
+    dests = {r["destination_id"]: r for r in cfg["destinations"].collect()}
+    # explicit [] survives as [] (NOT coerced to NULL/allow-all)
+    assert dests["d-none"]["supported_message_types"] == []
+    assert dests["d-legacy"]["supported_message_types"] is None
+    assert dests["d-legacy"]["consent_category_ids"] == ["marketing"]
+
+    events = spark.createDataFrame(
+        [("m1", None, 1, "record", "s1", 1, [])],  # custom type outside the 8
+        "message_id string, record_id string, user_id int, event_type string, "
+        "source_id string, received_at int, denied_consent_ids array<string>",
+    )
+    out = run_batch_pipeline(events, cfg)
+    jobs = {
+        (r["message_id"], r["destination_id"]): r["status"]
+        for r in out["jobs"].collect()
+    }
+    # empty list filters EVERYTHING; missing key delivers even 'record'
+    assert jobs[("m1", "d-none")] == "filtered"
+    assert jobs[("m1", "d-legacy")] == "ok"
