@@ -1103,7 +1103,17 @@ def q69(spark, sf):
                 ]
             },
         },
-        "config": {"consentManagement": {"consentCategoryIds": ["ads", "functional"]}},
+        # reference GCM shape (consent.go getGenericConsentManagementData):
+        # list of provider configs, consents flattened across providers
+        "config": {
+            "consentManagement": [
+                {
+                    "provider": "oneTrust",
+                    "resolutionStrategy": "or",
+                    "consents": [{"consent": "ads"}, {"consent": "functional"}],
+                }
+            ]
+        },
     }
     d2 = {
         "id": "d2",
@@ -1139,4 +1149,76 @@ def q69(spark, sf):
         .groupBy("destination_id", "status")
         .agg(F.count("*").alias("n"))
         .orderBy("destination_id", "status")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q73 warehouse source-job delete sweep — the retl back-job the warehouse
+# slave claims and runs (worker.go:540-618 runSourceJob → DeleteBy,
+# postgres.go:271-305): purge one source's STALE rows (wrong job run AND
+# wrong task run, received before the run started), keep everything else.
+# Synthetic run lineage derives deterministically from the events fixture
+# (source = user bucket, job run = arrival day); audit = per-table
+# deleted/retained counts, the rsources stats the job reports back.
+@register(
+    "q73_source_job_delete",
+    """
+    WITH w AS (
+      SELECT event_type,
+             'src-' || CAST(user_id % 4 AS VARCHAR) AS context_source_id,
+             'jr-' || CAST(day(ts) AS VARCHAR) AS context_sources_job_run_id,
+             'tr-' || CAST(day(ts) % 2 AS VARCHAR) AS context_sources_task_run_id,
+             ts AS received_at
+      FROM events
+    )
+    SELECT event_type AS table_name,
+           CAST(SUM(CASE WHEN context_source_id = 'src-1'
+                      AND context_sources_job_run_id <> 'jr-30'
+                      AND context_sources_task_run_id <> 'tr-0'
+                      AND received_at < TIMESTAMP '2024-01-25 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+           CAST(SUM(CASE WHEN context_source_id = 'src-1'
+                      AND context_sources_job_run_id <> 'jr-30'
+                      AND context_sources_task_run_id <> 'tr-0'
+                      AND received_at < TIMESTAMP '2024-01-25 00:00:00'
+                     THEN 0 ELSE 1 END) AS BIGINT) AS retained
+    FROM w GROUP BY event_type ORDER BY table_name
+    """,
+    doc=(
+        "Warehouse-as-source delete job (retl deletebyjobrunid): stale-row "
+        "sweep audit per table — one conditional aggregate over one scan; "
+        "the delete predicate is a pushed column filter, the commit is a "
+        "load_commit pointer swap. Ref: warehouse/slave/worker.go:540-618, "
+        "warehouse/integrations/postgres/postgres.go:271-305, "
+        "warehouse/source/types.go"
+    ),
+    tags=("rudder", "warehouse"),
+)
+def q73(spark, sf):
+    import datetime
+
+    from rudder_server_spark.operators.source_jobs import sweep_audit
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf, "events")
+    w = e.select(
+        "event_type",
+        F.concat(F.lit("src-"), (F.col("user_id") % 4).cast("string")).alias(
+            "context_source_id"
+        ),
+        F.concat(F.lit("jr-"), F.dayofmonth("ts").cast("string")).alias(
+            "context_sources_job_run_id"
+        ),
+        F.concat(F.lit("tr-"), (F.dayofmonth("ts") % 2).cast("string")).alias(
+            "context_sources_task_run_id"
+        ),
+        F.col("ts").alias("received_at"),
+    )
+    return sweep_audit(
+        w,
+        "event_type",
+        "src-1",
+        "jr-30",
+        "tr-0",
+        datetime.datetime(2024, 1, 25),
     )

@@ -115,3 +115,45 @@ def compact_datasets(
     n_files = max(1, math.ceil(src_bytes * survival / (target_file_mb * 1024 * 1024)))
     df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def cleanup_failed_keys(
+    keys: DataFrame,
+    records: DataFrame,
+    before,
+    run_col: str = "job_run_id",
+    id_col: str = "id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """J9 rsources retention sweep: expire every job run whose LAST
+    activity is at or before ``before``, keeping all keys of still-live
+    runs (services/rsources/handler.go:416-427 cleanupTablesBefore —
+    failed-keys join their records on id, a run's liveness is the max
+    record timestamp across all its keys).
+
+    Returns the surviving keys frame (the relational complement of the
+    reference's DELETE). Scale shape: liveness is one partial-agg
+    group-by over the bounded run-id vocabulary; the expired-run set is
+    tiny → broadcast anti-join, so the corpus shuffles zero times.
+    """
+    last = (
+        keys.select(run_col, id_col)
+        .join(records.select(id_col, ts_col), id_col)
+        .groupBy(run_col)
+        .agg(F.max(ts_col).alias("_mts"))
+    )
+    expired = last.where(F.col("_mts") <= F.lit(before)).select(run_col)
+    return keys.join(F.broadcast(expired), run_col, "left_anti")
+
+
+def cleanup_stats(
+    stats: DataFrame,
+    before,
+    run_col: str = "job_run_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """J9 companion: rsources_stats rows of runs idle since ``before``
+    expire (handler.go:408-414 — liveness is the run's own max ts)."""
+    last = stats.groupBy(run_col).agg(F.max(ts_col).alias("_mts"))
+    expired = last.where(F.col("_mts") <= F.lit(before)).select(run_col)
+    return stats.join(F.broadcast(expired), run_col, "left_anti")

@@ -142,3 +142,66 @@ def test_transactional_streaming_sink_epoch_replay(spark, tmp_path):
     t2 = read_table(spark, _os.path.join(out, "tracks"))
     assert t2.count() == 4
     assert t2.select("id").distinct().count() == 4
+
+
+def test_run_source_job_delete_sweep(spark, tmp_path):
+    """Warehouse-as-source back-job (worker.go:540-618 runSourceJob →
+    DeleteBy, postgres.go:271-305): stale rows of the job's source —
+    wrong job run AND wrong task run, received before start — purge;
+    other sources, the current run, and NULL-lineage rows survive.
+    Redelivered claims (same job id) are no-ops."""
+    import datetime
+
+    import pytest
+
+    from rudder_server_spark.operators.source_jobs import run_source_job
+
+    t0 = datetime.datetime(2024, 1, 10)
+    rows = [
+        # (source, job_run, task_run, received) — stale: purged
+        ("src-A", "jr-old", "tr-old", datetime.datetime(2024, 1, 5)),
+        # current job run: kept even though received before start
+        ("src-A", "jr-new", "tr-old", datetime.datetime(2024, 1, 5)),
+        # current task run: kept (predicate requires BOTH runs stale)
+        ("src-A", "jr-old", "tr-new", datetime.datetime(2024, 1, 5)),
+        # received after start: kept
+        ("src-A", "jr-old", "tr-old", datetime.datetime(2024, 1, 15)),
+        # different source: untouched
+        ("src-B", "jr-old", "tr-old", datetime.datetime(2024, 1, 5)),
+        # NULL lineage: kept (SQL DELETE only fires on TRUE)
+        ("src-A", None, None, datetime.datetime(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "context_source_id string, context_sources_job_run_id string, "
+        "context_sources_task_run_id string, received_at timestamp",
+    )
+    wh = str(tmp_path / "wh")
+    from rudder_server_spark.sources.load_commit import commit_overwrite, read_table
+
+    commit_overwrite(df, os.path.join(wh, "tracks"), "seed")
+    job = {
+        "job_id": "sj-1",
+        "async_job_type": "deletebyjobrunid",
+        "source_id": "src-A",
+        "job_run_id": "jr-new",
+        "task_run_id": "tr-new",
+        "start_time": t0,
+    }
+    deleted = run_source_job(spark, wh, ["tracks", "absent_table"], job)
+    assert deleted == {"tracks": 1}
+    kept = read_table(spark, os.path.join(wh, "tracks"))
+    assert kept.count() == 5
+    assert (
+        kept.where(F.col("context_sources_job_run_id") == "jr-old")
+        .where(F.col("context_sources_task_run_id") == "tr-old")
+        .where(F.col("received_at") < F.lit(t0))
+        .where(F.col("context_source_id") == "src-A")
+        .count()
+        == 0
+    )
+    # redelivered claim: idempotent, nothing more deleted
+    assert run_source_job(spark, wh, ["tracks"], job) == {"tracks": 0}
+    # unknown job type rejected (worker.go:615 invalid sourceJob type)
+    with pytest.raises(ValueError):
+        run_source_job(spark, wh, ["tracks"], {**job, "async_job_type": "sync"})

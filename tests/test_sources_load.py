@@ -330,3 +330,32 @@ def test_archive_replay_roundtrip(spark, tmp_path):
     # a partition filter, not a post-read filter
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "s1" in plan
+
+
+def test_cleanup_failed_keys_expires_idle_runs(spark):
+    """J9 (rsources/handler.go:416-427): a run expires only when its LAST
+    record activity is <= the cutoff; one fresh record keeps the whole
+    run's keys alive; stats expire on their own max ts."""
+    import datetime
+
+    from rudder_server_spark.sources.jobsdb import cleanup_failed_keys, cleanup_stats
+
+    t = lambda d: datetime.datetime(2024, 1, d)
+    keys = spark.createDataFrame(
+        [("run-old", 1), ("run-old", 2), ("run-live", 3), ("run-live", 4)],
+        "job_run_id string, id int",
+    )
+    records = spark.createDataFrame(
+        [(1, t(2)), (2, t(3)), (3, t(2)), (4, t(20))],  # run-live: one fresh record
+        "id int, ts timestamp",
+    )
+    kept = cleanup_failed_keys(keys, records, t(10))
+    assert {r["job_run_id"] for r in kept.collect()} == {"run-live"}
+    assert kept.count() == 2  # BOTH live-run keys survive, even the idle one
+
+    stats = spark.createDataFrame(
+        [("run-old", t(2), 5), ("run-live", t(20), 7)],
+        "job_run_id string, ts timestamp, n int",
+    )
+    s = cleanup_stats(stats, t(10))
+    assert {r["job_run_id"] for r in s.collect()} == {"run-live"}
