@@ -271,11 +271,63 @@ def pubsub_shape(
 
 
 def kafka_sink_options(bootstrap_servers: str, extra: dict | None = None) -> dict:
-    """The write-side wiring (documented, not executed here — no broker in
-    this environment): ``kafka_shape(df).where("error IS NULL")
+    """The write-side wiring: ``kafka_shape(df).where("error IS NULL")
     .select("key","value","topic").write.format("kafka")`` with these
     options delivers shaped messages; Structured Streaming uses the same
     sink via ``writeStream`` for S9's streaming path."""
     opts = {"kafka.bootstrap.servers": bootstrap_servers}
     opts.update(extra or {})
     return opts
+
+
+def publish_kafka(
+    shaped: DataFrame,
+    options: dict,
+    producer=None,
+) -> DataFrame:
+    """Deliver shaped rows to the Kafka sink; return the failed rows.
+
+    The delivery seam mirrors the router's injectable ``deliver``
+    (streaming/pipeline.py router_sink): ``producer(df, options)`` gets
+    exactly the Spark-Kafka sink contract — the error-free rows projected
+    to ``key`` (binary), ``value`` (binary), ``topic`` (string) — and
+    defaults to the real ``df.write.format("kafka")`` call (reference
+    embedded kafka producer, router/…/kafka). Tests inject a recording
+    producer, proving the topic/key/value contract without a broker.
+
+    Rows whose shaping failed (``error`` non-null — no resolvable topic)
+    are NOT sent and come back to the caller for the proc_error path,
+    like the reference's failed-event batch response.
+    """
+    ok = shaped.where(F.col("error").isNull()).select("key", "value", "topic")
+    if producer is None:
+
+        def producer(df: DataFrame, opts: dict) -> None:
+            df.write.format("kafka").options(**opts).save()
+
+    producer(ok, dict(options))
+    return shaped.where(F.col("error").isNotNull())
+
+
+def kafka_sink(
+    options: dict,
+    dest_config: dict | None = None,
+    producer=None,
+    on_error=None,
+):
+    """foreachBatch Kafka sink for the S9 streaming path: shape each
+    micro-batch and publish it through the (injectable) producer;
+    shaping failures go to ``on_error(df, epoch_id)`` when provided
+    (the streaming proc_error analogue), else are dropped with the
+    reference's failed-event semantics left to the caller's DLQ."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        failed = publish_kafka(
+            kafka_shape(batch_df, dest_config), options, producer=producer
+        )
+        if on_error is not None:
+            on_error(failed, epoch_id)
+
+    return write_batch

@@ -145,3 +145,62 @@ def test_pubsub_no_topic_map_fails(spark):
     ]
     assert rows[0]["error"] == "No topic set for this event"
     assert rows[0]["value"] is None
+
+
+def test_publish_kafka_producer_contract(spark):
+    """The injectable-producer seam (VERDICT r2 #7): publish_kafka hands
+    the producer exactly the Spark-Kafka sink frame — error-free rows,
+    columns (key binary, value binary, topic string) — with the full
+    option map; shaping failures are returned, never sent."""
+    from rudder_server_spark.sources.kafka import (
+        kafka_shape,
+        kafka_sink_options,
+        publish_kafka,
+    )
+
+    shaped = kafka_shape(
+        _df(spark, [{"type": "track", "event": "E", "userId": "u1"},
+                    {"type": "track", "event": "E2", "userId": "u2"}]),
+        {"topic": None, "enableMultiTopic": True,
+         "eventToTopicMap": [{"from": "E", "to": "t-e"}]},
+    )
+    captured = {}
+
+    def fake_producer(df, opts):
+        captured["rows"] = [r.asDict() for r in df.orderBy("topic").collect()]
+        captured["opts"] = opts
+        captured["dtypes"] = dict(df.dtypes)
+
+    failed = publish_kafka(
+        shaped, kafka_sink_options("b:9092", {"kafka.acks": "all"}),
+        producer=fake_producer,
+    )
+    assert captured["dtypes"] == {"key": "binary", "value": "binary", "topic": "string"}
+    assert captured["opts"] == {"kafka.bootstrap.servers": "b:9092", "kafka.acks": "all"}
+    assert len(captured["rows"]) == 1  # E2 has no topic -> not sent
+    row = captured["rows"][0]
+    assert row["topic"] == "t-e" and bytes(row["key"]).decode() == "u1"
+    assert json.loads(bytes(row["value"]).decode())["userId"] == "u1"
+    assert [r["i"] for r in failed.collect()] == [1]
+
+
+def test_kafka_sink_foreachbatch_seam(spark):
+    """Streaming S9 path: kafka_sink shapes the micro-batch, publishes
+    through the seam, and routes shaping failures to on_error."""
+    from rudder_server_spark.sources.kafka import kafka_sink
+
+    sent, errs = [], []
+    sink = kafka_sink(
+        {"kafka.bootstrap.servers": "b:9092"},
+        {"topic": "dflt"},
+        producer=lambda df, opts: sent.extend(r.asDict() for r in df.collect()),
+        on_error=lambda df, epoch: errs.extend((epoch, r["i"]) for r in df.collect()),
+    )
+    batch = _df(spark, [{"type": "track", "event": "X", "userId": "u9"}])
+    sink(batch, epoch_id=7)
+    assert len(sent) == 1 and sent[0]["topic"] == "dflt"
+    assert errs == []  # default topic resolves everything
+    # empty batch: producer not called
+    n_before = len(sent)
+    sink(batch.where("i < 0"), epoch_id=8)
+    assert len(sent) == n_before
