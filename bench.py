@@ -40,11 +40,18 @@ BENCH_QUERIES = [
     "q37_throttled_pickup",
     "q39_column_profile",
     "q40_tpch_q5",
+    "q64_tpch_q10",
+    "q69_batch_pipeline",
     "t2_ngram_jaccard",
     "t3_minhash_lsh",
     "t13_token_topk",
     "t15_hash_split",
+    "t44_budget_select",
 ]
+# t27_semdedup (k-means) is deliberately NOT in the roster: it has no SQL
+# oracle, so it would inflate warm_total with no matching baseline entry —
+# its perf is covered by the same generated-SQL cosine/ivf_assign paths
+# t14/t41/q27 exercise.
 
 
 def main() -> None:

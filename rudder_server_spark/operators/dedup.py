@@ -454,3 +454,66 @@ def ngram_containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("a", "b", "containment")
     )
+
+
+def repeated_passages(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-passage mining — the substring-level dedup signal of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" (arXiv:2107.06499): an ``n``-token span is *repeated* when it
+    occurs in at least ``min_docs`` distinct documents. Per document:
+    (n_windows raw spans, n_distinct distinct spans, n_repeated distinct
+    spans shared with other docs) — the stats a strip-repeated-passages
+    pass keys on, and the doc-level signal for "this page is boilerplate".
+
+    Scale shape: spans come from the same zero-width-lookahead regex as
+    the shingle tiers (codegen'd, no interpreted HOF), deduped per doc
+    BEFORE the explode (array_distinct), then hashed to 8-byte xxhash64
+    keys so the document-frequency aggregate shuffles longs, not strings.
+    Two shuffles total (span-freq, per-doc rollup), both linear in corpus
+    span count; min_docs bounds nothing here (stats, not pairs) so there
+    is no quadratic tier at all. The span-frequency side is the classic
+    skewed aggregate — partial map-side combine absorbs hot boilerplate
+    spans before the exchange.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        F.array_distinct(
+            F.regexp_extract_all(
+                norm,
+                F.lit(r"(?=\b(" + " ".join(["[^ ]+"] * n) + r"))"),
+                1,
+            )
+        ).alias("shs"),
+        F.greatest(
+            F.size(F.split(F.trim(norm), " ")) - F.lit(n - 1), F.lit(0)
+        ).alias("n_windows"),
+    ).localCheckpoint(eager=False)
+    ex = base.select("sid", F.explode("shs").alias("_s")).select(
+        "sid", F.xxhash64("_s").alias("sh")
+    )
+    rep = (
+        ex.groupBy("sh")
+        .agg(F.count("*").alias("_nd"))  # (sid, sh) unique by construction
+        .where(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    per_doc = ex.join(rep, "sh").groupBy("sid").agg(
+        F.count("*").alias("n_repeated")
+    )
+    return (
+        base.join(per_doc, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.size("shs").cast("long").alias("n_distinct"),
+            F.coalesce("n_repeated", F.lit(0)).cast("long").alias("n_repeated"),
+        )
+        .orderBy(id_col)
+    )

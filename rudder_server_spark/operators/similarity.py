@@ -118,24 +118,61 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     return F.expr(acc)
 
 
+def lsh_probe_buckets(
+    query_vec: list[float], planes: list[list[float]], nprobe: int = 1
+) -> list[int]:
+    """Multiprobe sequence (Lv et al. 2007, "Multi-Probe LSH"): the query's
+    own bucket first, then neighbors in order of how close the query sits
+    to the flipped hyperplane — the buckets most likely to hide true
+    neighbors. Driver-side over 2^bits literals; bounded and tiny."""
+    margins = [
+        sum(float(a) * float(b) for a, b in zip(query_vec, p)) for p in planes
+    ]
+    q_bucket = 0
+    for s in margins:
+        q_bucket = q_bucket * 2 + (1 if s >= 0 else 0)
+    # single-bit flips ranked by |margin| (closest plane first), then
+    # two-bit flips by summed margin — enough probes for any practical
+    # nprobe at these signature widths
+    order = sorted(range(len(planes)), key=lambda i: (abs(margins[i]), i))
+    probes = [q_bucket]
+    for i in order:
+        probes.append(q_bucket ^ (1 << (len(planes) - 1 - i)))
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            i, j = order[x], order[y]
+            probes.append(
+                q_bucket ^ (1 << (len(planes) - 1 - i)) ^ (1 << (len(planes) - 1 - j))
+            )
+    out: list[int] = []
+    for b in probes:
+        if b not in out:
+            out.append(b)
+        if len(out) == nprobe:
+            break
+    return out
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
     planes: list[list[float]],
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's LSH bucket (+ the nprobe-1
+    next-likeliest neighbor buckets, multiprobe).
 
-    Recall < 1 by construction — use more tables/probes for higher recall.
+    Recall < 1 by construction — raise nprobe (or add hash tables) for
+    higher recall; with the corpus physically partitioned by bucket each
+    probe is a partition-pruned scan, so cost is nprobe/2^bits of the
+    data, not a full pass.
     """
-    q_bucket = 0
-    for p in planes:
-        s = sum(float(a) * float(b) for a, b in zip(query_vec, p))
-        q_bucket = q_bucket * 2 + (1 if s >= 0 else 0)
+    probes = lsh_probe_buckets(query_vec, planes, nprobe)
     bucketed = df.withColumn("_bucket", lsh_bucket(vec_col, planes))
-    cand = bucketed.where(F.col("_bucket") == q_bucket)
+    cand = bucketed.where(F.col("_bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 

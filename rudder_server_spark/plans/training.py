@@ -2053,3 +2053,48 @@ def t50(spark, sf):
         .agg(F.count("*").alias("n_families"))
         .orderBy("family_size")
     )
+
+
+# --------------------------------------------------------------------------
+# t51 — exact repeated-passage mining (Lee et al. 2021, arXiv:2107.06499):
+# the substring-level dedup tier below document-level t1/t2 — per doc, how
+# many of its 8-token spans occur verbatim in other documents. The Spark
+# side hashes spans to 8-byte keys for the frequency shuffle; the oracle
+# counts on raw span strings — counts are key-representation invariant.
+_T51_N = 8
+_T51_SPAN = " || ' ' || ".join(f"t[i+{j}]" for j in range(_T51_N))
+@register(
+    "t51_repeated_passages",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, t,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - {_T51_N - 1}, 0) + 1),
+               i -> {_T51_SPAN})) AS shs
+      FROM toks
+    ),
+    e AS (SELECT doc_id, unnest(shs) AS sh FROM b),
+    f AS (SELECT sh FROM e GROUP BY sh HAVING count(*) >= 2),
+    r AS (SELECT doc_id, count(*) AS n_repeated FROM e JOIN f USING (sh) GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(greatest(len(t) - {_T51_N - 1}, 0) AS BIGINT) AS n_windows,
+           CAST(len(shs) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(r.n_repeated, 0) AS BIGINT) AS n_repeated
+    FROM b LEFT JOIN r USING (doc_id) ORDER BY doc_id
+    """,
+    doc=(
+        "Per-doc exact repeated-passage stats (8-token spans shared by >= 2 "
+        "docs): span extraction is the codegen'd lookahead regex, spans "
+        "dedup per doc before the explode, frequencies shuffle 8-byte "
+        "hashes. Two linear shuffles, no pairwise tier."
+    ),
+    tags=("training", "dedup"),
+)
+def t51(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.repeated_passages(d, n=_T51_N, min_docs=2)

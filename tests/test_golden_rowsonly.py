@@ -139,3 +139,39 @@ def test_t11_lsh_recovers_planted_neighbors(spark):
     top = {r["vec_id"] for r in got.collect()}
     recovered = len({9000 + j for j in range(5)} & top)
     assert recovered >= 4, (recovered, sorted(top))
+
+
+def test_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Multiprobe LSH (Lv et al. 2007): probing the nprobe next-likeliest
+    buckets recovers neighbors that fall just across one hyperplane — the
+    multiprobe candidate set strictly contains the single-probe set, and
+    the probe sequence starts at the query's own bucket."""
+    import numpy as np
+
+    from rudder_server_spark.operators.similarity import (
+        lsh_probe_buckets,
+        lsh_topk,
+    )
+    from rudder_server_spark.plans.training import _fixed_planes
+
+    rng = np.random.RandomState(11)
+    dim, n = 16, 400
+    base = rng.randn(n, dim)
+    q = rng.randn(dim)
+    # perturbed just enough that some copies flip one near-zero-margin plane
+    planted = [q + 0.25 * rng.randn(dim) for _ in range(8)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(9000 + j, [float(x) for x in v]) for j, v in enumerate(planted)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = _fixed_planes(dim=dim, bits=4)
+    qv = [float(x) for x in q]
+
+    probes = lsh_probe_buckets(qv, planes, nprobe=4)
+    assert len(probes) == 4 and len(set(probes)) == 4
+    assert probes[0] == lsh_probe_buckets(qv, planes, nprobe=1)[0]
+
+    planted_ids = {9000 + j for j in range(8)}
+    one = {r["vec_id"] for r in lsh_topk(df, qv, planes, k=20, nprobe=1).collect()}
+    four = {r["vec_id"] for r in lsh_topk(df, qv, planes, k=20, nprobe=4).collect()}
+    assert len(four & planted_ids) >= len(one & planted_ids)
+    assert len(four) >= len(one)  # candidate set can only grow

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Driver-equivalent strict verification sweep (VERDICT r2 next-round #4).
+
+Runs EVERY declared query at $VERIFY_SF_DIR (default /root/testdata/sf0.01)
+under a deliberately hostile vanilla session — no repo session factory, a
+non-UTC timezone, cwd-independent — and compares each against its DuckDB
+oracle with the STRICT comparator (tests/oracle.py): row count, column
+names, canonicalized dtypes (HUGEINT / TIMESTAMPTZ oracle outputs are
+hard failures), and order-insensitive values. Queries without an oracle
+record a rows-only count.
+
+Writes VERIFY_ALL.json at the repo root:
+  {"sf": ..., "n_queries": N, "n_oracle": N, "failures": {...},
+   "rows_only": {...}, "elapsed_sec": N}
+
+Usage: python verify_all.py [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+        )
+        # hostile probe: the driver may run non-UTC; results must not care
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.showConsoleProgress", "false")
+        .appName("verify_all")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+    from tests.oracle import compare, duck_connect
+
+    sf_name = os.path.basename(os.path.normpath(SF))
+    duck = duck_connect(SF)
+    queries, oracles = E.queries(), E.oracle_sql()
+    failures: dict[str, str] = {}
+    rows_only: dict[str, int] = {}
+    t0 = time.time()
+    for name in sorted(queries):
+        try:
+            df = queries[name](spark, SF)
+            if name not in oracles:
+                rows_only[name] = df.count()
+                print(f"{name}: rows-only {rows_only[name]}", flush=True)
+                continue
+            sql = oracles[name].replace(
+                "rudder_events_sf0.01.parquet", f"rudder_events_{sf_name}.parquet"
+            )
+            ok, msg = compare(df, duck, sql)
+            print(f"{name}: {'OK' if ok else 'FAIL ' + str(msg)[:200]}", flush=True)
+            if not ok:
+                failures[name] = str(msg)[:500]
+        except Exception as ex:  # noqa: BLE001 — record, keep sweeping
+            failures[name] = f"EXC {ex}"[:500]
+            print(f"{name}: EXC {ex}", flush=True)
+    out = {
+        "sf": sf_name,
+        "n_queries": len(queries),
+        "n_oracle": len(oracles),
+        "failures": failures,
+        "rows_only": rows_only,
+        "elapsed_sec": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(REPO, "VERIFY_ALL.json"), "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in out.items() if k != "rows_only"}))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
