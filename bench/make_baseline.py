@@ -44,9 +44,16 @@ def main() -> None:
             continue
         sql = qd.oracle.replace("rudder_events_sf0.01.parquet", f"rudder_events_{sf_name}.parquet")
         con.sql(sql).fetchall()  # warm (page cache + duckdb compile)
-        t0 = time.time()
-        con.sql(sql).fetchall()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-3 warm runs: the same steady-state estimator bench.py uses
+        # for the Spark side — a single warm run on this shared VM can be
+        # inflated 2x by a transient interference episode, which would make
+        # the gate ratio look better than it is
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
     out = {

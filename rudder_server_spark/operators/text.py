@@ -32,13 +32,16 @@ def marker_hits(text: Column, lang: str) -> Column:
 
     Defined as exact-equality hits over whitespace-split lowercase tokens —
     the same definition is SQL-expressible in the DuckDB oracle
-    (len(list_filter(string_split_regex(...), ...))).
+    (len(list_filter(string_split_regex(...), ...))). Implemented as ONE
+    codegen'd regex per language — a token equals a marker word iff the
+    word appears bounded by whitespace/string edges — instead of
+    per-word interpreted `F.filter` folds over the token array (the HOF
+    lesson, SCALE.md round 3: 20 interpreted lambdas per row across the
+    four languages on the corpus-wide lang-id path).
     """
-    toks = F.split(F.lower(text), r"\s+")
-    total = F.lit(0)
-    for wrd in LANG_MARKERS[lang]:
-        total = total + F.size(F.filter(toks, lambda x: x == F.lit(wrd)))
-    return total
+    words = "|".join(LANG_MARKERS[lang])
+    pat = r"(?:^|(?<=\s))(?:" + words + r")(?=\s|$)"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
 
 
 def lang_id(text: Column) -> Column:

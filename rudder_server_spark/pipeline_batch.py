@@ -48,6 +48,7 @@ def run_batch_pipeline(
     suppression: DataFrame | None = None,
     source_col: str = "source_id",
     denied_col: str | None = None,
+    cache_stages: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the §3.1 stage chain; returns lazy DataFrames.
 
@@ -61,6 +62,15 @@ def run_batch_pipeline(
     ('ok'/'filtered' — reference keeps filtered jobs with status),
     "delivered": status=='ok' only, "stage_counts": one row per stage
     with surviving row counts (the A8 gateway-stats audit)}.
+
+    ``cache_stages``: cache the deduped frame so collecting
+    ``stage_counts`` AND a jobs/delivered action computes the dedup
+    window once. Opt-in because an InMemoryRelation materializes every
+    column, defeating column pruning for callers that only aggregate a
+    few fields (a cached full-width dedup costs more than it saves on
+    the q69-style count path); without it, collecting stage_counts
+    re-executes the dedup lineage for the 2_deduped/3_suppressed rows
+    plus once per later action.
     """
     deduped = batch_dedup(
         events, record_id="record_id" if "record_id" in events.columns else None
@@ -88,15 +98,13 @@ def run_batch_pipeline(
     )
     jobs = filter_supported_types(fanned, dest_config=type_cfg)
     delivered = jobs.where(F.col("status") == "ok")
-    # stage_counts cost shape: three jobs, not six re-executions of the
+    # stage_counts cost shape: four jobs, not six re-executions of the
     # same lineage — fanned/jobs/delivered share ONE conditional aggregate
     # over `jobs` (filter_supported_types keeps every fan-out row, so
-    # 4_fanned_out == 5_jobs by construction), and the deduped frame is
-    # cached so the dedup window + suppression run once across the
-    # 2_deduped / 3_suppressed counts AND any later jobs/delivered action
-    # (mirrors the commit_merge caching note; callers doing a pure
-    # streaming pass can ignore stage_counts and never pay the cache).
-    deduped.cache()
+    # 4_fanned_out == 5_jobs by construction); cache_stages additionally
+    # shares the dedup window across the stage-2/3 counts (see docstring).
+    if cache_stages:
+        deduped.cache()
     c_in = events.agg(F.count("*").alias("n")).select(
         F.lit("1_input").alias("stage"), "n"
     )
