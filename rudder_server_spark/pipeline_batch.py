@@ -49,6 +49,7 @@ def run_batch_pipeline(
     source_col: str = "source_id",
     denied_col: str | None = None,
     cache_stages: bool = False,
+    derive_after_dedup: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the §3.1 stage chain; returns lazy DataFrames.
 
@@ -71,10 +72,21 @@ def run_batch_pipeline(
     the q69-style count path); without it, collecting stage_counts
     re-executes the dedup lineage for the 2_deduped/3_suppressed rows
     plus once per later action.
+
+    ``derive_after_dedup``: {column_name: Column} projections applied to
+    the DEDUPED frame — the derive-late hook. Columns the later stages
+    need (``source_col``, ``denied_col``) but that are pure functions of
+    surviving envelope fields should be derived here, not on the input:
+    the dedup window shuffles every input column, and Catalyst does not
+    delay projections past an exchange, so a pre-derived array column
+    rides the corpus-wide dedup shuffle for nothing. At 100 TB the
+    exchange width is the cost model; derive late, shuffle narrow.
     """
     deduped = batch_dedup(
         events, record_id="record_id" if "record_id" in events.columns else None
     )
+    for name, expr in (derive_after_dedup or {}).items():
+        deduped = deduped.withColumn(name, expr)
     suppressed = (
         suppress_users(deduped, suppression) if suppression is not None else deduped
     )

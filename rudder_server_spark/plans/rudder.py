@@ -1088,9 +1088,13 @@ def q69(spark, sf):
         .when(k4 == 2, F.array().cast("array<string>"))
         .otherwise(F.array(F.lit("marketing")))
     )
-    ev = src.withColumn(
-        "source_id", F.concat(F.lit("src-"), (k % 3).cast("string"))
-    ).withColumn("denied_consent_ids", denied)
+    # derive-late: source_id and the denied array are pure functions of
+    # message_id, so they are derived AFTER the dedup exchange via the
+    # pipeline's derive_after_dedup hook — the corpus-wide dedup shuffle
+    # moves only the narrow envelope (see run_batch_pipeline docstring)
+    ev = src.select(
+        "message_id", "record_id", "user_id", "event_type", "received_at"
+    )
     d1 = {
         "id": "d1",
         "name": "Webhook out",
@@ -1142,7 +1146,11 @@ def q69(spark, sf):
         .distinct()
     )
     out = run_batch_pipeline(
-        ev, cfg, suppression=supp, denied_col="denied_consent_ids"
+        ev, cfg, suppression=supp, denied_col="denied_consent_ids",
+        derive_after_dedup={
+            "source_id": F.concat(F.lit("src-"), (k % 3).cast("string")),
+            "denied_consent_ids": denied,
+        },
     )
     return (
         out["jobs"]
@@ -1221,4 +1229,141 @@ def q73(spark, sf):
         "jr-30",
         "tr-0",
         datetime.datetime(2024, 1, 25),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q74 rsources retention sweep (J9) — services/rsources/handler.go:416-427
+# cleanupTablesBefore: a job run expires when its LAST record activity is
+# at or before the cutoff; every failed key of a still-live run survives,
+# even keys idle themselves. Synthetic run lineage from the events
+# fixture: run = arrival day, key id = event_id, record ts = event ts.
+@register(
+    "q74_rsources_cleanup",
+    """
+    WITH keys AS (
+      SELECT 'jr-' || CAST(day(ts) AS VARCHAR) AS job_run_id,
+             event_id AS id, event_type
+      FROM events
+    ),
+    recs AS (SELECT event_id AS id, ts FROM events),
+    live AS (
+      SELECT k.job_run_id
+      FROM keys k JOIN recs r USING (id)
+      GROUP BY k.job_run_id
+      HAVING max(r.ts) > TIMESTAMP '2024-01-25 00:00:00'
+    )
+    SELECT k.event_type, count(*) AS surviving_keys,
+           count(DISTINCT k.job_run_id) AS surviving_runs
+    FROM keys k SEMI JOIN live l ON k.job_run_id = l.job_run_id
+    GROUP BY k.event_type ORDER BY k.event_type
+    """,
+    doc=(
+        "J9 rsources cleanup audit: surviving failed keys / runs per table "
+        "after expiring runs idle since the cutoff — group-wise max(ts) "
+        "liveness + broadcast anti-join expiry, corpus never shuffles. "
+        "Ref: services/rsources/handler.go:416-427"
+    ),
+    tags=("rudder",),
+)
+def q74(spark, sf):
+    import datetime
+
+    from rudder_server_spark.sources.fixtures import load_table
+    from rudder_server_spark.sources.jobsdb import cleanup_failed_keys
+
+    e = load_table(spark, sf, "events")
+    keys = e.select(
+        F.concat(F.lit("jr-"), F.dayofmonth("ts").cast("string")).alias("job_run_id"),
+        F.col("event_id").alias("id"),
+        "event_type",
+    )
+    records = e.select(F.col("event_id").alias("id"), "ts")
+    kept = cleanup_failed_keys(keys, records, datetime.datetime(2024, 1, 25))
+    # pre-reduce to the bounded (table, run) grain so the distinct-run
+    # count never Expands the corpus (SCALE.md "The Expand lesson")
+    per_run = kept.groupBy("event_type", "job_run_id").agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        per_run.groupBy("event_type")
+        .agg(
+            F.sum("_n").cast("long").alias("surviving_keys"),
+            F.count("*").alias("surviving_runs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q75 Kafka destination-transform audit (S9) — the embedded kafka shaping
+# (kafka.go:77-117) under the oracle gate: per event type, how many events
+# resolve a topic (integrations override > multi-topic maps > default) and
+# how many fail with "topic is required", over the rudder_events payloads
+# with a multi-topic destination config and NO default topic.
+@register(
+    "q75_kafka_shape_audit",
+    f"""
+    WITH p AS (
+      SELECT json_extract_string(payload, '$.type') AS etype,
+             json_extract_string(payload, '$.event') AS ename,
+             COALESCE(
+               NULLIF(json_extract_string(payload, '$.integrations.KAFKA.topic'), ''),
+               NULLIF(json_extract_string(payload, '$.integrations.kafka.topic'), ''),
+               NULLIF(json_extract_string(payload, '$.integrations.Kafka.topic'), '')
+             ) AS intr_topic
+      FROM read_parquet('{_ORACLE_PATH}')
+    ),
+    r AS (
+      SELECT etype,
+             COALESCE(
+               intr_topic,
+               CASE WHEN etype IN ('identify','screen','page','group','alias')
+                    THEN CASE lower(etype) WHEN 'identify' THEN 'id-topic'
+                                           WHEN 'page' THEN 'web-topic' END
+                    WHEN etype = 'track' AND ename IS NOT NULL AND ename <> ''
+                    THEN CASE ename WHEN 'Order Completed' THEN 'orders-topic' END
+               END
+             ) AS topic
+      FROM p
+    )
+    SELECT etype AS event_type,
+           CAST(SUM(CASE WHEN topic IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS resolved,
+           CAST(SUM(CASE WHEN topic IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS failed
+    FROM r GROUP BY etype ORDER BY event_type
+    """,
+    doc=(
+        "S9 kafka shaping audit: per-type resolved vs topic-required-failed "
+        "counts under a multi-topic config with no default topic — topic "
+        "precedence (integrations override > type map > event map) as one "
+        "narrow codegen'd projection. Ref: embedded/kafka/kafka.go:77-117"
+    ),
+    tags=("rudder", "sinks"),
+)
+def q75(spark, sf):
+    from rudder_server_spark.sources.kafka import kafka_shape
+
+    src = _load(spark, sf)
+    shaped = kafka_shape(
+        src,
+        {
+            "enableMultiTopic": True,
+            "eventTypeToTopicMap": [
+                {"from": "identify", "to": "id-topic"},
+                {"from": "page", "to": "web-topic"},
+            ],
+            "eventToTopicMap": [{"from": "Order Completed", "to": "orders-topic"}],
+        },
+    )
+    return (
+        shaped.select(
+            F.get_json_object("payload", "$.type").alias("event_type"),
+            F.col("error").isNull().alias("_ok"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("resolved"),
+            F.sum(F.when(F.col("_ok"), 0).otherwise(1)).alias("failed"),
+        )
+        .orderBy("event_type")
     )

@@ -557,3 +557,36 @@ def test_ivf_assign_no_interpreted_hof(spark):
     plan = _optimized(ivf_assign(e, cents))
     for hof in ("zip_with", "aggregate(", "lambdafunction"):
         assert hof not in plan, f"interpreted HOF {hof!r} in ivf_assign plan"
+
+
+def test_q69_pipeline_broadcasts_and_window_group_limit(spark):
+    """q69's batch pipeline: every control-plane dimension joins as a
+    broadcast (no corpus-keyed dim shuffle), and the dedup window plans
+    with WindowGroupLimit (partial top-1 per key before the exchange) —
+    the only corpus shuffle is the dedup key exchange + final agg."""
+    df = REG["q69_batch_pipeline"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastExchange") >= 4  # supp, sources, conns, dests x2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q74_cleanup_no_expand_and_broadcast_expiry(spark):
+    """q74: the distinct-run count is pre-reduced to the (table, run)
+    grain (no Expand over the corpus), and the expired-run set joins as a
+    broadcast anti-join."""
+    df = REG["q74_rsources_cleanup"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert "BroadcastHashJoin LeftSemi" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q75_kafka_shape_narrow_projection(spark):
+    """q75: topic resolution is one narrow codegen'd projection — no
+    shuffle before the final grouped count, no UDF, no Expand."""
+    df = REG["q75_kafka_shape_audit"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly the agg + sort exchanges; topic precedence adds none
+    assert plan.count("Exchange") <= 3
