@@ -91,3 +91,48 @@ def apply_user_transform(
     ok = result.where(result["_error"].isNull()).drop("_error").select(*cols)
     failed = result.where(result["_error"].isNotNull()).withColumnRenamed("_error", "error")
     return ok, failed
+
+
+def hydrate_sources(
+    df: DataFrame,
+    hydration_sources: "set[str] | list[str]",
+    hydrator: TransformFn | str,
+    payload_col: str = "payload",
+    source_col: str = "source_id",
+    fail_on_error: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """P15 source-hydration stage (processor/src_hydration_stage.go:51-180,
+    sourcehydration/source_hydration.go Hydrate): events of
+    hydration-enabled sources are batch-enriched by a source-defined
+    remote step before any transformation; events of other sources pass
+    through untouched.
+
+    Spark-first: the ENABLED slice runs through one Arrow mapInPandas
+    pass applying ``hydrator(event) -> dict`` with the same per-event
+    failure isolation as apply_user_transform (the reference reports
+    hydration failures and drops those events unless failOnError aborts
+    the batch); the passthrough slice never leaves the JVM. The split is
+    a pushed-down source_id predicate on both branches — at 100 TB only
+    the hydrating sources' row groups ever reach Python.
+
+    Returns ``(hydrated_plus_passthrough, failed)``; raises on any
+    failure when ``fail_on_error`` (Processor.SourceHydration.failOnError).
+    """
+    from pyspark.sql import functions as F
+
+    srcs = sorted(set(hydration_sources))
+    if not srcs:
+        empty_failed = df.withColumn("error", F.lit(None).cast("string")).where(
+            F.lit(False)
+        )
+        return df, empty_failed
+    enabled = df.where(F.col(source_col).isin(srcs))
+    passthrough = df.where(
+        ~F.col(source_col).isin(srcs) | F.col(source_col).isNull()
+    )
+    ok, failed = apply_user_transform(enabled, hydrator, payload_col=payload_col)
+    if fail_on_error:
+        bad = failed.select("error").first()
+        if bad is not None:
+            raise RuntimeError(f"source hydration failed: {bad['error']}")
+    return ok.unionByName(passthrough), failed

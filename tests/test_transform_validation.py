@@ -75,3 +75,43 @@ def test_tracking_plan_validation(spark):
 
     kept = validate_tracking_plan(df, plan, drop_invalid=True)
     assert [r["message_id"] for r in kept.collect()] == ["m1"]
+
+
+def test_hydrate_sources_gated_and_isolated(spark):
+    """P15 (src_hydration_stage.go:51-180): only hydration-enabled
+    sources' events reach the hydrator; other sources pass through
+    byte-identical; a hydrator exception fails that event only (the
+    reference's hydration-failure report), and fail_on_error escalates."""
+    import json
+
+    import pytest
+
+    from rudder_server_spark.functions.user_transform import hydrate_sources
+
+    rows = [
+        ("m1", "src-h", json.dumps({"type": "track", "v": 1})),
+        ("m2", "src-h", json.dumps({"type": "track", "boom": True})),
+        ("m3", "src-plain", json.dumps({"type": "track", "v": 3})),
+    ]
+    df = spark.createDataFrame(rows, "message_id string, source_id string, payload string")
+
+    def hydrator(ev):
+        if ev.get("boom"):
+            raise ValueError("upstream 500")
+        ev["context"] = {"hydrated": True}
+        return ev
+
+    out, failed = hydrate_sources(df, {"src-h"}, hydrator)
+    got = {r["message_id"]: json.loads(r["payload"]) for r in out.collect()}
+    assert got["m1"]["context"] == {"hydrated": True}
+    assert "context" not in got["m3"]  # passthrough untouched
+    assert "m2" not in got
+    f = failed.collect()
+    assert len(f) == 1 and f[0]["message_id"] == "m2" and "upstream 500" in f[0]["error"]
+
+    with pytest.raises(RuntimeError, match="upstream 500"):
+        hydrate_sources(df, {"src-h"}, hydrator, fail_on_error=True)
+
+    # no hydration sources: pure passthrough, empty failed frame
+    out2, failed2 = hydrate_sources(df, set(), hydrator)
+    assert out2.count() == 3 and failed2.count() == 0
