@@ -283,3 +283,56 @@ def vocab_coverage(
         oov.alias("n_oov"),
         F.round(oov.cast("double") / F.count("*"), 6).cast("double").alias("oov_rate"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_round: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the classic salience ranking
+    (Sparck Jones 1972) behind keyword extraction, topic labeling, and
+    lightweight feature weighting in curation pipelines.
+
+    tf = term count in the doc; idf = ln(N / df) over exact document
+    frequency; score = tf * idf rounded to ``score_round`` (ln/multiply
+    agree across engines at this grain). Ties break by term ascending, so
+    the top-k is fully deterministic.
+
+    Scale shape: one (doc, term) count aggregate (map-side combined),
+    ONE reuse of that frame for document frequency (tf rows are already
+    distinct per doc-term, so df is a plain count — never a
+    count-distinct Expand over the token stream), a broadcast join of
+    the bounded term dictionary back onto tf, and a per-doc top-k window.
+    The token explode is linear; nothing is quadratic, nothing collects.
+    N comes from one bounded count.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        id_col,
+        "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            score_round,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "score")
+        .orderBy(id_col, "rank")
+    )

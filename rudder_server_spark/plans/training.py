@@ -2098,3 +2098,43 @@ _T51_SPAN = " || ' ' || ".join(f"t[i+{j}]" for j in range(_T51_N))
 def t51(spark, sf):
     d = load_table(spark, sf, "documents")
     return D.repeated_passages(d, n=_T51_N, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# t52 — per-document top-k TF-IDF keywords (Sparck Jones 1972): exact
+# document frequency, ln(N/df) idf, deterministic (score desc, term asc)
+# tie-break. One token-count aggregate reused for df (no count-distinct
+# Expand), broadcast term dictionary, per-doc top-3 window.
+@register(
+    "t52_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    doc=(
+        "Top-3 TF-IDF keywords per doc: exact df from the reused (doc, "
+        "term) count frame, ln(N/df) idf, broadcast dictionary join, "
+        "deterministic tie-break. Linear explode + two bounded aggregates."
+    ),
+    tags=("training", "text"),
+)
+def t52(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return X.tfidf_keywords(d, k=3)
