@@ -215,28 +215,29 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmin of squared L2).
 
-    One generated SQL expression: the k per-centroid distances are built
-    once into an ``array(...)`` and the cell is
-    ``array_position(d, array_min(d)) - 1`` — first occurrence of the
-    minimum, so ties pick the lowest cell index. Each distance expression
-    appears exactly twice in the tree (array_min + array_position), not
-    k× as a least()+CASE chain would after projection collapse — keeping
-    codegen'd expression size O(k·dim).
+    One generated SQL expression, sized for janino's 64 KB-per-method
+    bytecode limit (a k=16 × dim=64 expansion where every distance
+    appears twice blew past it and — when the expression was pushed into
+    a parquet scan filter — failed the query instead of falling back):
+
+    - distances use the expanded form d_j = ||x||² − 2·x·c_j + ||c_j||²;
+      ||x||² is row-constant so the argmin ranks by −2·x·c_j + ||c_j||²
+      — ONE multiply per (dim, centroid) term instead of two casts + a
+      subtraction + a square;
+    - the argmin is ``array_min(array(struct(key_j, j))).i`` — struct
+      comparison is lexicographic, so equal keys pick the lowest cell
+      index, and every distance expression appears exactly ONCE in the
+      tree (array_position would reference the array a second time).
     """
-    dists = ", ".join(
-        "("
-        + " + ".join(
-            f"({_el(vec_col, i)} - {_flit(v)}) * ({_el(vec_col, i)} - {_flit(v)})"
-            for i, v in enumerate(c)
+    entries = []
+    for j, c in enumerate(centroids):
+        dot = " + ".join(
+            f"{_el(vec_col, i)} * {_flit(v)}" for i, v in enumerate(c)
         )
-        + ")"
-        for c in centroids
-    )
-    cell = (
-        f"CAST(array_position(array({dists}), "
-        f"array_min(array({dists}))) AS INT) - 1"
-    )
-    return df.withColumn(cell_col, F.expr(cell))
+        c2 = sum(float(v) * float(v) for v in c)
+        entries.append(f"struct({_flit(c2)} - 2.0 * ({dot}) AS d, {j} AS i)")
+    cell = f"array_min(array({', '.join(entries)})).i"
+    return df.withColumn(cell_col, F.expr(cell).cast("int"))
 
 
 def semdedup(

@@ -76,7 +76,10 @@ def main() -> None:
         "rows_only": rows_only,
         "elapsed_sec": round(time.time() - t0, 1),
     }
-    with open(os.path.join(REPO, "VERIFY_ALL.json"), "w") as fh:
+    # sf0.01 is the driver's gate -> canonical VERIFY_ALL.json; other SFs
+    # (e.g. the 10x sf0.1 re-check) write a suffixed artifact alongside
+    fname = "VERIFY_ALL.json" if sf_name == "sf0.01" else f"VERIFY_ALL_{sf_name}.json"
+    with open(os.path.join(REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "rows_only"}))
     spark.stop()
