@@ -643,3 +643,31 @@ def test_quantized_topk_recall_vs_exact(spark):
     for r in quantized_topk(rest, qvec, k=10).collect():
         if r["vec_id"] in exact_sims:
             assert abs(r["sim"] - exact_sims[r["vec_id"]]) < 1e-9
+
+
+def test_group_centroid_diversity_empty_and_view_hygiene(spark):
+    """ADVICE r2: empty input short-circuits to an empty typed frame
+    (the generated dim-0 SQL would be a parse error), and the temp view
+    is per-call unique and dropped after analysis — two interleaved
+    calls cannot clobber each other and leave nothing in the catalog."""
+    from rudder_server_spark.operators.similarity import group_centroid_diversity
+
+    empty = spark.createDataFrame([], "label string, embedding array<double>")
+    out = group_centroid_diversity(empty)
+    assert out.count() == 0
+    assert out.columns == ["label", "n_vectors", "avg_cos", "min_cos"]
+
+    a = spark.createDataFrame(
+        [("x", [1.0, 0.0]), ("x", [0.0, 1.0])], "label string, embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [("y", [1.0, 1.0, 0.0]), ("y", [1.0, 1.0, 0.1])],
+        "label string, embedding array<double>",
+    )
+    # interleave: build both frames before collecting either
+    da, db = group_centroid_diversity(a), group_centroid_diversity(b)
+    ra = {r["label"]: r["n_vectors"] for r in da.collect()}
+    rb = {r["label"]: r["n_vectors"] for r in db.collect()}
+    assert ra == {"x": 2} and rb == {"y": 2}
+    leftover = [t.name for t in spark.catalog.listTables() if t.name.startswith("_gcd_input")]
+    assert leftover == []
