@@ -2138,3 +2138,64 @@ def t51(spark, sf):
 def t52(spark, sf):
     d = load_table(spark, sf, "documents")
     return X.tfidf_keywords(d, k=3)
+
+
+# --------------------------------------------------------------------------
+# t53 — Z-order (Morton) key computation under the oracle gate: the same
+# bit interleave sources/layout.py::write_zordered sorts by, audited per
+# event type over the events table. The layout's pruning effect is pinned
+# separately (test_sources_load zorder test); this checks the KEY math is
+# deterministic and engine-portable.
+@register(
+    "t53_zorder_key",
+    """
+    WITH d AS (
+      SELECT event_type,
+             user_id & 255 AS u,
+             CAST(floor(greatest(value, 0)) AS BIGINT) & 255 AS v
+      FROM events
+    ),
+    k AS (
+      SELECT event_type,
+             ("""
+    + " | ".join(
+        f"(((u >> {i}) & 1) << {2 * i + 1}) | (((v >> {i}) & 1) << {2 * i})"
+        for i in range(8)
+    )
+    + """) AS zkey
+      FROM d
+    )
+    SELECT event_type,
+           CAST(SUM(zkey) AS BIGINT) AS sum_zkey,
+           CAST(min(zkey) AS BIGINT) AS min_zkey,
+           CAST(max(zkey) AS BIGINT) AS max_zkey
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "Morton/Z-order key audit per event type (8-bit dims user_id, "
+        "clamped floor(value)): one codegen'd bit-interleave projection + "
+        "a grouped aggregate — the key write_zordered clusters parquet by "
+        "for multi-dimensional row-group pruning."
+    ),
+    tags=("training", "layout"),
+)
+def t53(spark, sf):
+    from rudder_server_spark.sources.fixtures import load_table
+    from rudder_server_spark.sources.layout import zorder_key
+
+    e = load_table(spark, sf, "events")
+    d = e.select(
+        "event_type",
+        F.expr("user_id & 255").alias("u"),
+        F.expr("CAST(floor(greatest(value, 0)) AS BIGINT) & 255").alias("v"),
+    )
+    k = d.select("event_type", zorder_key(["u", "v"], bits=8).alias("zkey"))
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.sum("zkey").cast("long").alias("sum_zkey"),
+            F.min("zkey").alias("min_zkey"),
+            F.max("zkey").alias("max_zkey"),
+        )
+        .orderBy("event_type")
+    )

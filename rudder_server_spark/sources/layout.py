@@ -46,3 +46,56 @@ def write_clustered(
         .option("parquet.block.size", row_group_mb * 1024 * 1024)
         .parquet(path)
     )
+
+
+def zorder_key(cols: list, bits: int = 16) -> "Column":
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    integer column — the multi-dimensional locality curve behind Delta's
+    OPTIMIZE ZORDER BY and the lakehouse answer to "range clustering can
+    only serve ONE predicate column well". Sorting by the interleaved key
+    gives every participating column partial locality, so min/max footer
+    stats prune row groups for predicates on ANY of the dimensions (a
+    lexicographic sort prunes only the leading column; the trailing ones
+    span the full domain in every row group).
+
+    One generated SQL expression (shiftright/and/shiftleft over BIGINT,
+    ``bits x n_cols`` small terms — codegen'd, far under the 64 KB method
+    budget), deterministic and engine-portable: the same bit math runs in
+    DuckDB for the oracle. Columns must be non-negative integers that fit
+    ``bits`` bits — rank/bucket continuous values first (ntile or
+    fixed-width buckets), which is also what bounds skew on the curve.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    terms = [
+        f"shiftleft(shiftright(CAST({c} AS BIGINT), {i}) & 1, {i * n + (n - 1 - j)})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return F.expr("(" + " | ".join(terms) + ")")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list,
+    bits: int = 16,
+    n_files: int = 8,
+    row_group_mb: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` parquet Z-ordered on ``zorder_cols``: range-partition
+    + sort by the Morton key so row-group min/max stats are selective on
+    EVERY participating column, then drop the key (sort order survives
+    the projection). Same capacity knobs as write_clustered."""
+    zk = zorder_key(list(zorder_cols), bits)
+    (
+        df.withColumn("_zk", zk)
+        .repartitionByRange(n_files, "_zk")
+        .sortWithinPartitions("_zk")
+        .drop("_zk")
+        .write.mode(mode)
+        .option("parquet.block.size", row_group_mb * 1024 * 1024)
+        .parquet(path)
+    )

@@ -359,3 +359,56 @@ def test_cleanup_failed_keys_expires_idle_runs(spark):
     )
     s = cleanup_stats(stats, t(10))
     assert {r["job_run_id"] for r in s.collect()} == {"run-live"}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs lexicographic: sorted-by-u-only row groups can never
+    prune on v (every group spans v's full domain); the Morton layout
+    gives BOTH columns selective min/max footer stats, so a box predicate
+    prunes row groups on either dimension."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.sources.layout import write_zordered
+
+    # the payload column is high-entropy so row groups actually fill the
+    # 1 MB buffer (pure u/v would RLE-compress into a single group)
+    df = spark.range(2_000_000).select(
+        (F.col("id") % 256).alias("u"),
+        ((F.col("id") * 7919) % 256).alias("v"),
+        F.xxhash64("id").alias("payload"),
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zordered(df, zpath, ["u", "v"], bits=8, n_files=1, row_group_mb=1)
+    (
+        df.repartitionByRange(1, "u").sortWithinPartitions("u")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 1024 * 1024)
+        .parquet(lpath)
+    )
+
+    def group_ranges(path, col):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+        return out
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    zv, lv = group_ranges(zpath, "v"), group_ranges(lpath, "v")
+    zu = group_ranges(zpath, "u")
+    assert len(zv) >= 4  # enough row groups for pruning to mean anything
+    # v in [0, 31]: lexicographic layout cannot exclude ANY row group
+    assert overlapping(lv, 0, 31) == len(lv)
+    # the z-ordered layout excludes a meaningful fraction on v AND on u
+    assert overlapping(zv, 0, 31) < len(zv)
+    assert overlapping(zu, 0, 31) < len(zu)
