@@ -436,17 +436,37 @@ def ttl_dedup_stream(
     stream: DataFrame,
     key_col: str = "message_id",
     ttl_ms: int = 30 * 24 * 3600 * 1000,
+    engine: str = "auto",
 ) -> DataFrame:
     """Drop rows whose dedup key has a live (non-expired) state entry —
     across micro-batches and within a batch (first occurrence wins).
 
-    Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass`` →
-    ``...state.RocksDBStateStoreProvider``) — transformWithState is built
-    on its column-family support. The processor class is defined inside
-    this function so cloudpickle ships it by value (workers don't need
-    this package importable).
+    Two equivalent physical forms, selected by ``engine``:
+
+    - ``"tws"``: transformWithStateInPandas with a native TTL value state
+      (requires the RocksDB state store provider — transformWithState is
+      built on its column-family support — and ``google.protobuf`` for
+      the Python state-server protocol).
+    - ``"applyinpandas"``: applyInPandasWithState with a processing-time
+      timeout; the state entry stores its insert-time DEADLINE and each
+      invocation re-arms the remaining duration, reproducing BadgerDB's
+      set-at-insert TTL (re-deliveries do NOT extend the TTL,
+      dedup.go:43-120) on the default state store with no extra deps.
+    - ``"auto"`` (default): tws when protobuf is importable, else the
+      applyInPandasWithState form — same semantics either way.
+
+    Closures/classes are defined inside this function so cloudpickle
+    ships them by value (workers don't need this package importable).
     """
+    if engine == "auto":
+        try:
+            import google.protobuf  # noqa: F401
+
+            engine = "tws"
+        except ImportError:
+            engine = "applyinpandas"
+    if engine == "applyinpandas":
+        return _ttl_dedup_applyinpandas(stream, key_col, ttl_ms)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -482,4 +502,51 @@ def ttl_dedup_stream(
         outputStructType=out_schema,
         outputMode="Append",
         timeMode="ProcessingTime",
+    )
+
+
+def _ttl_dedup_applyinpandas(
+    stream: DataFrame, key_col: str, ttl_ms: int
+) -> DataFrame:
+    """The protobuf-free TTL-dedup form (see ttl_dedup_stream).
+
+    State per key = (deadline_epoch_ms,) stamped at FIRST insert; the
+    processing-time timeout re-arms with the REMAINING time on every
+    later invocation, so a re-delivery never extends the TTL (BadgerDB
+    SetWithTTL-at-insert semantics). On timeout the entry is removed and
+    the key dedups afresh.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    _ttl = int(ttl_ms)
+
+    def fn(key, pdfs, state):
+        import time as _time
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        now_ms = int(_time.time() * 1000)
+        if state.exists:
+            for _ in pdfs:  # drain: all rows are re-deliveries
+                pass
+            (deadline,) = state.get
+            state.setTimeoutDuration(max(int(deadline) - now_ms, 1))
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        if first is not None:
+            state.update((now_ms + _ttl,))
+            state.setTimeoutDuration(_ttl)
+            yield first
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        "deadline long",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
     )

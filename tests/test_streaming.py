@@ -382,11 +382,11 @@ def test_suppression_hot_reload_between_batches(spark, tmp_path):
 
 
 def test_ttl_dedup_stream_across_batches(spark, tmp_path):
-    # transformWithState's Python state-server protocol speaks protobuf;
-    # the package is absent in this container (no pip installs allowed), so
-    # the operator is exercised only where protobuf exists (any real
-    # cluster image ships it — pyspark declares it for connect/streaming)
-    pytest.importorskip("google.protobuf")
+    # engine="auto": transformWithStateInPandas where google.protobuf
+    # exists (its Python state-server protocol needs it — any real
+    # cluster image ships it), else the applyInPandasWithState form with
+    # identical semantics — so this test runs EVERYWHERE, exercising
+    # whichever physical form the environment supports
     from rudder_server_spark.streaming.pipeline import ttl_dedup_stream
 
     src = str(tmp_path / "src")
