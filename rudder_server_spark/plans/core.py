@@ -2437,3 +2437,42 @@ def q72(spark, sf):
         )
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Q76 scale-safe rank — q22's price_rank (3 distinct o_orderstatus values)
+# recomputed with the two-pass range-partitioned form: a plain
+# rank() OVER (PARTITION BY o_orderstatus ...) plans ONE sort task per
+# status — fine in the declared q22 shape at fixture scale, a 3-task
+# sort of the corpus at 100 TB. scalable_rank keeps ties exact while
+# every executor sorts only its range slice (operators/ranking.py).
+@register(
+    "q76_scalable_rank",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS price_rank
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc=(
+        "Exact per-status price rank via the two-pass range-partitioned "
+        "form (local rank + bounded per-(task, group) offsets, broadcast "
+        "back) — identical output to the one-task-per-group window, "
+        "wall-clock bounded by the slice, not the biggest group."
+    ),
+    tags=("windows", "scale"),
+)
+def q76(spark, sf):
+    from rudder_server_spark.operators.ranking import scalable_rank
+
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ranked = scalable_rank(
+        o,
+        order_cols=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        group_cols=["o_orderstatus"],
+        rank_col="price_rank",
+    )
+    return ranked.select("o_orderkey", "o_orderstatus", "price_rank").orderBy(
+        "o_orderkey"
+    )

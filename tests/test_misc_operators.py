@@ -744,3 +744,28 @@ def test_tfidf_keywords_rank_contract(spark):
     # 'common' appears in every doc -> idf 0 -> rank-1 term is the local one
     assert by_doc[1][0][1] == "apple"
     assert by_doc[2][0][1] == "banana"
+
+
+def test_scalable_rank_matches_window_rank_with_ties(spark):
+    """scalable_rank == rank() OVER (...) exactly, including shared ranks
+    for ties and the gap after a tie group — checked over many physical
+    partitions so tie groups and offsets actually cross task boundaries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from rudder_server_spark.operators.ranking import scalable_rank
+
+    # value collisions on purpose: id % 97 gives ~100 docs per tie group
+    df = spark.range(10_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 97).alias("val"),
+        F.col("id").alias("rid"),
+    )
+    got = scalable_rank(df, order_cols=[F.desc("val")], group_cols=["grp"])
+    expected = df.withColumn(
+        "rank",
+        F.rank().over(W.partitionBy("grp").orderBy(F.desc("val"))).cast("long"),
+    )
+    g = {(r["grp"], r["rid"]): r["rank"] for r in got.collect()}
+    e = {(r["grp"], r["rid"]): r["rank"] for r in expected.collect()}
+    assert g == e

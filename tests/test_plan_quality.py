@@ -590,3 +590,46 @@ def test_q75_kafka_shape_narrow_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # exactly the agg + sort exchanges; topic precedence adds none
     assert plan.count("Exchange") <= 3
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime filter injection (the 100 TB shuffle-pruning lever): when a
+    selective dim side feeds a shuffle join, Catalyst plants a bloom
+    filter from the dim's join keys onto the FACT scan (might_contain),
+    discarding non-matching fact rows before the exchange. Fires with
+    default thresholds at cluster scale (application side > 10 GB); the
+    test lowers the application-side threshold to our fixture size — the
+    creation-side threshold is an UPPER bound on the dim build, kept at
+    its default-like 10 MB."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(
+            "o_orderpriority = '1-URGENT' AND o_totalprice > 400000"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = _optimized(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
