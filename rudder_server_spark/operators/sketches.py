@@ -47,3 +47,66 @@ def merge_tracked_users(sketches: DataFrame, group_cols=("workspace_id",)) -> Da
         F.hll_sketch_estimate(F.hll_union_agg("anon_hll")).alias("anon_estimate"),
         F.hll_sketch_estimate(F.hll_union_agg("identified_hll")).alias("identified_estimate"),
     )
+
+
+def heavy_hitters_cms(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> "tuple[DataFrame, object]":
+    """Exact top-k heavy hitters PLUS a Count-Min sketch of the column
+    (Cormode & Muthukrishnan 2005) — the mergeable frequency summary that
+    answers point-count queries at 100 TB without keeping the full
+    vocabulary: width ~ e/eps counters regardless of cardinality, never
+    underestimates, overestimates by at most eps*N with the configured
+    confidence.
+
+    Returns (exact top-k frame ordered by count desc, CmsHandle).
+    The exact tier is one partial-agg shuffle (bounded by the true
+    vocabulary); the sketch is the SQL ``count_min_sketch`` aggregate —
+    per-partition sketches merge map-side exactly like the HLL rollup —
+    and the final bounded binary deserializes driver-side through the
+    JVM class (pyspark 4 dropped the ``df.stat`` wrapper, not the
+    aggregate).
+    """
+    top = (
+        df.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc(col))
+        .limit(k)
+    )
+    agg = df.agg(
+        F.expr(
+            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+        ).alias("s")
+    )
+    raw = agg.first()["s"]
+    return top, CmsHandle.from_bytes(df.sparkSession, raw)
+
+
+class CmsHandle:
+    """Driver-side view of a serialized Spark CountMinSketch (bounded:
+    width ~ e/eps x depth counters)."""
+
+    def __init__(self, jcms):
+        self._j = jcms
+
+    @classmethod
+    def from_bytes(cls, spark, raw: bytes) -> "CmsHandle":
+        jvm = spark._jvm
+        bis = jvm.java.io.ByteArrayInputStream(bytes(raw))
+        return cls(jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis))
+
+    def estimate(self, item) -> int:
+        return int(self._j.estimateCount(item))
+
+    def merge(self, other: "CmsHandle") -> "CmsHandle":
+        self._j.mergeInPlace(other._j)
+        return self
+
+    @property
+    def total(self) -> int:
+        return int(self._j.totalCount())

@@ -2199,3 +2199,49 @@ def t53(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# t54 — heavy hitters with a Count-Min sketch bound audit: the exact
+# top-10 corpus tokens (one bounded-vocabulary partial-agg shuffle)
+# plus, per token, whether the mergeable CMS summary respects its
+# guarantee (estimate in [exact, exact + eps*N]) — the property that
+# makes per-shard sketches safe to roll up at 100 TB. The oracle pins
+# the exact tier and the invariant (literal TRUE: a violated bound is a
+# hash mismatch, i.e. a driver-visible failure).
+@register(
+    "t54_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS cnt, TRUE AS cms_ok
+    FROM toks GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10
+    """,
+    doc=(
+        "Exact top-10 tokens + CMS bound audit (estimate never below the "
+        "true count, above by at most eps*N): exact tier is one partial-agg "
+        "shuffle; the sketch aggregates map-side and deserializes driver-"
+        "side as a bounded binary."
+    ),
+    tags=("training", "sketch"),
+)
+def t54(spark, sf):
+    from rudder_server_spark.operators.sketches import heavy_hitters_cms
+
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+        ).alias("tok")
+    )
+    eps = 0.001
+    top, cms = heavy_hitters_cms(toks, "tok", k=10, eps=eps)
+    n = cms.total
+    rows = top.collect()  # bounded: exactly k rows
+    checked = [
+        (r["tok"], r["cnt"], r["cnt"] <= cms.estimate(r["tok"]) <= r["cnt"] + eps * n)
+        for r in rows
+    ]
+    return spark.createDataFrame(checked, "tok string, cnt long, cms_ok boolean")

@@ -769,3 +769,34 @@ def test_scalable_rank_matches_window_rank_with_ties(spark):
     g = {(r["grp"], r["rid"]): r["rank"] for r in got.collect()}
     e = {(r["grp"], r["rid"]): r["rank"] for r in expected.collect()}
     assert g == e
+
+
+def test_heavy_hitters_cms_bounds_and_merge(spark):
+    """Count-Min guarantees: estimate >= exact for every heavy hitter,
+    estimate <= exact + eps*N (w.h.p.), and two half-corpus sketches
+    MERGE into the whole-corpus sketch (the property that lets per-shard
+    summaries roll up without a second pass)."""
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.sketches import heavy_hitters_cms
+
+    df = spark.range(50_000).select(
+        F.concat(F.lit("tok"), (F.col("id") % F.when(F.col("id") % 7 == 0, 3)
+                                .otherwise(1000)).cast("string")).alias("tok")
+    )
+    n = df.count()
+    top, cms = heavy_hitters_cms(df, "tok", k=5, eps=0.005)
+    rows = top.collect()
+    assert len(rows) == 5 and rows[0]["cnt"] >= rows[-1]["cnt"]
+    for r in rows:
+        est = cms.estimate(r["tok"])
+        assert r["cnt"] <= est <= r["cnt"] + 0.005 * n
+    assert cms.total == n
+
+    h1 = df.where(F.crc32("tok") % 2 == 0)
+    h2 = df.where(F.crc32("tok") % 2 == 1)
+    _, c1 = heavy_hitters_cms(h1, "tok", eps=0.005)
+    _, c2 = heavy_hitters_cms(h2, "tok", eps=0.005)
+    merged = c1.merge(c2)
+    for r in rows:
+        assert merged.estimate(r["tok"]) >= r["cnt"]
