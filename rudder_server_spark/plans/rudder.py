@@ -1367,3 +1367,41 @@ def q75(spark, sf):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q77 event-schema key profile — the event-schemas sampling surface
+# (processor.go:124,463 eventSchemaDB jobs; EventSchemas2): per
+# (event_type, top-level payload key), how many events carry the key —
+# the observability feed behind schema-drift alerts and the warehouse
+# schema registry. One explode of the bounded per-event key list + one
+# partial-agg shuffle on a (type, key) vocabulary — no payload parse
+# beyond key enumeration, no Expand.
+@register(
+    "q77_schema_keys",
+    f"""
+    SELECT event_type, k AS key, count(*) AS n_events
+    FROM (
+      SELECT event_type, unnest(json_keys(payload)) AS k
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    GROUP BY event_type, k ORDER BY event_type, key
+    """,
+    doc=(
+        "Per-(event_type, top-level payload key) presence counts — the "
+        "event-schema sampling rollup (schema-drift observability). "
+        "Ref: processor.go eventSchemaDB, warehouse/schema"
+    ),
+    tags=("rudder", "aggregation"),
+)
+def q77(spark, sf):
+    src = _load(spark, sf)
+    return (
+        src.select(
+            "event_type",
+            F.explode(F.json_object_keys("payload")).alias("key"),
+        )
+        .groupBy("event_type", "key")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type", "key")
+    )
