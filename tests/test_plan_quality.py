@@ -633,3 +633,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t51_repeated_passages_hashed_keys_no_expand(spark):
+    """t51: span-frequency shuffles 8-byte xxhash64 keys (never raw
+    n-gram strings), there is no Expand, and no cartesian/nested-loop
+    tier anywhere — the stats stay linear in corpus span count."""
+    df = REG["t51_repeated_passages"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "xxhash64" in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t52_tfidf_broadcasts_term_dictionary(spark):
+    """t52: the document-frequency dictionary joins back onto the (doc,
+    term) counts as a BROADCAST (bounded vocabulary), never a corpus-
+    keyed sort-merge join."""
+    df = REG["t52_tfidf_keywords"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
