@@ -517,3 +517,65 @@ def repeated_passages(
         )
         .orderBy(id_col)
     )
+
+
+def dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    keep_col: str = "n_chars",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate-family resolution: near-dup pairs → connected components →
+    canonical election. The step after pair generation in every production
+    dedup pipeline — pairwise hits must become FAMILIES (A~B, B~C ⇒
+    {A,B,C} even when A and C never paired) before exactly one member can
+    be kept.
+
+    Returns one row per document that belongs to a ≥2-doc family:
+    (id_col, cluster_id = min doc id in the family, cluster_size,
+    is_canonical). Canonical = largest ``keep_col`` (ties → smallest id),
+    the usual keep-the-longest policy.
+
+    Scale shape: the edge set is already threshold-filtered, so it is far
+    smaller than the corpus; components run on operators/identity.py's
+    pointer-jumping min-label propagation (O(log diameter) rounds, each one
+    equi-join — the small-graph path collapses to a driver union-find
+    automatically). Node ids travel as zero-padded fixed-width strings so
+    the string min IS the numeric min; election + size are one shuffle on
+    cluster_id. The skew risk is a boilerplate mega-cluster making one
+    window partition hot — bounded because election needs only rank-1, so
+    AQE skew-split plus the two-pass rank (operators/ranking.py) is the
+    fallback; at the tested shape the plain window wins.
+
+    Supply ``pairs`` to cluster candidates from another tier (MinHash-LSH,
+    SimHash, embedding near-dup) — any (a, b) long-id frame works.
+    """
+    from rudder_server_spark.operators.identity import connected_components
+    from pyspark.sql import Window
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, threshold, id_col=id_col, text_col=text_col, n=n)
+    pad = 20  # > max digits of a 64-bit id → lexicographic min == numeric min
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), pad, "0").alias("src"),
+        F.lpad(F.col("b").cast("string"), pad, "0").alias("dst"),
+    )
+    comp = connected_components(edges)
+    members = comp.select(
+        F.col("identifier").cast("bigint").alias(id_col),
+        F.col("component").cast("bigint").alias("cluster_id"),
+    )
+    ranked = members.join(df.select(id_col, keep_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(keep_col).desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        ranked.withColumn("cluster_size", F.count("*").over(wc).cast("long"))
+        .withColumn("is_canonical", F.row_number().over(w) == F.lit(1))
+        .select(id_col, "cluster_id", "cluster_size", "is_canonical")
+        .orderBy("cluster_id", id_col)
+    )

@@ -2245,3 +2245,45 @@ def t54(spark, sf):
         for r in rows
     ]
     return spark.createDataFrame(checked, "tok string, cnt long, cms_ok boolean")
+
+
+_T55_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT a AS u, b AS v FROM jac UNION SELECT b AS u, a AS v FROM jac
+    ),
+    walk(node, comp) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+    ),
+    cc AS (SELECT node AS did, min(comp) AS cluster_id FROM walk GROUP BY node),
+    sized AS (
+      SELECT cc.did, cc.cluster_id, d.n_chars,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS csz,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY d.n_chars DESC, cc.did) AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.did
+    )
+    SELECT did AS doc_id, cluster_id,
+           CAST(csz AS BIGINT) AS cluster_size, rn = 1 AS is_canonical
+    FROM sized ORDER BY cluster_id, doc_id
+"""
+
+
+@register(
+    "t55_dup_clusters",
+    _T55_SQL,
+    doc=(
+        "Duplicate-family resolution: exact-Jaccard pairs (≥0.8) → "
+        "connected components → canonical election (longest doc, tie → "
+        "min id). Oracle = recursive-CTE reachability over the same pair "
+        "set; the Spark side is pointer-jumping min-label CC (identity "
+        "graph machinery reused on the dup-pair graph)."
+    ),
+    tags=("training", "dedup"),
+)
+def t55(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.dup_clusters(d, threshold=0.8)

@@ -800,3 +800,35 @@ def test_heavy_hitters_cms_bounds_and_merge(spark):
     merged = c1.merge(c2)
     for r in rows:
         assert merged.estimate(r["tok"]) >= r["cnt"]
+
+
+def test_dup_clusters_transitive_family_and_election(spark):
+    """A~B and B~C must land in one family even when A and C never pair;
+    canonical = longest text, tie -> smallest id; singletons excluded."""
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.operators.dedup import dup_clusters
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 50),
+            (2, "the quick brown fox jumps over the lazy dog tonight", 51),
+            (3, "a quick brown fox jumps over the lazy dog tonight", 49),
+            (9, "completely unrelated text with no shared shingles here", 54),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = dup_clusters(df, threshold=0.6).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert {r["cluster_id"] for r in out} == {1}
+    assert all(r["cluster_size"] == 3 for r in out)
+    # doc 2 has the largest n_chars -> canonical
+    assert {r["doc_id"]: r["is_canonical"] for r in out} == {1: False, 2: True, 3: False}
+
+    # pairs= injection: cluster from an externally supplied candidate tier
+    pairs = spark.createDataFrame([(1, 9)], "a long, b long")
+    out2 = dup_clusters(df, pairs=pairs).collect()
+    assert sorted(r["doc_id"] for r in out2) == [1, 9]
+    assert all(r["cluster_id"] == 1 for r in out2)
+    # tie-free: doc 9 longer -> canonical
+    assert {r["doc_id"]: r["is_canonical"] for r in out2} == {1: False, 9: True}
