@@ -2476,3 +2476,84 @@ def q76(spark, sf):
     return ranked.select("o_orderkey", "o_orderstatus", "price_rank").orderBy(
         "o_orderkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Q78/Q79 — the two downstream queries the reference's event tables exist to
+# serve (tracks/event-table fan-out feeds a warehouse whose consumers run
+# funnels and retention; processor fan-out P8, warehouse schema 1.3).
+@register(
+    "q78_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t, min(s1.t1) AS t1
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 604800 SECOND
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND e.ts <= s2.t1 + INTERVAL 604800 SECOND
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS users FROM s1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    ) ORDER BY step_idx
+    """,
+    doc=(
+        "First-touch ordered funnel view→click→purchase inside a 7-day "
+        "window: per-step min-ts cascade, every stage co-partitioned on "
+        "user_id with pushed event_type filters."
+    ),
+    tags=("analytics", "events"),
+)
+def q78(spark, sf):
+    from rudder_server_spark.operators.funnel import funnel_steps
+
+    e = load_table(spark, sf, "events")
+    return funnel_steps(
+        e, ["view", "click", "purchase"], window_seconds=7 * 24 * 3600
+    )
+
+
+@register(
+    "q79_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM act a JOIN cohort c USING (user_id)
+    WHERE week >= cohort_week
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "Weekly signup-cohort retention matrix: cohort map is one row per "
+        "converting user (broadcast-eligible), activity join keyed on "
+        "user_id, single-distinct two-phase aggregate (no Expand)."
+    ),
+    tags=("analytics", "events"),
+)
+def q79(spark, sf):
+    from rudder_server_spark.operators.funnel import retention_cohorts
+
+    e = load_table(spark, sf, "events")
+    return retention_cohorts(e, cohort_event="signup")

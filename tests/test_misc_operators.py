@@ -832,3 +832,53 @@ def test_dup_clusters_transitive_family_and_election(spark):
     assert all(r["cluster_id"] == 1 for r in out2)
     # tie-free: doc 9 longer -> canonical
     assert {r["doc_id"]: r["is_canonical"] for r in out2} == {1: False, 9: True}
+
+
+def test_funnel_ordering_and_window(spark):
+    """A click before the user's first view must not count; a purchase
+    outside the window must not count; monotone step counts."""
+    from datetime import datetime as dt
+
+    from rudder_server_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1: clean view -> click -> purchase inside window
+        (1, dt(2024, 1, 1, 0), "view"),
+        (1, dt(2024, 1, 1, 1), "click"),
+        (1, dt(2024, 1, 1, 2), "purchase"),
+        # u2: click BEFORE first view -> stops at view
+        (2, dt(2024, 1, 1, 0), "click"),
+        (2, dt(2024, 1, 1, 1), "view"),
+        # u3: purchase outside the 2h window -> stops at click
+        (3, dt(2024, 1, 1, 0), "view"),
+        (3, dt(2024, 1, 1, 0, 30), "click"),
+        (3, dt(2024, 1, 1, 3), "purchase"),
+        # u4: never viewed
+        (4, dt(2024, 1, 1, 0), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["step"]: r["users"]
+        for r in funnel_steps(
+            e, ["view", "click", "purchase"], window_seconds=7200
+        ).collect()
+    }
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohort_excludes_precohort_activity(spark):
+    from datetime import datetime as dt
+
+    from rudder_server_spark.operators.funnel import retention_cohorts
+
+    rows = [
+        (1, dt(2024, 1, 1), "click"),     # Monday, BEFORE signup -> excluded
+        (1, dt(2024, 1, 8), "signup"),    # cohort week = 2024-01-08
+        (1, dt(2024, 1, 16), "view"),     # offset 1
+        (2, dt(2024, 1, 9), "signup"),    # same cohort week
+        (2, dt(2024, 1, 9), "view"),      # offset 0 (same week as signup)
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = retention_cohorts(e).collect()
+    cells = {(str(r["cohort_week"]), r["week_offset"]): r["active_users"] for r in out}
+    assert cells == {("2024-01-08", 0): 2, ("2024-01-08", 1): 1}
