@@ -654,3 +654,33 @@ def test_t52_tfidf_broadcasts_term_dictionary(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q78_funnel_pushed_type_filters_no_expand(spark):
+    """q78: every step scan pushes its event_type equality to parquet and
+    prunes to (user_id, ts); the cascade carries no cartesian tier and no
+    Expand — the heavy side is always a filtered scan."""
+    df = REG["q78_funnel"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in plan, step
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q79_retention_single_distinct_no_expand(spark):
+    """q79: countDistinct on one column plans as a two-phase partial
+    aggregate, never an Expand (the mixed-distinct row multiplier)."""
+    df = REG["q79_retention"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t55_dup_clusters_no_cartesian(spark):
+    """t55: family resolution adds only equi-joins (CC label joins +
+    the n_chars election join) on top of the bounded shingle join — no
+    nested-loop/cartesian tier anywhere."""
+    df = REG["t55_dup_clusters"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
