@@ -388,3 +388,81 @@ def group_centroid_diversity(
     finally:
         # spark.sql analyzes eagerly, so the plan no longer needs the view
         spark.catalog.dropTempView(view)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact set-to-set kNN join: for every query row, the k most-similar
+    corpus rows by cosine. Returns (q_id, n_id, sim, rank), rank 1..k,
+    ties broken by n_id.
+
+    Pair generation broadcasts the QUERY side over the corpus scan — the
+    eval/labeling shape (bounded query set, huge corpus): every corpus
+    partition scores all queries locally, so the only shuffle is the
+    per-query top-k rank. The similarity is generated per-index SQL
+    (codegen'd; left-to-right double accumulation — bit-identical to the
+    DuckDB oracle's list_sum fold, which is what makes rank boundaries
+    deterministic cross-engine). For corpus-scale query sets, cut the
+    pair space FIRST with ivf_assign cells or lsh_bucket equi-joins and
+    feed the candidate pairs through the same rank tail.
+    """
+    dim = dim or vector_dim(corpus, vec_col)
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
+    pairs = c.join(F.broadcast(q)).withColumn(
+        "sim", F.round(cosine_cols("_qv", "_cv", dim), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("n_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """kNN majority-vote labeling: predict each query's label from its k
+    nearest corpus neighbors (ties → most votes, then smallest label).
+    The classic quality/domain classifier over an embedded corpus when
+    only a seed set is labeled. Returns (id_col, pred_label, votes).
+
+    One broadcast label lookup on top of knn_join's rank tail, then a
+    bounded (≤ k rows per query) vote aggregate — the corpus is scanned
+    once, labels travel with the neighbor ids, nothing widens.
+    """
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k=k, id_col=id_col, vec_col=vec_col, dim=dim)
+    labels = corpus.select(F.col(id_col).alias("n_id"), F.col(label_col).alias("_lbl"))
+    votes = (
+        nn.join(labels, "n_id")
+        .groupBy("q_id", "_lbl")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.col("_lbl"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("_lbl").alias("pred_label"),
+            "votes",
+        )
+        .orderBy(id_col)
+    )

@@ -2287,3 +2287,58 @@ _T55_SQL = f"""
 def t55(spark, sf):
     d = load_table(spark, sf, "documents")
     return D.dup_clusters(d, threshold=0.8)
+
+
+_COS = """
+      ROUND(
+        list_sum(list_transform(range(1, len(qe)+1),
+          i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+      6)
+"""
+
+
+@register(
+    "t56_knn_classify",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id AS nid, embedding AS ce, label FROM embeddings
+      WHERE vec_id % 10 <> 0
+    ),
+    pairs AS (SELECT qid, nid, label, {_COS} AS sim FROM q, c),
+    ranked AS (
+      SELECT qid, nid, label,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM pairs
+    ),
+    votes AS (
+      SELECT qid, label, count(*) AS cnt FROM ranked WHERE rn <= 5 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT qid, label, cnt,
+             row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, label) AS pr
+      FROM votes
+    )
+    SELECT qid AS vec_id, label AS pred_label, CAST(cnt AS BIGINT) AS votes
+    FROM pred WHERE pr = 1 ORDER BY vec_id
+    """,
+    doc=(
+        "kNN(5) majority-vote labeling of the held-out tenth of the "
+        "embedding corpus against the labeled rest — the seed-classifier "
+        "shape. Broadcast query side over one corpus scan, per-index "
+        "generated-SQL cosine (rounded to 1e-6 pre-rank so rank "
+        "boundaries are deterministic cross-engine), bounded vote tail."
+    ),
+    tags=("training", "similarity"),
+)
+def t56(spark, sf):
+    from rudder_server_spark.operators.similarity import knn_classify
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0)
+    c = e.where(F.col("vec_id") % 10 != 0)
+    return knn_classify(q, c, k=5)

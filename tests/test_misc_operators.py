@@ -882,3 +882,30 @@ def test_retention_cohort_excludes_precohort_activity(spark):
     out = retention_cohorts(e).collect()
     cells = {(str(r["cohort_week"]), r["week_offset"]): r["active_users"] for r in out}
     assert cells == {("2024-01-08", 0): 2, ("2024-01-08", 1): 1}
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    """2-2 vote split resolves to the smallest label; neighbor ranking
+    ties resolve by n_id."""
+    from rudder_server_spark.operators.similarity import knn_classify
+
+    # 2D embeddings: query at origin-ish; neighbors at equal distance carry
+    # labels 7 and 3 twice each -> tie -> pred 3
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1], 7),
+            (2, [1.0, -0.1], 7),
+            (3, [0.1, 1.0], 3),
+            (4, [-0.1, 1.0], 3),
+            (5, [-1.0, -1.0], 9),  # far: must not be picked at k=4
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = knn_classify(q, corpus, k=4).collect()
+    assert len(out) == 1
+    assert out[0]["vec_id"] == 100
+    assert out[0]["pred_label"] == 3
+    assert out[0]["votes"] == 2

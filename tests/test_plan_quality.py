@@ -684,3 +684,14 @@ def test_t55_dup_clusters_no_cartesian(spark):
     df = REG["t55_dup_clusters"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t56_knn_broadcasts_query_side(spark):
+    """t56: the pair space is the query side BROADCAST over one corpus
+    scan (every partition scores all queries locally) — no sort-merge /
+    shuffled pair generation, no interpreted HOF in the similarity."""
+    df = REG["t56_knn_classify"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "HigherOrderFunction" not in plan and "ArrayAggregate" not in plan
