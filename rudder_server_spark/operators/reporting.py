@@ -120,3 +120,37 @@ def in_exclude_window_expr(ts: Column, start_hour: Column, end_hour: Column) -> 
     return F.when(
         start_hour <= end_hour, (h >= start_hour) & (h < end_hour)
     ).otherwise((h >= start_hour) | (h < end_hour))
+
+
+def hourly_anomalies(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-spike detection over the metric stream: hourly counts per
+    type, flagged where the count deviates from that type's mean by more
+    than ``z_threshold`` sample standard deviations — the alert the
+    reference's reporting pipeline (A2 rollups) feeds into ops dashboards
+    (error-rate spikes, delivery stalls).
+
+    Returns flagged rows only: (type_col, hour, n, z). Two aggregates —
+    the hourly rollup (map-side combine; the shuffle carries one row per
+    (type, hour) per partition) and a per-type stats reduce whose output
+    is one row per type, broadcast back onto the bounded hourly grid.
+    Nothing here scales with raw event count beyond the first partial
+    aggregate.
+    """
+    hourly = df.groupBy(
+        F.col(type_col), F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    stats = hourly.groupBy(type_col).agg(
+        F.avg("n").alias("_mu"), F.stddev_samp("n").alias("_sd")
+    )
+    return (
+        hourly.join(F.broadcast(stats), type_col)
+        .withColumn("z", (F.col("n") - F.col("_mu")) / F.col("_sd"))
+        .where(F.abs(F.col("z")) > F.lit(z_threshold))
+        .select(type_col, "hour", "n", F.round("z", 3).alias("z"))
+        .orderBy(type_col, "hour")
+    )

@@ -2557,3 +2557,34 @@ def q79(spark, sf):
 
     e = load_table(spark, sf, "events")
     return retention_cohorts(e, cohort_event="signup")
+
+
+@register(
+    "q80_anomaly_hours",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM h GROUP BY 1
+    )
+    SELECT h.event_type, h.hour, h.n, ROUND((h.n - s.mu) / s.sd, 3) AS z
+    FROM h JOIN s USING (event_type)
+    WHERE abs((h.n - s.mu) / s.sd) > 3.0
+    ORDER BY h.event_type, h.hour
+    """,
+    doc=(
+        "Hourly volume-spike detection per event type (|z| > 3 vs the "
+        "type's own hourly distribution): partial-agg rollup, one-row-"
+        "per-type stats broadcast back — the reporting-pipeline ops "
+        "alert."
+    ),
+    tags=("analytics", "reporting"),
+)
+def q80(spark, sf):
+    from rudder_server_spark.operators.reporting import hourly_anomalies
+
+    e = load_table(spark, sf, "events")
+    return hourly_anomalies(e)
