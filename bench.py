@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "t13_token_topk",
     "t15_hash_split",
     "t44_budget_select",
+    "t55_dup_clusters",
+    "t56_knn_classify",
+    "q79_retention",
 ]
 # t27_semdedup (k-means) is deliberately NOT in the roster: it has no SQL
 # oracle, so it would inflate warm_total with no matching baseline entry —

@@ -397,33 +397,96 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact set-to-set kNN join: for every query row, the k most-similar
     corpus rows by cosine. Returns (q_id, n_id, sim, rank), rank 1..k,
-    ties broken by n_id.
+    ties broken by n_id on the 1e-6-rounded similarity.
 
-    Pair generation broadcasts the QUERY side over the corpus scan — the
-    eval/labeling shape (bounded query set, huge corpus): every corpus
-    partition scores all queries locally, so the only shuffle is the
-    per-query top-k rank. The similarity is generated per-index SQL
-    (codegen'd; left-to-right double accumulation — bit-identical to the
-    DuckDB oracle's list_sum fold, which is what makes rank boundaries
-    deterministic cross-engine). For corpus-scale query sets, cut the
+    Engine: the bounded query block (eval/labeling sets — capped by
+    ``max_queries``, raise it consciously) is collected once and closed
+    over an Arrow-batched ``mapInPandas`` stage; each corpus partition
+    scores ALL queries against its batch as one vectorized
+    (n_queries x batch) matrix product and emits only its per-(batch,
+    query) top-k — so the cluster-wide shuffle is bounded by
+    n_queries * k * n_batches candidate triples, never the full pair
+    grid. Dense linear algebra is the one shape the built-in expression
+    path genuinely can't express efficiently: the equivalent generated
+    per-index SQL paid ~6 us/pair in NLJ row materialization — two
+    orders of magnitude over the batched product.
+
+    Cross-engine determinism (what makes the DuckDB oracle exact): the
+    dot/norm accumulate DIM-BY-DIM in float64 — the same left-to-right
+    fold as list_sum — and rounding is half-away-from-zero, so every
+    similarity is bit-identical to the oracle's (validated exhaustively
+    on the fixture grid); local top-k prunes on the ROUNDED (sim, n_id)
+    key, the same key the global rank uses, which is what makes the
+    per-batch pruning lossless. For corpus-scale query sets, cut the
     pair space FIRST with ivf_assign cells or lsh_bucket equi-joins and
-    feed the candidate pairs through the same rank tail.
+    rank the candidate pairs instead.
     """
     dim = dim or vector_dim(corpus, vec_col)
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("_cv"))
-    pairs = c.join(F.broadcast(q)).withColumn(
-        "sim", F.round(cosine_cols("_qv", "_cv", dim), 6)
-    )
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join query side exceeds max_queries={max_queries}; "
+            "pre-bucket with ivf_assign/lsh_bucket instead"
+        )
+    q_ids = [r[0] for r in qrows]
+    q_vecs = [list(map(float, r[1])) for r in qrows]
+    kk = int(k)
+
+    def score(batches):
+        # self-contained closure: workers may not have the repo on sys.path
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array(q_vecs, dtype=np.float32)
+        qid_arr = np.array(q_ids, dtype=np.int64)
+
+        def seq_dot(A, B):
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            for i in range(A.shape[1]):
+                acc += A[:, i].astype(np.float64)[:, None] * B[:, i].astype(np.float64)[None, :]
+            return acc
+
+        def seq_norm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for i in range(A.shape[1]):
+                x = A[:, i].astype(np.float64)
+                acc += x * x
+            return np.sqrt(acc)
+
+        qn = seq_norm(qm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            cm = np.array([np.asarray(v, dtype=np.float32) for v in pdf.iloc[:, 1]])
+            sim = seq_dot(qm, cm) / (qn[:, None] * seq_norm(cm)[None, :])
+            sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+            take = min(kk, sim.shape[1])
+            # per-query local top-k on the SAME (rounded sim desc, n_id asc)
+            # key the global rank uses -> pruning is lossless
+            order = np.lexsort((nid[None, :].repeat(sim.shape[0], 0), -sim), axis=1)
+            sel = order[:, :take]
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(qid_arr, take),
+                    "n_id": nid[sel].ravel(),
+                    "sim": np.take_along_axis(sim, sel, axis=1).ravel(),
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).cast("long").alias("n_id"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(score, "q_id long, n_id long, sim double")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("n_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
         .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
 

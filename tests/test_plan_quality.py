@@ -686,12 +686,15 @@ def test_t55_dup_clusters_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_t56_knn_broadcasts_query_side(spark):
-    """t56: the pair space is the query side BROADCAST over one corpus
-    scan (every partition scores all queries locally) — no sort-merge /
-    shuffled pair generation, no interpreted HOF in the similarity."""
+def test_t56_knn_scores_in_arrow_batches(spark):
+    """t56: pair scoring happens inside ONE Arrow-batched mapInPandas
+    stage over the corpus scan (bounded query block closed over), so no
+    join materializes the pair grid — the plan carries no nested-loop /
+    cartesian / sort-merge pair generation and no interpreted HOF; the
+    only exchange after scoring is the bounded candidate rank."""
     df = REG["t56_knn_classify"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     assert "HigherOrderFunction" not in plan and "ArrayAggregate" not in plan
