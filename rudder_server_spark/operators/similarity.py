@@ -529,3 +529,112 @@ def knn_classify(
         )
         .orderBy(id_col)
     )
+
+
+def knn_join_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Cell-pruned approximate kNN join — knn_join's 100 TB shape. Each
+    query probes its ``nprobe`` nearest coarse cells (driver-side: the
+    centroid table is tiny); the candidate pair space is the broadcast
+    (q_id, cell) probe table equi-joined onto the cell-assigned corpus —
+    reading ~nprobe/n_cells of the data per query instead of all of it,
+    and with the corpus WRITTEN partitioned by cell the join becomes
+    partition pruning. Scoring and pruning then run in the same
+    Arrow-batched stage as knn_join (row-gathered sequential-fold dot,
+    identical bit behavior), so exact and approximate results are
+    directly comparable. Returns (q_id, n_id, sim, rank).
+
+    Recall grows with nprobe (nprobe = n_cells is exact search); the QA
+    pairing with exact knn_join is t57's recall audit.
+    """
+    qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError("knn_join_ivf query side exceeds max_queries")
+    q_ids = [int(r[0]) for r in qrows]
+    q_vecs = [list(map(float, r[1])) for r in qrows]
+    kk = int(k)
+
+    # driver-side probe table: nq x nprobe rows, broadcast
+    def _d2(v, c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(v, c))
+
+    probe_rows = []
+    for qid, qv in zip(q_ids, q_vecs):
+        d2 = [( _d2(qv, c), j) for j, c in enumerate(centroids)]
+        for _, j in sorted(d2)[: int(nprobe)]:
+            probe_rows.append((qid, j))
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(probe_rows, "q_id long, _cell int")
+
+    # The cell repartition IS the IVF storage statement (cells co-located,
+    # the probe join prunes whole partitions); it also gives the generated
+    # argmin its own stage — fused into the join stage, the combined
+    # method overflows janino's 64 KB limit and drops the whole stage out
+    # of codegen.
+    ca = (
+        ivf_assign(corpus, centroids, vec_col=vec_col, cell_col=cell_col)
+        .select(
+            F.col(id_col).cast("long").alias("n_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col(cell_col),
+        )
+        .repartition(F.col(cell_col))
+    )
+    cand_rows = ca.join(F.broadcast(probes), ca[cell_col] == probes["_cell"]).select(
+        "q_id", "n_id", "_cv"
+    )
+
+    def score(batches):
+        # self-contained: workers may not have the repo on sys.path
+        import numpy as np
+        import pandas as pd
+
+        qm = np.array(q_vecs, dtype=np.float32)
+        id2row = {qid: i for i, qid in enumerate(q_ids)}
+
+        def seq_norm(A):
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for i in range(A.shape[1]):
+                x = A[:, i].astype(np.float64)
+                acc += x * x
+            return np.sqrt(acc)
+
+        qn = seq_norm(qm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qidx = pdf["q_id"].map(id2row).to_numpy(dtype=np.int64)
+            nid = pdf["n_id"].to_numpy(dtype=np.int64)
+            cm = np.array([np.asarray(v, dtype=np.float32) for v in pdf["_cv"]])
+            A = qm[qidx]
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(cm.shape[1]):
+                acc += A[:, i].astype(np.float64) * cm[:, i].astype(np.float64)
+            sim = acc / (qn[qidx] * seq_norm(cm))
+            sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6
+            out = pd.DataFrame({"q_id": pdf["q_id"].to_numpy(), "n_id": nid, "sim": sim})
+            out = (
+                out.sort_values(["q_id", "sim", "n_id"], ascending=[True, False, True])
+                .groupby("q_id", sort=False)
+                .head(kk)
+            )
+            yield out
+
+    from pyspark.sql import Window
+
+    cand = cand_rows.mapInPandas(score, "q_id long, n_id long, sim double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("n_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= kk)
+        .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -2342,3 +2342,48 @@ def t56(spark, sf):
     q = e.where(F.col("vec_id") % 10 == 0)
     c = e.where(F.col("vec_id") % 10 != 0)
     return knn_classify(q, c, k=5)
+
+
+@register(
+    "t57_ann_knn_recall",
+    None,  # approximate (k-means cells) -> rows-only; recall pinned in unit test
+    doc=(
+        "Batch-ANN QA: recall@5 of the IVF cell-pruned kNN join "
+        "(nprobe=4 of 16 cells ~ 1/4 of the corpus read per query) "
+        "against the exact Arrow-batched kNN join on the same held-out "
+        "query block. One summary row: (n_queries, n_exact, n_hit, "
+        "recall)."
+    ),
+    tags=("training", "similarity"),
+)
+def t57(spark, sf):
+    from rudder_server_spark.operators.similarity import (
+        ivf_train,
+        knn_join,
+        knn_join_ivf,
+    )
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0)
+    c = e.where(F.col("vec_id") % 10 != 0)
+    exact = knn_join(q, c, k=5).select("q_id", "n_id")
+    cents = ivf_train(c, k=16)
+    approx = knn_join_ivf(q, c, cents, k=5, nprobe=4).select(
+        "q_id", F.col("n_id").alias("n_id_a")
+    )
+    hit = exact.join(
+        approx, (exact.q_id == approx.q_id) & (exact.n_id == approx.n_id_a), "left_semi"
+    )
+    return (
+        exact.agg(
+            F.countDistinct("q_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact"),
+        )
+        .crossJoin(hit.agg(F.count("*").cast("long").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )

@@ -909,3 +909,35 @@ def test_knn_classify_majority_and_tiebreak(spark):
     assert out[0]["vec_id"] == 100
     assert out[0]["pred_label"] == 3
     assert out[0]["votes"] == 2
+
+
+def test_knn_join_ivf_recall_on_clustered_data(spark):
+    """On well-separated clusters with matched cell count, probing ONE
+    cell recovers the exact neighbor set (recall 1.0); the fixture-scale
+    QA (t57) reports the recall/nprobe trade-off on unstructured data."""
+    import numpy as np
+
+    from rudder_server_spark.operators.similarity import (
+        ivf_train,
+        knn_join,
+        knn_join_ivf,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for cl in range(4):
+        center = np.zeros(8)
+        center[cl * 2] = 10.0
+        for i in range(40):
+            v = center + rng.normal(0, 0.05, 8)
+            rows.append((cl * 1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") % 10 == 0)
+    c = df.where(F.col("vec_id") % 10 != 0)
+    exact = {(r["q_id"], r["n_id"]) for r in knn_join(q, c, k=3).collect()}
+    cents = ivf_train(c, k=4)
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in knn_join_ivf(q, c, cents, k=3, nprobe=1).collect()
+    }
+    assert exact and approx == exact
