@@ -579,3 +579,47 @@ def dup_clusters(
         .select(id_col, "cluster_id", "cluster_size", "is_canonical")
         .orderBy("cluster_id", id_col)
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    threshold: float = 0.8,
+    splits: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: near-duplicate FAMILIES are
+    split as a unit, so a document can never sit in train while its
+    near-copy sits in test (the contamination mode a plain per-doc hash
+    split cannot prevent — t15's split is stable but family-blind).
+
+    Each doc's split key is its family's cluster id (min doc id in the
+    connected component) when it belongs to one, else its own id; the key
+    then goes through the same md5-nibble bucketing as hash_split, so
+    singleton assignments are IDENTICAL to the family-blind split and
+    only family members move (onto their canonical member's bucket).
+    Returns (id_col, split_key, split).
+
+    Cost on top of the pair tier: the family frame is one row per
+    clustered doc — a left join against the corpus on its primary key,
+    then a narrow codegen'd map. Nothing else shuffles.
+    """
+    from rudder_server_spark.operators.text import hash_split
+
+    fams = dup_clusters(
+        df, threshold, id_col=id_col, text_col=text_col, n=n, pairs=pairs
+    )
+    keyed = (
+        df.select(id_col)
+        .join(fams.select(id_col, "cluster_id"), id_col, "left")
+        .withColumn(
+            "split_key", F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long")
+        )
+    )
+    return (
+        hash_split(keyed, key_col="split_key", splits=splits)
+        .select(id_col, "split_key", "split")
+        .orderBy(id_col)
+    )

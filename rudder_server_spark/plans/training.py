@@ -2387,3 +2387,51 @@ def t57(spark, sf):
             F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
         )
     )
+
+
+_T58_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+      SELECT a AS u, b AS v FROM jac UNION SELECT b AS u, a AS v FROM jac
+    ),
+    walk(node, comp) AS (
+      SELECT DISTINCT u, u FROM edges
+      UNION
+      SELECT e.u, w.comp FROM edges e JOIN walk w ON e.v = w.node
+    ),
+    cc AS (SELECT node AS did, min(comp) AS cluster_id FROM walk GROUP BY node),
+    keyed AS (
+      SELECT d.doc_id, CAST(COALESCE(cc.cluster_id, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN cc ON cc.did = d.doc_id
+    ),
+    nibs AS (
+      SELECT doc_id, split_key,
+             CASE substr(md5(CAST(split_key AS VARCHAR)), 1, 1)
+               WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12
+               WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15
+               ELSE CAST(substr(md5(CAST(split_key AS VARCHAR)), 1, 1) AS INT)
+             END AS nib
+      FROM keyed
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN nib >= 14 AND nib < 15 THEN 'val'
+                WHEN nib >= 15 AND nib < 16 THEN 'test'
+                ELSE 'train' END AS split
+    FROM nibs ORDER BY doc_id
+"""
+
+
+@register(
+    "t58_cluster_safe_split",
+    _T58_SQL,
+    doc=(
+        "Leakage-safe split: near-dup families (t55's connected "
+        "components) share one md5-bucket assignment keyed on the family "
+        "id, so a near-copy can never straddle train/test; singletons "
+        "keep t15's family-blind assignment bit-for-bit."
+    ),
+    tags=("training", "dedup", "text"),
+)
+def t58(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return D.cluster_safe_split(d, threshold=0.8)

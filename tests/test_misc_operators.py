@@ -941,3 +941,29 @@ def test_knn_join_ivf_recall_on_clustered_data(spark):
         for r in knn_join_ivf(q, c, cents, k=3, nprobe=1).collect()
     }
     assert exact and approx == exact
+
+
+def test_cluster_safe_split_families_never_straddle(spark):
+    """All members of a near-dup family get ONE split; singletons keep the
+    family-blind hash_split assignment exactly."""
+    from rudder_server_spark.operators.dedup import cluster_safe_split
+    from rudder_server_spark.operators.text import hash_split
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", 50),
+            (2, "the quick brown fox jumps over the lazy dog tonight", 51),
+            (3, "a quick brown fox jumps over the lazy dog tonight", 49),
+            (9, "completely unrelated text with no shared shingles here", 54),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in cluster_safe_split(df, threshold=0.6).collect()}
+    assert len(out) == 4
+    # family {1,2,3} shares key 1 and therefore one split
+    assert {out[i]["split_key"] for i in (1, 2, 3)} == {1}
+    assert len({out[i]["split"] for i in (1, 2, 3)}) == 1
+    # singleton 9 matches the plain hash_split bit-for-bit
+    blind = hash_split(df.select("doc_id"), key_col="doc_id").collect()
+    blind = {r["doc_id"]: r["split"] for r in blind}
+    assert out[9]["split_key"] == 9 and out[9]["split"] == blind[9]
