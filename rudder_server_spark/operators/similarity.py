@@ -638,3 +638,66 @@ def knn_join_ivf(
         .where(F.col("rank") <= kk)
         .select("q_id", "n_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    query_vec: list[float],
+    m: int = 10,
+    lam: float = 0.7,
+    pool_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``m`` items maximizing
+    ``lam * rel(x) - (1 - lam) * max_sim(x, selected)`` — the diversity-
+    aware retrieval/curation step (dedup-at-selection-time for RAG
+    contexts, eval-set picking, demo sampling).
+
+    Scale shape — two-stage, the only honest one for a sequential greedy:
+    stage 1 is a DISTRIBUTED relevance top-``pool_size`` (per-row
+    generated-SQL cosine, the q27 path — one scan + one bounded top-k);
+    stage 2 collects the bounded pool and runs the exact greedy on the
+    driver (m x pool_size vectorized steps). The greedy is provably
+    confined to the pool: items outside a relevance top-m' pool can enter
+    an MMR solution only when lam is small AND the pool under-covers the
+    diversity spectrum, so size the pool >> m (documented contract, not a
+    silent cap). Returns (rank, id_col, rel, mmr_score) in pick order.
+    """
+    import numpy as np
+
+    rel_col = cosine_query(vec_col, query_vec)
+    pool = (
+        df.select(F.col(id_col), F.col(vec_col), F.round(rel_col, 6).alias("rel"))
+        .orderBy(F.desc("rel"), id_col)
+        .limit(int(pool_size))
+        .collect()
+    )
+    if not pool:
+        return df.sparkSession.createDataFrame(
+            [], f"rank long, {id_col} long, rel double, mmr_score double"
+        )
+    ids = [r[0] for r in pool]
+    mat = np.array([list(map(float, r[1])) for r in pool], dtype=np.float64)
+    rel = np.array([float(r[2]) for r in pool])
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    norm[norm == 0.0] = 1.0
+    unit = mat / norm[:, None]
+
+    selected: list[int] = []
+    max_sim = np.zeros(len(pool))
+    out_rows = []
+    take = min(int(m), len(pool))
+    for rank in range(1, take + 1):
+        score = lam * rel - (1.0 - lam) * max_sim
+        if selected:
+            score[np.array(selected)] = -np.inf
+        # deterministic: best score, ties to the pool's (rel desc, id) order
+        best = int(np.argmax(score))
+        out_rows.append((rank, int(ids[best]), float(rel[best]), round(float(score[best]), 6)))
+        selected.append(best)
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return df.sparkSession.createDataFrame(
+        out_rows, f"rank long, {id_col} long, rel double, mmr_score double"
+    )

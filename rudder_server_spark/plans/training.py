@@ -2435,3 +2435,22 @@ _T58_SQL = f"""
 def t58(spark, sf):
     d = load_table(spark, sf, "documents")
     return D.cluster_safe_split(d, threshold=0.8)
+
+
+@register(
+    "t59_mmr_select",
+    None,  # sequential greedy -> not SQL-expressible; rows-only + unit-pinned
+    doc=(
+        "MMR diversity selection: top-20 of the embedding corpus for a "
+        "fixed query, lambda=0.7 — distributed relevance pool (generated-"
+        "SQL cosine top-500), exact greedy on the bounded pool."
+    ),
+    tags=("training", "similarity"),
+)
+def t59(spark, sf):
+    from rudder_server_spark.operators.similarity import mmr_select, vector_dim
+
+    e = load_table(spark, sf, "embeddings")
+    dim = vector_dim(e)
+    qv = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
+    return mmr_select(e, qv, m=20, lam=0.7, pool_size=500)

@@ -967,3 +967,23 @@ def test_cluster_safe_split_families_never_straddle(spark):
     blind = hash_split(df.select("doc_id"), key_col="doc_id").collect()
     blind = {r["doc_id"]: r["split"] for r in blind}
     assert out[9]["split_key"] == 9 and out[9]["split"] == blind[9]
+
+
+def test_mmr_select_prefers_diversity(spark):
+    """With two near-identical high-relevance items, MMR picks one of them
+    first and a DIVERSE lower-relevance item second; pure relevance would
+    pick the twin."""
+    from rudder_server_spark.operators.similarity import mmr_select
+
+    rows = [
+        (1, [0.9, 0.1, 0.0]),      # highest rel
+        (2, [0.9, 0.11, 0.0]),     # near-twin of 1 (sim ~1 -> penalized)
+        (3, [0.8, -0.6, 0.0]),     # diverse: lower rel, low sim to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_select(df, [1.0, 0.0, 0.0], m=2, lam=0.5).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert [r["rank"] for r in out] == [1, 2]
+    # m > pool -> returns everything, still deterministic
+    all3 = mmr_select(df, [1.0, 0.0, 0.0], m=10, lam=0.5).collect()
+    assert len(all3) == 3
