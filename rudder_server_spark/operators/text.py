@@ -336,3 +336,51 @@ def tfidf_keywords(
         .select(id_col, "rank", "term", "score")
         .orderBy(id_col, "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/pretraining segmentation
+    step: whitespace-token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``, each rejoined to text. Returns
+    (id_col, chunk_idx, n_tokens, chunk_text); the final window may be
+    short (standard tail behavior), empty docs produce no chunks.
+
+    All codegen'd array ops on the pre-split token array (one split per
+    doc, windows via sequence+posexplode+slice — no self-join, no UDF);
+    the explode multiplies rows by ~n_tokens/stride, which is the
+    output's own size, so the operator is output-linear. No shuffle at
+    all: chunking is a narrow map-side generate, and downstream writers
+    can partition chunks however the sink needs.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(step))
+    return (
+        base.where(F.col("_n") > 0)
+        .select(id_col, "_toks", "_n", F.explode(starts).alias("_s"))
+        .where(F.col("_s") < F.col("_n"))
+        .select(
+            F.col(id_col),
+            (F.col("_s") / step).cast("long").alias("chunk_idx"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_s") + 1, F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )

@@ -2454,3 +2454,33 @@ def t59(spark, sf):
     dim = vector_dim(e)
     qv = [1.0 if i % 2 == 0 else -1.0 for i in range(dim)]
     return mmr_select(e, qv, m=20, lam=0.7, pool_size=500)
+
+
+@register(
+    "t60_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    starts AS (
+      SELECT doc_id, t, len(t) AS n, unnest(range(0, len(t), 48)) AS s FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(least(64, n - s) AS BIGINT) AS n_tokens,
+           array_to_string(t[s+1 : s+64], ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "Sliding-window RAG/pretraining chunking: 64-token windows, "
+        "16-token overlap (stride 48), rejoined to text — one codegen'd "
+        "split + sequence/posexplode/slice per doc, output-linear, no "
+        "shuffle."
+    ),
+    tags=("training", "text"),
+)
+def t60(spark, sf):
+    d = load_table(spark, sf, "documents")
+    return X.chunk_documents(d, chunk_tokens=64, overlap=16)

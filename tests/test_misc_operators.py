@@ -987,3 +987,28 @@ def test_mmr_select_prefers_diversity(spark):
     # m > pool -> returns everything, still deterministic
     all3 = mmr_select(df, [1.0, 0.0, 0.0], m=10, lam=0.5).collect()
     assert len(all3) == 3
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from rudder_server_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "solo"),
+            (3, "   "),  # whitespace-only -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: stride 3 -> starts 0,3,6,9 -> sizes 4,4,4,1
+    assert [r["n_tokens"] for r in by_doc[1]] == [4, 4, 4, 1]
+    assert by_doc[1][0]["chunk_text"] == "w0 w1 w2 w3"
+    assert by_doc[1][1]["chunk_text"] == "w3 w4 w5 w6"  # overlap of 1
+    assert by_doc[1][3]["chunk_text"] == "w9"
+    assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in by_doc[2]] == [1]
+    assert 3 not in by_doc
