@@ -116,3 +116,88 @@ def retention_cohorts(
         .agg(F.countDistinct(user_col).cast("long").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    window_seconds: int = 86400,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Last-touch channel attribution: each conversion credits the latest
+    strictly-preceding touch event by the same user inside the lookback
+    window, else 'direct'. Returns (channel, conversions, revenue) —
+    revenue summed in DECIMAL(18,6) so the rollup is order-independent
+    and exact cross-engine, then rounded to cents.
+
+    One as-of join (operators/asof.py: union + single user-keyed sorted
+    window — sort-merge cost, no lateral per-row probe) followed by a
+    bounded-grain aggregate. Ties at equal touch ts resolve to the max
+    event id, encoded identically in the oracle's ORDER BY."""
+    from rudder_server_spark.operators.asof import asof_join
+
+    p = events.where(F.col(type_col) == conversion_type).select(
+        user_col, ts_col, value_col
+    )
+    t = events.where(F.col(type_col).isin(*touch_types)).select(
+        user_col, ts_col, type_col, id_col
+    )
+    att = asof_join(
+        t,
+        p,
+        on=user_col,
+        left_ts=ts_col,
+        right_ts=ts_col,
+        carry_cols=[type_col],
+        left_tiebreak=id_col,
+    )
+    in_window = F.col("asof_ts") >= (
+        F.col(ts_col) - F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+    )
+    channel = F.when(
+        F.col("asof_ts").isNotNull() & in_window, F.col(f"asof_{type_col}")
+    ).otherwise(F.lit("direct"))
+    return (
+        att.select(channel.alias("channel"), F.col(value_col))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("conversions"),
+            F.round(F.sum(F.col(value_col).cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-type transition counts (the product-analytics Markov
+    view: what users do next). Returns (prev_type, next_type, n) over
+    consecutive events in (ts, event_id) order; a user's first event has
+    no predecessor and contributes nothing.
+
+    One user-keyed window (lag) + one bounded-grain aggregate — the
+    window partitions by user, so no single-task sort at any scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        steps.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

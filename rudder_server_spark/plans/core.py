@@ -2588,3 +2588,68 @@ def q80(spark, sf):
 
     e = load_table(spark, sf, "events")
     return hourly_anomalies(e)
+
+
+@register(
+    "q81_attribution",
+    """
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    att AS (
+      SELECT p.value,
+             COALESCE(
+               (SELECT t.event_type FROM t
+                WHERE t.user_id = p.user_id AND t.ts < p.ts
+                  AND t.ts >= p.ts - INTERVAL 86400 SECOND
+                ORDER BY t.ts DESC, t.event_id DESC LIMIT 1),
+               'direct') AS channel
+      FROM p
+    )
+    SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM att GROUP BY channel ORDER BY channel
+    """,
+    doc=(
+        "Last-touch attribution with a 1-day lookback: the as-of join "
+        "(union + one user-keyed sorted window) replaces the oracle's "
+        "per-conversion lateral probe; revenue rolls up in DECIMAL so "
+        "the sum is order-independent."
+    ),
+    tags=("analytics", "events"),
+)
+def q81(spark, sf):
+    from rudder_server_spark.operators.funnel import last_touch_attribution
+
+    e = load_table(spark, sf, "events")
+    return last_touch_attribution(e)
+
+
+@register(
+    "q82_transitions",
+    """
+    WITH steps AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             event_type AS next_type
+      FROM events
+    )
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM steps WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "Per-user event-type transition matrix (Markov what-next view): "
+        "one user-keyed lag window + a bounded-grain aggregate."
+    ),
+    tags=("analytics", "events"),
+)
+def q82(spark, sf):
+    from rudder_server_spark.operators.funnel import transition_matrix
+
+    e = load_table(spark, sf, "events")
+    return transition_matrix(e)
