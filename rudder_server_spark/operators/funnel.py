@@ -201,3 +201,34 @@ def transition_matrix(
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly growth accounting: each active (user, week) is classified
+    'new' (first-ever active week), 'retained' (also active the previous
+    week) or 'resurrected' (returning after a gap). Returns
+    (week, state, users) — the growth dashboard's stacked bars.
+
+    Pre-aggregate to the distinct (user, week) grain FIRST (one partial-
+    agg shuffle — the corpus never reaches the window), then a user-keyed
+    lag window and a bounded-grain rollup."""
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = events.select(F.col(user_col).alias("u"), week.alias("week")).distinct()
+    w = Window.partitionBy("u").orderBy("week")
+    state = (
+        F.when(F.lag("week").over(w).isNull(), F.lit("new"))
+        .when(F.datediff("week", F.lag("week").over(w)) == 7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        uw.select("week", state.alias("state"))
+        .groupBy("week", "state")
+        .agg(F.count("*").cast("long").alias("users"))
+        .orderBy("week", "state")
+    )

@@ -2653,3 +2653,38 @@ def q82(spark, sf):
 
     e = load_table(spark, sf, "events")
     return transition_matrix(e)
+
+
+@register(
+    "q83_growth_accounting",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    lagged AS (
+      SELECT week,
+             CASE
+               WHEN lag(week) OVER (PARTITION BY user_id ORDER BY week) IS NULL
+                 THEN 'new'
+               WHEN date_diff('day', lag(week) OVER (PARTITION BY user_id ORDER BY week), week) = 7
+                 THEN 'retained'
+               ELSE 'resurrected'
+             END AS state
+      FROM uw
+    )
+    SELECT week, state, CAST(count(*) AS BIGINT) AS users
+    FROM lagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        "Weekly growth accounting (new / retained / resurrected): "
+        "distinct (user, week) grain first, then one user-keyed lag "
+        "window and a bounded rollup."
+    ),
+    tags=("analytics", "events"),
+)
+def q83(spark, sf):
+    from rudder_server_spark.operators.funnel import growth_accounting
+
+    e = load_table(spark, sf, "events")
+    return growth_accounting(e)

@@ -698,3 +698,22 @@ def test_t56_knn_scores_in_arrow_batches(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HigherOrderFunction" not in plan and "ArrayAggregate" not in plan
+
+
+def test_q81_attribution_no_lateral_no_cartesian(spark):
+    """q81: the as-of union+window replaces any per-conversion lateral /
+    nested-loop probe; pushed event_type filters reach the scan."""
+    df = REG["q81_attribution"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "In(event_type, [click,view])" in plan or "EqualTo(event_type,purchase)" in plan
+
+
+def test_q83_growth_distinct_grain_before_window(spark):
+    """q83: the corpus reduces to the distinct (user, week) grain BEFORE
+    the lag window — the window input is an Aggregate, and the window
+    partitions by user (no single-task global sort)."""
+    df = REG["q83_growth_accounting"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
