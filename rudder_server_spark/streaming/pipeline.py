@@ -550,3 +550,39 @@ def _ttl_dedup_applyinpandas(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def anomaly_stream(
+    stream: DataFrame,
+    stats: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    z_threshold: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of reporting.hourly_anomalies — the live ops alert:
+    event-time windowed counts per type, flagged against a BROADCAST
+    historical profile ``stats`` (type, mu, sd — refreshed out-of-band
+    like the suppression list). Append mode: a window emits once the
+    watermark closes it, so alerts are final, never retracted. The only
+    stateful operator is the windowed count (bounded by types × open
+    windows); the profile join and z filter are stateless on the bounded
+    aggregate output."""
+    hourly = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(type_col), F.window(F.col(ts_col), window))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        hourly.join(F.broadcast(stats), type_col)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > F.lit(z_threshold))
+        .select(
+            type_col,
+            F.col("window.start").alias("hour"),
+            "n",
+            F.round("z", 3).alias("z"),
+        )
+    )

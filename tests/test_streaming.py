@@ -431,3 +431,56 @@ def test_ttl_dedup_stream_across_batches(spark, tmp_path):
     # first occurrence wins in-batch (a -> 1.0); cross-batch re-delivery of
     # b is dropped by the keystore state; c passes
     assert rows == {"a": 1.0, "b": 3.0, "c": 5.0}
+
+
+def test_anomaly_stream_flags_spike_hours(spark, tmp_path):
+    """A spike hour (z > 3 vs the broadcast profile) emits exactly one
+    final alert once the watermark closes its window; normal hours stay
+    silent."""
+    import datetime as dt
+    import json as _json
+
+    from rudder_server_spark.streaming.pipeline import anomaly_stream
+
+    src = str(tmp_path / "an_src")
+    out = str(tmp_path / "an_out")
+    ckpt = str(tmp_path / "an_ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = dt.datetime(2024, 5, 1, 10, 0, 0)
+
+    def ev(minutes, etype="click"):
+        return {"event_type": etype, "ts": (t0 + dt.timedelta(minutes=minutes)).isoformat()}
+
+    rows = [ev(i) for i in range(10)]          # 10:00 hour: 10 clicks (z=8)
+    rows += [ev(90), ev(95)]                   # 11:00 hour: 2 clicks (z=0)
+    rows += [ev(60 * 5, "view")]               # late event to push the watermark
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for e in rows:
+            fh.write(_json.dumps(e) + "\n")
+
+    stats = spark.createDataFrame(
+        [("click", 2.0, 1.0), ("view", 1.0, 5.0)], "event_type string, mu double, sd double"
+    )
+    schema = "event_type string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(src)
+        q = (
+            anomaly_stream(stream, stats, watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # second batch evicts with the first batch's watermark (13:00)
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["event_type"] == "click"
+    assert row["hour"] == t0
+    assert row["n"] == 10 and row["z"] == 8.0
