@@ -2366,10 +2366,16 @@ def t57(spark, sf):
     e = load_table(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") % 10 == 0)
     c = e.where(F.col("vec_id") % 10 != 0)
-    exact = knn_join(q, c, k=5).select("q_id", "n_id")
+    # materialize both candidate sets (bounded: nq x k rows each) so the
+    # audit joins run on tiny checkpointed frames instead of one mega-plan
+    # fusing kmeans + the generated argmin + two Arrow stages — the fused
+    # plan's codegen compilation OOMs a default-heap (1g) driver session
+    exact = knn_join(q, c, k=5).select("q_id", "n_id").localCheckpoint()
     cents = ivf_train(c, k=16)
-    approx = knn_join_ivf(q, c, cents, k=5, nprobe=4).select(
-        "q_id", F.col("n_id").alias("n_id_a")
+    approx = (
+        knn_join_ivf(q, c, cents, k=5, nprobe=4)
+        .select("q_id", F.col("n_id").alias("n_id_a"))
+        .localCheckpoint()
     )
     hit = exact.join(
         approx, (exact.q_id == approx.q_id) & (exact.n_id == approx.n_id_a), "left_semi"
