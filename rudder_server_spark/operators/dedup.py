@@ -543,12 +543,14 @@ def dup_clusters(
     smaller than the corpus; components run on operators/identity.py's
     pointer-jumping min-label propagation (O(log diameter) rounds, each one
     equi-join — the small-graph path collapses to a driver union-find
-    automatically). Node ids travel as zero-padded fixed-width strings so
-    the string min IS the numeric min; election + size are one shuffle on
-    cluster_id. The skew risk is a boilerplate mega-cluster making one
-    window partition hot — bounded because election needs only rank-1, so
-    AQE skew-split plus the two-pass rank (operators/ranking.py) is the
-    fallback; at the tested shape the plain window wins.
+    automatically). Node ids travel as native longs (connected_components
+    is id-type-generic, so the numeric min IS the cluster id — no padded-
+    string encoding, and negative ids order correctly); election + size
+    are one shuffle on cluster_id. The skew risk is a boilerplate
+    mega-cluster making one window partition hot — bounded because
+    election needs only rank-1, so AQE skew-split plus the two-pass rank
+    (operators/ranking.py) is the fallback; at the tested shape the plain
+    window wins.
 
     Supply ``pairs`` to cluster candidates from another tier (MinHash-LSH,
     SimHash, embedding near-dup) — any (a, b) long-id frame works.
@@ -558,15 +560,14 @@ def dup_clusters(
 
     if pairs is None:
         pairs = ngram_jaccard_pairs(df, threshold, id_col=id_col, text_col=text_col, n=n)
-    pad = 20  # > max digits of a 64-bit id → lexicographic min == numeric min
     edges = pairs.select(
-        F.lpad(F.col("a").cast("string"), pad, "0").alias("src"),
-        F.lpad(F.col("b").cast("string"), pad, "0").alias("dst"),
+        F.col("a").cast("bigint").alias("src"),
+        F.col("b").cast("bigint").alias("dst"),
     )
     comp = connected_components(edges)
     members = comp.select(
-        F.col("identifier").cast("bigint").alias(id_col),
-        F.col("component").cast("bigint").alias("cluster_id"),
+        F.col("identifier").alias(id_col),
+        F.col("component").alias("cluster_id"),
     )
     ranked = members.join(df.select(id_col, keep_col), id_col)
     w = Window.partitionBy("cluster_id").orderBy(

@@ -31,10 +31,12 @@ def connected_components(
     broadcast_threshold: int = 1_000_000,
     broadcast_bytes: int = 256 * 2**20,
 ) -> DataFrame:
-    """Compute connected components over an undirected string-node graph.
+    """Compute connected components over an undirected graph whose node ids
+    are any orderable Spark type (string identifiers, long doc ids, ...).
 
-    Returns (identifier, component) where component is the lexicographically
-    smallest identifier in the node's component.
+    Returns (identifier, component) — typed like the input ids — where
+    component is the smallest identifier in the node's component under the
+    id type's natural ordering.
 
     Like AQE switching a shuffle join to broadcast when a side turns out
     small, the DEDUPED edge set's size picks the strategy at runtime:
@@ -63,12 +65,15 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    id_type = sym.schema["a"].dataType.simpleString()
     fits_driver = False
     if broadcast_threshold:
-        stats = sym.agg(
-            F.count("*").alias("n"),
-            F.sum(F.length("a") + F.length("b")).alias("chars"),
-        ).head()
+        if id_type == "string":
+            payload = F.sum(F.length("a") + F.length("b"))
+        else:
+            # fixed-width ids (long doc ids etc.): 16 B/edge of value payload
+            payload = F.count("*") * 16
+        stats = sym.agg(F.count("*").alias("n"), payload.alias("chars")).head()
         # ~120B of CPython object/dict overhead per edge on top of the chars
         est_bytes = (stats["chars"] or 0) + 120 * (stats["n"] or 0)
         fits_driver = stats["n"] <= 2 * broadcast_threshold and est_bytes <= broadcast_bytes
@@ -95,7 +100,9 @@ def connected_components(
             if comp_min.get(r) is None or v < comp_min[r]:
                 comp_min[r] = v
         rows = [(v, comp_min[find(v)]) for v in parent]
-        return spark.createDataFrame(rows, "identifier string, component string")
+        return spark.createDataFrame(
+            rows, f"identifier {id_type}, component {id_type}"
+        )
 
     # label(node) starts as min(node, min neighbor)
     labels = (

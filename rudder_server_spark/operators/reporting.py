@@ -149,6 +149,11 @@ def hourly_anomalies(
     )
     return (
         hourly.join(F.broadcast(stats), type_col)
+        # sd=0 (constant hourly volume) can't have an outlier by definition;
+        # dropping it explicitly also keeps the engines agreeing — Spark's
+        # 0/0 is NULL (row filtered) while DuckDB's IEEE 0/0 is NaN, which
+        # compares greater than any threshold and would emit the row
+        .where(F.col("_sd") > 0)
         .withColumn("z", (F.col("n") - F.col("_mu")) / F.col("_sd"))
         .where(F.abs(F.col("z")) > F.lit(z_threshold))
         .select(type_col, "hour", "n", F.round("z", 3).alias("z"))

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -207,6 +209,16 @@ def ivf_train(
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
+# Above this many k×dim multiply terms the unrolled argmin stops being a
+# codegen win and becomes a codegen hazard: janino's per-method analysis
+# (buildLocalVariableMap is superlinear in locals) exhausted a default 1g
+# driver heap COMPILING the k=16 × dim=64 expansion — the r3 t57 vanilla-
+# session OOM. Real IVF wants k ~ sqrt(N) cells (thousands at corpus
+# scale), which no expression tree survives; past the threshold the
+# assignment is an Arrow-batched numpy matrix product instead.
+IVF_CODEGEN_MAX_TERMS = 256
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -215,10 +227,10 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (argmin of squared L2).
 
-    One generated SQL expression, sized for janino's 64 KB-per-method
-    bytecode limit (a k=16 × dim=64 expansion where every distance
-    appears twice blew past it and — when the expression was pushed into
-    a parquet scan filter — failed the query instead of falling back):
+    Size-adaptive engine, picked by k × dim (the generated term count):
+
+    Small (≤ ``IVF_CODEGEN_MAX_TERMS``): one generated SQL expression —
+    stays inside whole-stage codegen, no Python crossing:
 
     - distances use the expanded form d_j = ||x||² − 2·x·c_j + ||c_j||²;
       ||x||² is row-constant so the argmin ranks by −2·x·c_j + ||c_j||²
@@ -228,16 +240,50 @@ def ivf_assign(
       comparison is lexicographic, so equal keys pick the lowest cell
       index, and every distance expression appears exactly ONCE in the
       tree (array_position would reference the array a second time).
+
+    Large: a vectorized Arrow ``pandas_udf`` computing the same
+    −2·X·Cᵀ + ||c||² key as one (batch × k) matrix product and taking
+    ``argmin`` per row (ties → lowest index, same as the struct-min).
+    This is the 100 TB shape — code size is O(1) in k × dim, and the
+    per-row cost is a BLAS product instead of k·dim interpreted ops.
+    Tie-order aside, float64 summation order differs from the generated
+    left-fold, so near-tie rows can legally land in the adjacent cell —
+    cell geometry is a recall knob, not a correctness surface (the
+    nprobe=n_cells exactness contract is unaffected: all cells probed).
     """
-    entries = []
-    for j, c in enumerate(centroids):
-        dot = " + ".join(
-            f"{_el(vec_col, i)} * {_flit(v)}" for i, v in enumerate(c)
-        )
-        c2 = sum(float(v) * float(v) for v in c)
-        entries.append(f"struct({_flit(c2)} - 2.0 * ({dot}) AS d, {j} AS i)")
-    cell = f"array_min(array({', '.join(entries)})).i"
-    return df.withColumn(cell_col, F.expr(cell).cast("int"))
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim <= IVF_CODEGEN_MAX_TERMS:
+        entries = []
+        for j, c in enumerate(centroids):
+            dot = " + ".join(
+                f"{_el(vec_col, i)} * {_flit(v)}" for i, v in enumerate(c)
+            )
+            c2 = sum(float(v) * float(v) for v in c)
+            entries.append(f"struct({_flit(c2)} - 2.0 * ({dot}) AS d, {j} AS i)")
+        cell = f"array_min(array({', '.join(entries)})).i"
+        return df.withColumn(cell_col, F.expr(cell).cast("int"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    cents = [[float(v) for v in c] for c in centroids]
+
+    @pandas_udf("int")
+    def _assign(v: pd.Series) -> pd.Series:
+        # self-contained closure: workers may not have the repo on sys.path
+        import numpy as np
+
+        C = np.asarray(cents, dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        out = pd.Series([None] * len(v), dtype="Int32")
+        mask = v.notna()
+        if mask.any():
+            X = np.array([np.asarray(x, dtype=np.float64) for x in v[mask]])
+            key = c2[None, :] - 2.0 * (X @ C.T)
+            out[mask] = np.argmin(key, axis=1).astype("int32")
+        return out
+
+    return df.withColumn(cell_col, _assign(F.col(vec_col)))
 
 
 def semdedup(
@@ -434,6 +480,12 @@ def knn_join(
             f"knn_join query side exceeds max_queries={max_queries}; "
             "pre-bucket with ivf_assign/lsh_bucket instead"
         )
+    if not qrows:
+        # np.array([]) is shape (0,) so the score closure's A.shape[1]
+        # would IndexError on the first non-empty corpus batch
+        return queries.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, sim double, rank long"
+        )
     q_ids = [r[0] for r in qrows]
     q_vecs = [list(map(float, r[1])) for r in qrows]
     kk = int(k)
@@ -559,6 +611,12 @@ def knn_join_ivf(
     qrows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError("knn_join_ivf query side exceeds max_queries")
+    if not qrows:
+        # same empty-query guard as knn_join — the closure's qm would be
+        # shape (0,) and every batch lookup would fail
+        return queries.sparkSession.createDataFrame(
+            [], "q_id long, n_id long, sim double, rank long"
+        )
     q_ids = [int(r[0]) for r in qrows]
     q_vecs = [list(map(float, r[1])) for r in qrows]
     kk = int(k)

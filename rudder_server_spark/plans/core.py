@@ -2572,7 +2572,7 @@ def q79(spark, sf):
     )
     SELECT h.event_type, h.hour, h.n, ROUND((h.n - s.mu) / s.sd, 3) AS z
     FROM h JOIN s USING (event_type)
-    WHERE abs((h.n - s.mu) / s.sd) > 3.0
+    WHERE s.sd > 0 AND abs((h.n - s.mu) / s.sd) > 3.0
     ORDER BY h.event_type, h.hour
     """,
     doc=(

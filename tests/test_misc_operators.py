@@ -179,6 +179,26 @@ def test_connected_components_broadcast_vs_distributed(spark):
     assert fast == slow and fast
 
 
+def test_connected_components_long_ids_and_negatives(spark):
+    """connected_components is id-type-generic (ADVICE r3: the padded-string
+    encoding broke on negative ids): long node ids — including negatives —
+    label with the true numeric min, identically on both paths, and the
+    output schema keeps the input id type."""
+    from rudder_server_spark.operators.identity import connected_components
+
+    edges = [(-5, 3), (3, 7), (100, 101), (-10, -2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = connected_components(df)
+    assert dict(fast.dtypes) == {"identifier": "bigint", "component": "bigint"}
+    got = {r["identifier"]: r["component"] for r in fast.collect()}
+    assert got == {-5: -5, 3: -5, 7: -5, 100: 100, 101: 100, -10: -10, -2: -10}
+    slow = {
+        (r[0], r[1])
+        for r in connected_components(df, broadcast_threshold=0).collect()
+    }
+    assert slow == set(got.items())
+
+
 def test_q9_distributed_path_matches_oracle(spark):
     """The driver's q9 run at small SF takes the driver-side union-find fast
     path; this pins the DISTRIBUTED min-label path against the same DuckDB

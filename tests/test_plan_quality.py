@@ -546,7 +546,7 @@ def test_q27_similarity_no_interpreted_hof(spark):
 
 
 def test_ivf_assign_no_interpreted_hof(spark):
-    """ivf_assign's argmin is one generated array_position/array_min
+    """ivf_assign's small-k argmin is one generated array_position/array_min
     expression over per-index distance sums — no HOF lambdas, and each
     distance appears O(1) times (not k x as a least+CASE chain would
     after projection collapse)."""
@@ -557,6 +557,43 @@ def test_ivf_assign_no_interpreted_hof(spark):
     plan = _optimized(ivf_assign(e, cents))
     for hof in ("zip_with", "aggregate(", "lambdafunction"):
         assert hof not in plan, f"interpreted HOF {hof!r} in ivf_assign plan"
+
+
+def test_ivf_assign_large_k_takes_arrow_path(spark):
+    """Past IVF_CODEGEN_MAX_TERMS the argmin must leave codegen entirely:
+    the k=16 x dim=64 unrolled expression OOMed janino's per-method local-
+    variable analysis in a default 1g driver (r3 t57 vanilla-session
+    crash). Pin: large k plans through ArrowEvalPython, and its cell
+    assignments agree with the generated-SQL path on the fixture (modulo
+    nothing — the fixture's cells are well-separated)."""
+    from rudder_server_spark.operators.similarity import (
+        IVF_CODEGEN_MAX_TERMS,
+        ivf_assign,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").limit(200)
+    import random
+
+    rng = random.Random(7)
+    k = IVF_CODEGEN_MAX_TERMS // 64 + 1  # first k past the codegen gate
+    cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(k)]
+    big = ivf_assign(e, cents)
+    assert "ArrowEvalPython" in big._jdf.queryExecution().executedPlan().toString()
+    # force the codegen path on the same centroids for a value cross-check
+    import rudder_server_spark.operators.similarity as S
+
+    orig = S.IVF_CODEGEN_MAX_TERMS
+    S.IVF_CODEGEN_MAX_TERMS = 10**9
+    try:
+        small = ivf_assign(e, cents)
+        assert "ArrowEvalPython" not in small._jdf.queryExecution().executedPlan().toString()
+        a = {r["vec_id"]: r["ivf_cell"] for r in big.select("vec_id", "ivf_cell").collect()}
+        b = {r["vec_id"]: r["ivf_cell"] for r in small.select("vec_id", "ivf_cell").collect()}
+        agree = sum(1 for i in a if a[i] == b[i])
+        # float64 fold-order differences may flip exact near-ties only
+        assert agree >= 0.99 * len(a), (agree, len(a))
+    finally:
+        S.IVF_CODEGEN_MAX_TERMS = orig
 
 
 def test_q69_pipeline_broadcasts_and_window_group_limit(spark):
