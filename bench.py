@@ -57,8 +57,11 @@ BENCH_QUERIES = [
 ]
 # t27_semdedup (k-means) is deliberately NOT in the roster: it has no SQL
 # oracle, so it would inflate warm_total with no matching baseline entry —
-# its perf is covered by the same generated-SQL cosine/ivf_assign paths
-# t14/t41/q27 exercise.
+# its perf is covered by the cosine/ivf_assign paths t14/t41/q27 exercise
+# (t41/q27 generated-SQL; t14's k=8 × dim=64 = 512 terms exceeds
+# IVF_CODEGEN_MAX_TERMS=256 and runs the Arrow ivf_assign path — probed in
+# r5: at 512 terms the pushed-down cell filter duplicates the expression
+# past janino's 64 KB method limit).
 #
 # The four q18/q34/q36/q47 rows are the STREAMING shell under the gate
 # (VERDICT r3 #6): each restages fixture slices to JSON, runs a real
@@ -147,18 +150,21 @@ def main() -> None:
         return dt
 
     timings: dict[str, float] = {}
-    warm: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         if name not in reg:
             continue
         timings[name] = run_once(name)
-        # steady-state = min of two post-cold runs: the first run pays
+        # steady-state = min over post-cold runs: the first run pays
         # JIT/codegen compilation; min-of-N filters one-off GC pauses and
         # compiler-thread interference, which on a shared VM can inflate a
         # single run 5-10x. Min is the standard steady-state estimator —
         # the number comparable to a warm single-node engine.
-        warm[name] = min(run_once(name), run_once(name))
-        print(f"# {name}: {timings[name]:.2f}s warm {warm[name]:.2f}s", file=sys.stderr, flush=True)
+        samples[name] = [run_once(name), run_once(name)]
+        print(
+            f"# {name}: {timings[name]:.2f}s warm {min(samples[name]):.2f}s",
+            file=sys.stderr, flush=True,
+        )
 
     # decorrelated sweeps: transient host/kernel interference episodes
     # last ~10-20s and can swallow BOTH back-to-back warm runs of one query;
@@ -168,9 +174,26 @@ def main() -> None:
     # minima on this shared VM fluctuate ~±0.2-0.3s between single runs, so
     # one extra pass materially tightens the steady-state estimate.
     for _sweep in range(2):
-        for name in BENCH_QUERIES:
-            if name in warm:
-                warm[name] = min(warm[name], run_once(name))
+        for name in samples:
+            samples[name].append(run_once(name))
+
+    # stability rule (r4 advice: q1's phantom +43% was two contaminated
+    # adjacent runs surviving all sweeps): if the two smallest samples still
+    # disagree by >15%, the min itself is untrusted — take up to 3 extra
+    # decorrelated runs until the two best agree or the budget is spent.
+    for name in samples:
+        for _ in range(3):
+            best = sorted(samples[name])[:2]
+            if best[1] <= best[0] * 1.15 or best[0] < 0.15:
+                break
+            samples[name].append(run_once(name))
+
+    warm = {name: min(s) for name, s in samples.items()}
+    # per-query dispersion so round-over-round deltas can be judged against
+    # measured noise: median/min ratio ~1.0 = quiet, >>1 = contaminated run
+    warm_p50 = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
 
     # measure this run's per-query scheduling floor: a near-zero-WORK query
     # with the STAGE SHAPE of a typical declared query (scan → shuffle agg →
@@ -218,6 +241,8 @@ def main() -> None:
                 "queries": timings,
                 "warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "warm_p50": warm_p50,
+                "warm_runs": {name: len(s) for name, s in samples.items()},
                 "floor_sec": floor,
                 "floor_adjusted_ratio": floor_adjusted,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

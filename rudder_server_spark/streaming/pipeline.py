@@ -102,20 +102,49 @@ def _write(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
-def warehouse_sink(out_dir: str):
+def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | None = None):
     """foreachBatch: materialize the event fan-out tables per micro-batch.
 
     Parquet append per table; the streaming checkpoint provides the
     effectively-once guarantee the reference gets from its jobsdb txn.
+
+    ``schemas``/``promote`` are the cached consolidation verdicts from the
+    schema registry (wh_schemas, warehouse/schema/schema.go:205-343): the
+    reference fetches the warehouse schema once and reuses it per upload
+    rather than re-deriving from every staging batch — passing them skips
+    the per-micro-batch discovery + promotion-sampling jobs. Left None,
+    each batch discovers its own (first-batch bootstrap).
+
+    The per-table writes are independent jobs over ONE materialized parsed
+    frame, so after the first write (which forces the shared lazy
+    localCheckpoint) the rest are submitted concurrently — the same
+    concurrent-upload shape as the reference's per-table warehouse loaders
+    (warehouse/router.go worker pool), and on local mode it collapses the
+    sink from O(n_tables) serial job latencies to ~2 job latencies.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         batch_df = batch_df.localCheckpoint(eager=True)
-        for name, table in event_table_fanout(batch_df, materialize=True).items():
-            _write(table, os.path.join(out_dir, name))
+        tables = event_table_fanout(
+            batch_df, materialize=True, schemas=schemas, promote=promote
+        )
+        names = list(tables)
+        # first write serially: it materializes the shared flattened frame's
+        # lazy checkpoint exactly once (concurrent first-touch would race)
+        _write(tables[names[0]], os.path.join(out_dir, names[0]))
+        if len(names) > 1:
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(
+                    ex.map(
+                        lambda n: _write(tables[n], os.path.join(out_dir, n)),
+                        names[1:],
+                    )
+                )
 
     return write_batch
 
@@ -199,12 +228,14 @@ def run_warehouse_pipeline(
     checkpoint_dir: str,
     watermark: str = "30 days",
     available_now: bool = True,
+    schemas: dict | None = None,
+    promote: set | None = None,
 ):
     """End-to-end: stream JSON event files → dedup → envelope → fan-out
     tables under ``out_dir``. Returns the StreamingQuery."""
     stream = processed_stream(read_event_stream(spark, source_dir), watermark)
     writer = (
-        stream.writeStream.foreachBatch(warehouse_sink(out_dir))
+        stream.writeStream.foreachBatch(warehouse_sink(out_dir, schemas, promote))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
