@@ -2691,3 +2691,248 @@ def q83(spark, sf):
 
     e = load_table(spark, sf, "events")
     return growth_accounting(e)
+
+
+# --------------------------------------------------------------------------
+# Q84 async/bulk destination delivery — the batch-router's third delivery
+# mode (router/batchrouter/asyncdestinationmanager/, handle_async.go:
+# 410-560): jobs grouped per (destination, upload window) into part files
+# (maxEventsInABatch, handle_async.go:372-373), an upload-level poll
+# verdict (common/common.go:53-62), and per-record success/fail triage
+# joined back onto job statuses (GetUploadStats EventStatMeta,
+# common/common.go:136-144) rolled into per-upload import stats. The poll
+# and record-triage verdicts are deterministic md5 buckets standing in for
+# the destination's bulk API; everything else is the production path.
+@register(
+    "q84_async_destinations",
+    """
+    WITH jobs AS (
+      SELECT event_id AS job_id, ts,
+             CASE event_type
+               WHEN 'purchase' THEN 'MARKETO_BULK_UPLOAD'
+               WHEN 'click' THEN 'ELOQUA'
+               WHEN 'view' THEN 'KLAVIYO_BULK_UPLOAD'
+               WHEN 'signup' THEN 'SALESFORCE_BULK_UPLOAD'
+               ELSE 'SFTP' END AS destination_id
+      FROM events
+    ),
+    batched AS (
+      SELECT *, date_trunc('day', ts) AS upload_window,
+             CAST(floor((row_number() OVER (
+               PARTITION BY destination_id, date_trunc('day', ts)
+               ORDER BY ts, job_id) - 1) / 500) AS INT) AS part_file_number
+      FROM jobs
+    ),
+    ids AS (
+      SELECT *, destination_id || '/' ||
+             strftime(upload_window, '%Y-%m-%dT%H:%M:%S') || '/' ||
+             CAST(part_file_number AS VARCHAR) AS upload_id
+      FROM batched
+    ),
+    final AS (
+      SELECT *,
+        CASE WHEN substring(md5(upload_id), 1, 1) IN ('0','1','2')
+             THEN CASE WHEN substring(md5(CAST(job_id AS VARCHAR)), 1, 1) = 'f'
+                       THEN 'aborted' ELSE 'failed' END
+             ELSE 'succeeded' END AS final_state
+      FROM ids
+    )
+    SELECT destination_id, CAST(upload_window AS DATE) AS upload_window,
+           part_file_number,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(SUM(CASE WHEN final_state = 'succeeded' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded,
+           CAST(SUM(CASE WHEN final_state = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+           CAST(SUM(CASE WHEN final_state = 'aborted' THEN 1 ELSE 0 END) AS BIGINT) AS aborted
+    FROM final
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "Async bulk-upload lifecycle: window+cap batch formation (one "
+        "shuffle on the batching key), upload-level poll (bounded by "
+        "upload count), broadcast join-back of verdicts, per-upload "
+        "import-stats rollup on the same exchange. "
+        "Ref: handle_async.go:410-560, common/common.go:17-26,136-144"
+    ),
+    tags=("rudder", "router"),
+)
+def q84(spark, sf):
+    from rudder_server_spark.operators import async_destinations as A
+
+    e = load_table(spark, sf, "events")
+    dest = (
+        F.when(F.col("event_type") == "purchase", "MARKETO_BULK_UPLOAD")
+        .when(F.col("event_type") == "click", "ELOQUA")
+        .when(F.col("event_type") == "view", "KLAVIYO_BULK_UPLOAD")
+        .when(F.col("event_type") == "signup", "SALESFORCE_BULK_UPLOAD")
+        .otherwise("SFTP")
+    )
+    jobs = e.select(
+        F.col("event_id").alias("job_id"), "ts", dest.alias("destination_id")
+    )
+    batched = A.assign_upload_batches(
+        jobs, upload_window="day", max_events_per_file=500
+    )
+    uploads = batched.select("upload_id").distinct()
+    poll = A.simulate_poll(uploads)
+    finalized = A.finalize_job_statuses(batched, poll)
+    return (
+        A.import_stats(finalized)
+        .select(
+            "destination_id",
+            F.col("upload_window").cast("date").alias("upload_window"),
+            "part_file_number",
+            "n_jobs",
+            "succeeded",
+            "failed",
+            "aborted",
+        )
+        .orderBy("destination_id", "upload_window", "part_file_number")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q85 error-index reporting — enterprise/reporting/error_index/
+# (error_index_reporting.go, types.go:28-39, worker.go:184,269-284): failed
+# events indexed for the debugging UI, keyed (source, destination, failed
+# stage, hour bucket) with the failure time range and the latest sample id.
+# Failures are the q38 cohort (event_type='error'); ids/stages derive
+# deterministically from the job key, standing in for the jobsdb params.
+@register(
+    "q85_error_index",
+    """
+    WITH failed AS (
+      SELECT 'job-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS message_id,
+             'src-' || CAST(user_id % 3 AS VARCHAR) AS source_id,
+             'dst-' || CAST(event_id % 4 AS VARCHAR) AS destination_id,
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN 'router'
+               WHEN 1 THEN 'user_transformer'
+               ELSE 'dest_transformer' END AS failed_stage,
+             epoch_us(ts) AS failed_at,
+             date_trunc('hour', ts) AS failed_hour
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT source_id, destination_id, failed_stage, failed_hour,
+           CAST(count(*) AS BIGINT) AS n_failures,
+           min(failed_at) AS first_failed_at,
+           max(failed_at) AS last_failed_at,
+           arg_max(message_id, lpad(CAST(failed_at AS VARCHAR), 20, '0') || message_id)
+             AS sample_message_id
+    FROM failed
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+    """,
+    doc=(
+        "Error-index rollup: failures bucketed (source, destination, "
+        "stage, hour) with time range + latest sample — one shuffle on the "
+        "bounded index key; the sink itself is Hive-partitioned parquet "
+        "with the reference's per-file sorting key (write_error_index). "
+        "Ref: error_index_reporting.go, types.go:28-39, worker.go:184,269"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q85(spark, sf):
+    from rudder_server_spark.operators.error_index import (
+        error_index_payload,
+        error_index_rollup,
+    )
+
+    e = _events(spark, sf)
+    failed = e.where(F.col("event_type") == "error").select(
+        F.concat(
+            F.lit("job-"), F.lpad(F.col("event_id").cast("string"), 10, "0")
+        ).alias("message_id"),
+        F.concat(F.lit("src-"), (F.col("user_id") % 3).cast("string")).alias(
+            "source_id"
+        ),
+        F.concat(F.lit("dst-"), (F.col("event_id") % 4).cast("string")).alias(
+            "destination_id"
+        ),
+        F.when((F.col("event_id") % 3) == 0, "router")
+        .when((F.col("event_id") % 3) == 1, "user_transformer")
+        .otherwise("dest_transformer")
+        .alias("failed_stage"),
+        F.col("ts").alias("received_at"),
+        F.col("ts").alias("failed_at"),
+        F.col("event_type"),
+    )
+    payload = error_index_payload(failed)
+    return (
+        error_index_rollup(payload)
+        .orderBy("source_id", "destination_id", "failed_stage", "failed_hour")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q86 regulation deletion APPLY — completes the right-to-be-forgotten path
+# q53 only audits: the suppression cohort is physically purged from every
+# event table and committed atomically via the pointer-swap protocol
+# (regulation-worker/ delete jobs; enterprise/suppress-user feeds the
+# cohort). The function also proves idempotency inline: a second apply of
+# the same regulation id must be refused per table (the worker's retry
+# semantics) or the query raises. The returned frame reads the COMMITTED
+# snapshots back, so `purged_remaining = 0` is verified against what a
+# reader actually sees, not against the plan that produced it.
+@register(
+    "q86_regulation_apply",
+    """
+    WITH kept AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+        AND NOT (user_id IS NOT NULL
+                 AND substring(md5(CAST(user_id AS VARCHAR)), 1, 1) = '0')
+      GROUP BY 1, 2
+    )
+    SELECT event_type AS table_name,
+           CAST(SUM(cnt) AS BIGINT) AS rows_after,
+           CAST(COUNT(user_id) AS BIGINT) AS users_after,
+           CAST(0 AS BIGINT) AS purged_remaining
+    FROM kept GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Regulation delete APPLY: broadcast anti-join purge per table + "
+        "atomic pointer-swap commit, idempotent per regulation id "
+        "(re-run refused via the commit log), verified by reading the "
+        "committed snapshots back. Ref: regulation-worker/internal/delete, "
+        "suppress-user/handler.go:27; commit protocol sources/load_commit.py"
+    ),
+    tags=("rudder", "load"),
+)
+def q86(spark, sf):
+    import tempfile
+    from functools import reduce
+
+    from rudder_server_spark.operators.regulation import (
+        apply_regulation_delete,
+        read_purged_tables,
+    )
+
+    e = _events(spark, sf)
+    tables = {t: e.where(F.col("event_type") == t) for t in ("click", "purchase", "signup")}
+    sup = F.col("user_id").isNotNull() & (
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) == "0"
+    )
+    cohort = e.where(sup).select("user_id").distinct()
+
+    root = tempfile.mkdtemp(prefix="rss_regulation_")
+    first = apply_regulation_delete(spark, tables, cohort, root, "reg-001")
+    if not all(first.values()):
+        raise AssertionError(f"initial regulation apply must commit: {first}")
+    second = apply_regulation_delete(spark, tables, cohort, root, "reg-001")
+    if any(second.values()):
+        raise AssertionError(f"regulation re-run must be a no-op: {second}")
+
+    stats = []
+    for name, df in read_purged_tables(spark, root, tables).items():
+        # pre-reduced to the (user) grain so the distinct never Expands
+        per_user = df.groupBy("user_id").agg(F.count("*").alias("cnt"))
+        stats.append(
+            per_user.agg(
+                F.lit(name).alias("table_name"),
+                F.sum("cnt").alias("rows_after"),
+                F.count("user_id").alias("users_after"),
+                F.sum(F.when(sup, F.col("cnt")).otherwise(0)).alias("purged_remaining"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), stats).orderBy("table_name")
