@@ -159,3 +159,41 @@ def hourly_anomalies(
         .select(type_col, "hour", "n", F.round("z", 3).alias("z"))
         .orderBy(type_col, "hour")
     )
+
+
+def activation_records(
+    df: DataFrame,
+    fingerprint_col: str = "record_id",
+    grain: tuple = ("workspace_id", "source_id", "destination_id"),
+    exact: bool = True,
+) -> DataFrame:
+    """Activation-records (MAR) metering: distinct activation fingerprints
+    per (workspace, source, destination) grain — enterprise/
+    activationrecords/records_reporter.go:132-230 (one HLL per recordKey,
+    murmur-hashed fingerprints, fail-closed on missing fields).
+
+    FAIL-CLOSED like the reference: rows with a NULL fingerprint or NULL
+    grain key are skipped, never miscounted into a default bucket. The
+    caller pre-filters to reverse-ETL traffic (retlSourceCategory
+    classification, records_reporter.go:159-162) — category resolution is
+    a config lookup, not this aggregate's concern.
+
+    ``exact=True`` counts distinct exactly (single-distinct two-phase
+    aggregate, no Expand — the oracle-checkable tier); ``exact=False``
+    uses approx_count_distinct, the mergeable HLL tier matching the
+    reference's sketch semantics at unbounded cardinality (the full
+    sketch-carrying path is operators/sketches.py).
+    """
+    keep = F.col(fingerprint_col).isNotNull()
+    for g in grain:
+        keep = keep & F.col(g).isNotNull()
+    agg = (
+        F.countDistinct(fingerprint_col)
+        if exact
+        else F.approx_count_distinct(fingerprint_col)
+    )
+    return (
+        df.where(keep)
+        .groupBy(*grain)
+        .agg(agg.alias("activation_records"))
+    )

@@ -710,13 +710,13 @@ def q33(spark, sf):
 def q34(spark, sf):
     import tempfile
 
-    from rudder_server_spark.sources.staged_stream import staged_events_json
+    from rudder_server_spark.sources.staged_stream import staged_events_parquet
     from rudder_server_spark.streaming.pipeline import sessionize_stream
 
     # staged source shared across the streaming queries (schema-on-read:
     # the explicit readStream schema below ignores the extra columns);
     # checkpoint + sink stay per-run so the full stream replays
-    src = staged_events_json(spark, sf)
+    src = staged_events_parquet(spark, sf)
     tmp = tempfile.mkdtemp(prefix="rss_sess_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
@@ -730,7 +730,7 @@ def q34(spark, sf):
         for _ in range(2):
             stream = (
                 spark.readStream.schema(schema)
-                .json(src)
+                .parquet(src)
                 .withColumn("ts", F.timestamp_micros("tsus"))
                 .withColumn("value", F.col("value").cast("decimal(18,6)"))
             )
@@ -831,11 +831,11 @@ def q35(spark, sf):
 def q36(spark, sf):
     import tempfile
 
-    from rudder_server_spark.sources.staged_stream import staged_events_json
+    from rudder_server_spark.sources.staged_stream import staged_events_parquet
     from rudder_server_spark.streaming.pipeline import stream_interval_join
 
     # staged source shared with q34 (schema-on-read drops unused columns)
-    src = staged_events_json(spark, sf)
+    src = staged_events_parquet(spark, sf)
     tmp = tempfile.mkdtemp(prefix="rss_ij_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
@@ -848,7 +848,7 @@ def q36(spark, sf):
     try:
         stream = (
             spark.readStream.schema(schema)
-            .json(src)
+            .parquet(src)
             .withColumn("ts", F.timestamp_micros("tsus"))
         )
         q = (

@@ -429,27 +429,34 @@ def q18(spark, sf):
             schemas=state["per_alias"], promote=set(state["promote"]),
         )
         q.awaitTermination(300)
+
+        # read-back as ONE scan (still under the batch-sized shuffle conf):
+        # project a single (possibly-absent → null) column so no per-table
+        # schema-inference job runs, recover the table from the file path,
+        # count per table. The result is bounded by the TABLE count (one
+        # row per fan-out table), so it collects safely and returns as a
+        # local frame — no join/sort machinery for a dozen rows; the
+        # listdir names guard the zero-row-table edge at no job cost.
+        names = sorted(os.listdir(out))
+        counts = {
+            r["table_name"]: r["n"]
+            for r in (
+                spark.read.schema("message_id string")
+                .parquet(*[os.path.join(out, n) for n in names])
+                .select(
+                    F.regexp_extract(
+                        F.input_file_name(), r"/([^/]+)/[^/]+$", 1
+                    ).alias("table_name")
+                )
+                .groupBy("table_name")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+        }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-
-    # read-back as ONE scan: project a single (possibly-absent → null)
-    # column so no per-table schema-inference job runs, recover the table
-    # from the file path, count per table. The listdir names only guard the
-    # zero-row-table edge (left join fills 0), costing no Spark job.
-    names = sorted(os.listdir(out))
-    counts = (
-        spark.read.schema("message_id string")
-        .parquet(*[os.path.join(out, n) for n in names])
-        .select(F.regexp_extract(F.input_file_name(), r"/([^/]+)/[^/]+$", 1).alias("table_name"))
-        .groupBy("table_name")
-        .agg(F.count("*").alias("n"))
-    )
-    all_names = spark.createDataFrame([(n,) for n in names], "table_name string")
-    return (
-        all_names.join(counts, "table_name", "left")
-        .select("table_name", F.coalesce("n", F.lit(0).cast("long")).alias("n"))
-        .orderBy("table_name")
-    )
+    rows = [(n, int(counts.get(n, 0))) for n in sorted(names)]
+    return spark.createDataFrame(rows, "table_name string, n long")
 
 
 # --------------------------------------------------------------------------
@@ -1426,4 +1433,59 @@ def q77(spark, sf):
         .groupBy("event_type", "key")
         .agg(F.count("*").alias("n_events"))
         .orderBy("event_type", "key")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q87 activation-records MAR metering — enterprise/activationrecords/
+# records_reporter.go:132-230: reverse-ETL record jobs metered as distinct
+# activation fingerprints per (workspace, source, destination) grain (one
+# HLL per recordKey, murmur seed 123, fail-closed on missing fields; MAR
+# meters retl/"warehouse"-category sources only — here the extract stream,
+# the same retl cohort q30 loads). Grain ids derive deterministically from
+# the record fingerprint, standing in for the jobsdb parameters.
+@register(
+    "q87_activation_records",
+    f"""
+    WITH recs AS (
+      SELECT record_id,
+             'ws-'  || substring(md5(record_id), 1, 1) AS workspace_id,
+             'src-' || substring(md5(record_id), 2, 1) AS source_id,
+             'dst-' || substring(md5(record_id), 3, 1) AS destination_id
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE event_type = 'extract' AND record_id IS NOT NULL
+    )
+    SELECT workspace_id, source_id, destination_id,
+           count(DISTINCT record_id) AS activation_records
+    FROM recs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc=(
+        "MAR metering: distinct activation fingerprints per (workspace, "
+        "source, destination) — fail-closed on missing fingerprints, "
+        "single-distinct two-phase aggregate (no Expand); the unbounded-"
+        "cardinality tier swaps in the mergeable HLL (exact=False / "
+        "operators/sketches.py). Ref: records_reporter.go:132-230"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q87(spark, sf):
+    from rudder_server_spark.operators.reporting import activation_records
+
+    env = _load(spark, sf)
+    retl = env.where(
+        (F.col("event_type") == "extract") & F.col("record_id").isNotNull()
+    ).select(
+        "record_id",
+        F.concat(F.lit("ws-"), F.substring(F.md5("record_id"), 1, 1)).alias(
+            "workspace_id"
+        ),
+        F.concat(F.lit("src-"), F.substring(F.md5("record_id"), 2, 1)).alias(
+            "source_id"
+        ),
+        F.concat(F.lit("dst-"), F.substring(F.md5("record_id"), 3, 1)).alias(
+            "destination_id"
+        ),
+    )
+    return activation_records(retl).orderBy(
+        "workspace_id", "source_id", "destination_id"
     )

@@ -27,8 +27,14 @@ _STAGED: dict = {}
 EVENTS_STREAM_COLS = ("event_id", "user_id", "event_type", "tsus", "value")
 
 
-def staged_events_json(spark: SparkSession, sf: str) -> str:
-    """Shared JSON restage of the `events` fixture (µs-precision ts)."""
+def staged_events_parquet(spark: SparkSession, sf: str) -> str:
+    """Shared parquet restage of the `events` fixture (µs-precision ts).
+
+    Parquet, not JSON: q18 streams the S4 staging-file format (JSON-lines,
+    the gateway dump contract), but q34/q36 replay the generic `events`
+    fixture — a columnar replay source, so each streaming leg prunes to
+    the columns it reads instead of re-parsing every JSON line per leg
+    (q36's two stream legs scan the source twice)."""
     key = ("events", sf)
     if key not in _STAGED:
         from rudder_server_spark.sources.fixtures import load_table
@@ -45,7 +51,7 @@ def staged_events_json(spark: SparkSession, sf: str) -> str:
             )
             .coalesce(4)
             .write.mode("overwrite")
-            .json(src)
+            .parquet(src)
         )
         _STAGED[key] = src
     return _STAGED[key]

@@ -99,7 +99,13 @@ def processed_stream(stream: DataFrame, watermark: str = "30 days") -> DataFrame
 
 
 def _write(df: DataFrame, path: str) -> None:
-    df.write.mode("append").parquet(path)
+    # ONE load file per table per micro-batch — the reference's staging
+    # contract (a batch produces one load file per table, uploaded as one
+    # object; warehouse/internal/loadfiles). Also the small-file fix: an
+    # append per batch per state-store partition would litter the sink
+    # with tiny parquet files that every read-back then pays to list and
+    # open. Cluster deployments size this by batch volume instead of 1.
+    df.coalesce(1).write.mode("append").parquet(path)
 
 
 def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | None = None):
