@@ -2535,3 +2535,25 @@ def t59(spark, sf):
 def t60(spark, sf):
     d = load_table(spark, sf, "documents")
     return X.chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "t61_ann_pq",
+    None,  # approximate (PQ distortion) → rows-only; recall pinned in unit test
+    doc=(
+        "ANN top-10 via product quantization + ADC (Jégou et al. 2011): "
+        "8 subspaces × 16 codes (64-dim float32 → 8 bytes, 32×), coarse "
+        "rank = m literal-table lookups in whole-stage codegen over the "
+        "code column only, exact-cosine rescore of the top 4k. Recall vs "
+        "q27's exact top-k unit-tested; operators/pq.py."
+    ),
+    tags=("training", "similarity"),
+    invariant=topk_shape_invariant(10),
+)
+def t61(spark, sf):
+    from rudder_server_spark.operators import pq as PQ
+
+    e = load_table(spark, sf, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    books = PQ.pq_train(e, m=8, k=16)
+    return PQ.pq_topk(e.where(F.col("vec_id") != 0), books, qvec, k=10)
