@@ -232,6 +232,7 @@ def main() -> None:
     # the scheduling floor from each warm timing (clamped at 0) so the ratio
     # reflects COMPUTE, comparable round over round
     floor_adjusted = None
+    floor_adjusted_total_ratio = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench",
                              f"baseline_sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}.json")
     if os.path.exists(base_path):
@@ -242,6 +243,16 @@ def main() -> None:
             for name in warm
             if name in base and base[name] > 0
         }
+        # roster-level compute ratio: the same floor subtraction applied to
+        # the TOTAL, the number comparable across hosts/rounds (the raw
+        # total swings with local-mode scheduling + VM noise; see
+        # BASELINE.md structural-floor notes)
+        shared = [n for n in warm if n in base]
+        floor_adjusted_total_ratio = round(
+            sum(max(warm[n] - floor, 0.0) for n in shared)
+            / sum(base[n] for n in shared),
+            3,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -259,6 +270,7 @@ def main() -> None:
                 "build_sec": build_sec,
                 "floor_sec": floor,
                 "floor_adjusted_ratio": floor_adjusted,
+                "floor_adjusted_total_ratio": floor_adjusted_total_ratio,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -754,3 +754,42 @@ def test_q83_growth_distinct_grain_before_window(spark):
     plan = _plan(df)
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q84_async_batching_reuses_one_exchange(spark):
+    """q84: the (destination, upload_window) exchange is shared by part
+    numbering and the import-stats rollup; the poll verdict joins back as
+    a broadcast. Exchanges: batching key + uploads-distinct + final sort —
+    a fourth would mean the rollup re-shuffled the jobs."""
+    df = REG["q84_async_destinations"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: window key, uploads-distinct agg, the broadcast itself,
+    # final range sort (AQE may split distinct into partial+final) — the
+    # pin is that the import-stats HashAggregate sits DIRECTLY on the
+    # joined projection with no exchange between (it reuses the window's
+    # partitioning), and the poll join never degrades to sort-merge
+    assert plan.count("Exchange ") <= 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the partial aggregate must sit directly on the joined window output —
+    # no hash exchange between partial_count and the Window node (one
+    # there would mean the rollup re-shuffled the jobs)
+    partial_to_window = plan.split("partial_count", 1)[-1].split("Window", 1)[0]
+    assert "Exchange hashpartitioning" not in partial_to_window, plan
+
+
+def test_q85_error_index_single_rollup_shuffle(spark):
+    """q85: one hash exchange for the bounded index key (+ the final
+    range sort); the max_by sample rides the same aggregate."""
+    df = REG["q85_error_index"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange ") <= 2, plan
+    assert "Expand" not in plan, plan
+
+
+def test_q87_single_distinct_no_expand(spark):
+    """q87: the MAR distinct plans as a two-phase aggregate, never an
+    Expand over the record stream."""
+    df = REG["q87_activation_records"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" not in plan, plan
