@@ -708,16 +708,17 @@ def q33(spark, sf):
     tags=("streaming",),
 )
 def q34(spark, sf):
-    import tempfile
-
-    from rudder_server_spark.sources.staged_stream import staged_events_parquet
+    from rudder_server_spark.sources.staged_stream import (
+        staged_events_parquet,
+        stream_scratch_dir,
+    )
     from rudder_server_spark.streaming.pipeline import sessionize_stream
 
     # staged source shared across the streaming queries (schema-on-read:
     # the explicit readStream schema below ignores the extra columns);
     # checkpoint + sink stay per-run so the full stream replays
     src = staged_events_parquet(spark, sf)
-    tmp = tempfile.mkdtemp(prefix="rss_sess_")
+    tmp = stream_scratch_dir("rss_sess_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     schema = "user_id long, tsus long, value double"
@@ -829,14 +830,15 @@ def q35(spark, sf):
     tags=("streaming",),
 )
 def q36(spark, sf):
-    import tempfile
-
-    from rudder_server_spark.sources.staged_stream import staged_events_parquet
+    from rudder_server_spark.sources.staged_stream import (
+        staged_events_parquet,
+        stream_scratch_dir,
+    )
     from rudder_server_spark.streaming.pipeline import stream_interval_join
 
     # staged source shared with q34 (schema-on-read drops unused columns)
     src = staged_events_parquet(spark, sf)
-    tmp = tempfile.mkdtemp(prefix="rss_ij_")
+    tmp = stream_scratch_dir("rss_ij_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     schema = "event_id long, user_id long, event_type string, tsus long"

@@ -404,15 +404,17 @@ def q17(spark, sf):
 )
 def q18(spark, sf):
     import os
-    import tempfile
 
-    from rudder_server_spark.sources.staged_stream import staged_rudder_events_json
+    from rudder_server_spark.sources.staged_stream import (
+        staged_rudder_events_json,
+        stream_scratch_dir,
+    )
     from rudder_server_spark.streaming.pipeline import run_warehouse_pipeline
 
     # staged source is shared/memoized (shell cost, not operator cost);
     # checkpoint + sink are fresh per run so the full stream replays
     src = staged_rudder_events_json(spark, sf)
-    tmp = tempfile.mkdtemp(prefix="rss_stream_")
+    tmp = stream_scratch_dir("rss_stream_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
 
     # cached schema-registry verdicts (wh_schemas): the stream consumes the

@@ -70,3 +70,19 @@ def staged_rudder_events_json(spark: SparkSession, sf: str, max_message_id: str 
         subset.coalesce(4).write.mode("overwrite").json(src)
         _STAGED[key] = src
     return _STAGED[key]
+
+
+def stream_scratch_dir(prefix: str) -> str:
+    """Scratch dir for streaming checkpoints/sinks in local mode: RAM-backed
+    (/dev/shm) when available — the offset/commit-log and sink-commit fsyncs
+    are the measured fixed cost of each availableNow trigger, and local-mode
+    scratch is transient by definition (same reasoning as session.py's
+    spark.local.dir). A cluster deployment points checkpoints at durable
+    object storage instead; override with $SPARK_GRAFT_STREAM_SCRATCH."""
+    import os
+
+    base = os.environ.get(
+        "SPARK_GRAFT_STREAM_SCRATCH",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    return tempfile.mkdtemp(prefix=prefix, dir=base)

@@ -61,3 +61,45 @@ def test_purge_plan_broadcasts_the_cohort(spark):
     plan = purge_cohort(df, _cohort(spark, [1, 2]))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_crash_mid_sweep_retry_completes_remainder(spark, tmp_path, monkeypatch):
+    """A crash between tables leaves completed tables purged and the rest
+    untouched; the retry finishes ONLY the remainder (no double-apply)."""
+    import rudder_server_spark.operators.regulation as R
+    from rudder_server_spark.sources import load_commit
+
+    root = str(tmp_path / "wh")
+    tables = {
+        "a": _table(spark, [(1, 10), (2, 20)]),
+        "b": _table(spark, [(1, 11), (3, 31)]),
+    }
+    cohort = _cohort(spark, [1])
+
+    real_commit = load_commit.commit_overwrite
+    calls = {"n": 0}
+
+    def crashing_commit(df, table_dir, upload_id):
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash after table 'a' commits, before 'b'
+            raise RuntimeError("simulated crash")
+        return real_commit(df, table_dir, upload_id)
+
+    monkeypatch.setattr(
+        "rudder_server_spark.sources.load_commit.commit_overwrite", crashing_commit
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        R.apply_regulation_delete(spark, tables, cohort, root, "r1")
+    # table a purged and committed; table b has no committed version yet
+    assert {r["event_id"] for r in R.read_purged_tables(spark, root, ["a"])["a"].collect()} == {20}
+    assert R.read_purged_tables(spark, root, ["b"])["b"] is None
+
+    monkeypatch.setattr(
+        "rudder_server_spark.sources.load_commit.commit_overwrite", real_commit
+    )
+    retry = R.apply_regulation_delete(spark, tables, cohort, root, "r1")
+    # a refuses the duplicate id; b completes now
+    assert retry == {"a": False, "b": True}
+    assert {r["event_id"] for r in R.read_purged_tables(spark, root, ["b"])["b"].collect()} == {31}
