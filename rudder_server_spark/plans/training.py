@@ -2557,3 +2557,48 @@ def t61(spark, sf):
     qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").head()[0]]
     books = PQ.pq_train(e, m=8, k=16)
     return PQ.pq_topk(e.where(F.col("vec_id") != 0), books, qvec, k=10)
+
+
+def _t62_invariant(rows):
+    """Top-subword profile sanity: bounded rows, descending counts, and
+    the vocabulary actually contains merged (multi-char) subwords."""
+    if not rows or len(rows) > 30:
+        return f"expected 1..30 rows, got {len(rows)}"
+    counts = [r["n"] for r in rows]
+    if counts != sorted(counts, reverse=True):
+        return "subword counts not descending"
+    if any((not r["token"]) for r in rows):
+        return "empty subword token"
+    from rudder_server_spark.operators.bpe import END
+
+    if not any(len(r["token"].replace(END, "x")) > 1 for r in rows):
+        return "no merged multi-character subword in the top profile"
+    return None
+
+
+@register(
+    "t62_bpe_vocab",
+    None,  # merge learning is iterative/driver-bounded → rows-only + invariant
+    doc=(
+        "BPE vocabulary training (Sennrich et al. 2016) over the documents "
+        "corpus: ONE distributed word-count reduce (Heaps'-law-bounded, "
+        "capped with raise), classic merge loop on the bounded word-freq "
+        "table driver-side (zero corpus scans per merge), broadcast "
+        "tokenizer as an Arrow pass with per-word memo, then the subword "
+        "frequency profile (top 30). Golden merge sequence + reconstruction "
+        "property unit-pinned; operators/bpe.py."
+    ),
+    tags=("training", "text"),
+    invariant=_t62_invariant,
+)
+def t62(spark, sf):
+    from rudder_server_spark.operators import bpe as B
+
+    d = load_table(spark, sf, "documents")
+    merges = B.bpe_train(d, num_merges=100)
+    toks = B.bpe_tokenize(d, merges)
+    return (
+        B.subword_stats(toks)
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
