@@ -2602,3 +2602,40 @@ def t62(spark, sf):
         .orderBy(F.desc("n"), "token")
         .limit(30)
     )
+
+
+def _t63_invariant(rows):
+    """DSIR selection shape: exactly k rows, distinct ids, selection key
+    descending (Gumbel top-k output contract)."""
+    if len(rows) != 50:
+        return f"expected exactly 50 selected docs, got {len(rows)}"
+    ids = [r["doc_id"] for r in rows]
+    if len(set(ids)) != len(ids):
+        return "duplicate doc_id in selection"
+    keys = [r["sel_key"] for r in rows]
+    if any(b > a for a, b in zip(keys, keys[1:])):
+        return "selection keys not descending"
+    return None
+
+
+@register(
+    "t63_dsir_select",
+    None,  # float log-ratio weights → rows-only + invariant; math unit-pinned
+    doc=(
+        "DSIR importance resampling (Xie et al. 2023): hashed word-bigram "
+        "bucket features (codegen lookahead regex + F.hash, one shuffle), "
+        "add-one-smoothed target/raw log-ratio table (two B-row aggs, "
+        "broadcast back), per-doc log importance weight, seeded Gumbel "
+        "top-k selection. Target domain = every 10th doc, standing in for "
+        "the curated sample. operators/dsir.py"
+    ),
+    tags=("training", "sampling"),
+    invariant=_t63_invariant,
+)
+def t63(spark, sf):
+    from rudder_server_spark.operators.dsir import dsir_select
+
+    d = load_table(spark, sf, "documents")
+    target = d.where(F.col("doc_id") % 10 == 0)
+    raw = d.where(F.col("doc_id") % 10 != 0)
+    return dsir_select(raw, target, k=50, n_buckets=4096, temperature=1.0, seed=7)
