@@ -67,16 +67,33 @@ def connected_components(
 
     id_type = sym.schema["a"].dataType.simpleString()
     fits_driver = False
+    rows = None
     if broadcast_threshold:
         if id_type == "string":
+            # variable-width ids: byte-gate BEFORE collecting — edge count
+            # alone doesn't bound driver memory when identifiers are long
+            # strings, so this path pays a stats job first.
             payload = F.sum(F.length("a") + F.length("b"))
+            stats = sym.agg(F.count("*").alias("n"), payload.alias("chars")).head()
+            # ~120B of CPython object/dict overhead per edge on top of chars
+            est_bytes = (stats["chars"] or 0) + 120 * (stats["n"] or 0)
+            fits_driver = (
+                stats["n"] <= 2 * broadcast_threshold and est_bytes <= broadcast_bytes
+            )
+            if fits_driver:
+                rows = sym.collect()
         else:
             # fixed-width ids (long doc ids etc.): 16 B/edge of value payload
-            payload = F.count("*") * 16
-        stats = sym.agg(F.count("*").alias("n"), payload.alias("chars")).head()
-        # ~120B of CPython object/dict overhead per edge on top of the chars
-        est_bytes = (stats["chars"] or 0) + 120 * (stats["n"] or 0)
-        fits_driver = stats["n"] <= 2 * broadcast_threshold and est_bytes <= broadcast_bytes
+            # + ~120 B of CPython overhead means a ROW cap alone bounds the
+            # driver footprint — so gate and fetch in ONE job: collect up to
+            # cap+1 rows and decide from the returned length (the separate
+            # stats job exists only for the unbounded-string case). Worst-
+            # case driver bytes equal the old gated collect's.
+            cap = min(2 * broadcast_threshold, broadcast_bytes // 136)
+            rows = sym.limit(cap + 1).collect()
+            fits_driver = len(rows) <= cap
+            if not fits_driver:
+                rows = None
 
     if fits_driver:
         spark = edges.sparkSession
@@ -88,7 +105,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for a, b in sym.collect():
+        for a, b in rows:
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

@@ -728,23 +728,27 @@ def q34(spark, sf):
     # at cluster volume this is a config keyed to throughput)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        for _ in range(2):
-            stream = (
-                spark.readStream.schema(schema)
-                .parquet(src)
-                .withColumn("ts", F.timestamp_micros("tsus"))
-                .withColumn("value", F.col("value").cast("decimal(18,6)"))
-            )
-            q = (
-                sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
-                .writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(300)
+        # ONE availableNow run: its trailing no-data micro-batch advances
+        # the watermark past the last batch's max event time and emits the
+        # closed sessions (verified equal to the two-trigger variant at
+        # sf0.01 and sf0.1 — the old second trigger re-planned the whole
+        # query ~0.4s just to reach the same eviction point)
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("tsus"))
+            .withColumn("value", F.col("value").cast("decimal(18,6)"))
+        )
+        q = (
+            sessionize_stream(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
@@ -843,10 +847,18 @@ def q36(spark, sf):
 
     schema = "event_id long, user_id long, event_type string, tsus long"
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     # 4 state-store/shuffle partitions: sized to the staged fixture
     # volume (state-store commit overhead is per-partition per-batch;
     # at cluster volume this is a config keyed to throughput)
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # INNER join: every match emits in the data batch that completes the
+    # pair — the trailing no-data micro-batch only evicts state, which a
+    # terminating availableNow run never reuses. Skipping it removes a
+    # whole state-store commit round (~0.6 s here; left-OUTER joins DO
+    # need it to flush null-extended rows — see the pipeline watermark-
+    # flush test, which runs under the default).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         stream = (
             spark.readStream.schema(schema)
@@ -868,6 +880,9 @@ def q36(spark, sf):
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
 
     return spark.read.parquet(out).orderBy("purchase_event_id", "click_event_id")
 

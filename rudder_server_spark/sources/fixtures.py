@@ -33,7 +33,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session-id, sf_dir, table) → DataFrame. Resolving a parquet table costs
+# 60-90 ms per call (file listing + footer schema inference + two conf
+# round-trips); a resident engine resolves a catalog table once and reuses
+# the relation, so the loader does too. DataFrames are immutable plan
+# handles — sharing one across queries is safe, and the fixture files never
+# change within a session. Keyed by id(spark) so a fresh session (new JVM
+# relation ids) never sees another session's plans.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ck = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(ck)
+    if cached is not None:
+        return cached
     # the driver may hand us a vanilla session; nanosAsLong is runtime-settable
     # and required to read the fixtures' TIMESTAMP(NANOS) columns. Session tz
     # is pinned UTC so the ns→timestamp conversion below matches the DuckDB
@@ -47,6 +61,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for colname, dtype in df.dtypes:
         if colname == "ts" and dtype == "bigint":
             df = df.withColumn(colname, F.expr(f"timestamp_micros({colname} div 1000)"))
+    _TABLE_CACHE[ck] = df
     return df
 
 

@@ -140,17 +140,29 @@ def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | Non
             batch_df, materialize=True, schemas=schemas, promote=promote
         )
         names = list(tables)
-        # first write serially: it materializes the shared flattened frame's
-        # lazy checkpoint exactly once (concurrent first-touch would race)
-        _write(tables[names[0]], os.path.join(out_dir, names[0]))
-        if len(names) > 1:
-            with ThreadPoolExecutor(max_workers=8) as ex:
-                list(
-                    ex.map(
-                        lambda n: _write(tables[n], os.path.join(out_dir, n)),
-                        names[1:],
-                    )
-                )
+        # identity tables derive from their own merge-payload parse — NOT
+        # the shared flattened frame — and mappings runs the connected-
+        # components convergence loop (several sequential jobs: the sink's
+        # critical path). Launch them first so that loop overlaps all the
+        # standard-table writes instead of queuing behind them.
+        identity = [n for n in names if n.startswith("rudder_identity_")]
+        standard = [n for n in names if not n.startswith("rudder_identity_")]
+        with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+            futs = [
+                ex.submit(_write, tables[n], os.path.join(out_dir, n))
+                for n in identity
+            ]
+            if standard:
+                # first standard write serially: it materializes the shared
+                # flattened frame's lazy checkpoint exactly once (concurrent
+                # first-touch would re-parse per thread)
+                _write(tables[standard[0]], os.path.join(out_dir, standard[0]))
+                futs += [
+                    ex.submit(_write, tables[n], os.path.join(out_dir, n))
+                    for n in standard[1:]
+                ]
+            for f in futs:
+                f.result()
 
     return write_batch
 
