@@ -578,10 +578,15 @@ def event_table_fanout(
     def rules() -> DataFrame:
         # default sources=("merge",): the explicit-rule subset (the other
         # sources are a config toggle in the reference — enableIDResolution
-        # plus per-destination IsIdentityEnabled, idresolution.go:15-21)
+        # plus per-destination IsIdentityEnabled, idresolution.go:15-21).
+        # Lazy-checkpointed: three consumers share it (the merge_rules
+        # table, the CC edge set, and the mappings idents aggregate), and
+        # without the checkpoint each re-runs the merge-payload JSON parse.
         if not _rules:
             _rules.append(
-                identity_merge_rules(env, payload_col, identity_rule_sources)
+                identity_merge_rules(
+                    env, payload_col, identity_rule_sources
+                ).localCheckpoint(eager=False)
             )
         return _rules[0]
 

