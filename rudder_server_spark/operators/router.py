@@ -101,6 +101,71 @@ def retry_backoff(
     )
 
 
+def drain_jobs(
+    jobs: DataFrame,
+    destinations: DataFrame,
+    now: Column,
+    dest_col: str = "destination_id",
+    created_col: str = "created_at",
+    job_run_col: str = "source_job_run_id",
+    abort_destination_ids: tuple = (),
+    cancelled_job_run_ids: tuple = (),
+    default_retention_days: int = 30,
+    retention_days: dict | None = None,
+) -> DataFrame:
+    """Router drain sweep: adds ``drain_reason`` (null = still deliverable).
+
+    The reference decides per picked job whether to abort it WITHOUT
+    delivery (router/utils/utils.go:141-165 ``drainer.Drain``), first match
+    wins, in this exact order:
+
+      1. job older than the destination's retention  → "job expired"
+      2. destination id absent from the config       → DrainReasonDestNotFound
+      3. destination disabled                        → DrainReasonDestDisabled
+      4. destination in Router.toAbortDestinationIDs → DrainReasonDestAbort
+      5. job's sourceJobRunID in drain.jobRunIDs     → DrainReasonJobRunIDCancelled
+         (internal/drain-config — cancelled retl runs; empty run id never
+         matches)
+
+    ``destinations`` is the bounded config registry (destination_id,
+    enabled) — broadcast; the drain lists and retention overrides are
+    config literals, so everything below 2. folds into one codegen'd
+    when-chain. ``now`` should be a literal so the age predicate reaches
+    the scan (q35's pushed-filter pattern). Drained jobs transition
+    straight to 'aborted' with DRAIN_ERROR_CODE=410 in the reference's
+    jobsdb; here the caller filters/aggregates on ``drain_reason``.
+    """
+    retention_days = retention_days or {}
+    retention: Column = F.lit(default_retention_days)
+    for dest, d in sorted(retention_days.items()):
+        retention = F.when(F.col(dest_col) == dest, F.lit(d)).otherwise(retention)
+
+    reg = destinations.select(
+        F.col(dest_col), F.col("enabled").alias("_dest_enabled"), F.lit(True).alias("_dest_known")
+    )
+    joined = jobs.join(F.broadcast(reg), dest_col, "left")
+
+    expired = F.col(created_col) < F.timestamp_add(
+        "DAY", -retention.cast("int"), now
+    )
+    reason = (
+        F.when(expired, F.lit("job expired"))
+        .when(~F.coalesce(F.col("_dest_known"), F.lit(False)),
+              F.lit("destination is not available in the config"))
+        .when(~F.col("_dest_enabled"), F.lit("destination is disabled"))
+        .when(F.col(dest_col).isin(*abort_destination_ids) if abort_destination_ids else F.lit(False),
+              F.lit("destination configured to abort"))
+        .when(
+            (F.length(F.coalesce(F.col(job_run_col), F.lit(""))) > 0)
+            & (F.col(job_run_col).isin(*cancelled_job_run_ids) if cancelled_job_run_ids else F.lit(False)),
+            F.lit("cancelled jobRunID"),
+        )
+    )
+    return joined.withColumn("drain_reason", reason).drop(
+        "_dest_enabled", "_dest_known"
+    )
+
+
 def adaptive_caps(
     statuses: DataFrame,
     dest_col: str = "destination_id",

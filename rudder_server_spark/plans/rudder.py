@@ -1508,3 +1508,96 @@ def q87(spark, sf):
     return activation_records(retl).orderBy(
         "workspace_id", "source_id", "destination_id"
     )
+
+
+# --------------------------------------------------------------------------
+# Q88 router drain sweep — the router aborts picked jobs WITHOUT delivery
+# when their destination is gone/disabled/configured-to-abort, their retl
+# run was cancelled, or they outlived the destination's retention
+# (router/utils/utils.go:141-165 drainer.Drain, first match wins;
+# internal/drain-config for the cancelled jobRunIDs list; drained jobs land
+# in jobsdb as 'aborted' with DRAIN_ERROR_CODE=410 and are reported per
+# reason in DrainStats). Synthetic lineage from events: destination =
+# event_type, retl run = day bucket on purchases only (empty run id on the
+# rest — it must never match the cancel list). 'signup' is absent from the
+# registry (not-found), 'error' is disabled, 'click' is on the abort list,
+# 'view' carries a shorter retention override.
+@register(
+    "q88_drain_sweep",
+    """
+    WITH hw AS (SELECT max(ts) AS m FROM events),
+    jobs AS (
+      SELECT event_type AS destination_id, ts AS created_at,
+             CASE WHEN event_type = 'purchase'
+                  THEN 'jr-' || CAST(day(ts) % 10 AS VARCHAR) ELSE '' END
+               AS source_job_run_id,
+             m
+      FROM events CROSS JOIN hw
+    )
+    SELECT destination_id,
+           coalesce(
+             CASE
+               WHEN created_at < m - CASE WHEN destination_id = 'view'
+                                          THEN INTERVAL 7 DAY
+                                          ELSE INTERVAL 21 DAY END
+                 THEN 'job expired'
+               WHEN destination_id = 'signup'
+                 THEN 'destination is not available in the config'
+               WHEN destination_id = 'error' THEN 'destination is disabled'
+               WHEN destination_id = 'click'
+                 THEN 'destination configured to abort'
+               WHEN len(source_job_run_id) > 0 AND source_job_run_id = 'jr-3'
+                 THEN 'cancelled jobRunID'
+             END, 'deliverable') AS drain_reason,
+           count(*) AS n
+    FROM jobs
+    GROUP BY destination_id, drain_reason
+    ORDER BY destination_id, drain_reason
+    """,
+    doc=(
+        "Router drain sweep: first-match-wins abort reasons (expired / "
+        "dest not found / disabled / configured-to-abort / cancelled "
+        "jobRunID) as one broadcast-join + codegen when-chain; per-"
+        "(destination, reason) counts. Ref: router/utils/utils.go:141-165, "
+        "internal/drain-config/drainConfig.go"
+    ),
+    tags=("rudder", "router"),
+)
+def q88(spark, sf):
+    from rudder_server_spark.operators.router import drain_jobs
+    from rudder_server_spark.sources.fixtures import load_table
+
+    e = load_table(spark, sf, "events")
+    # bounded metadata agg for the literal high-water mark (q35 pattern)
+    m = e.agg(F.max("ts")).head()[0]
+    jobs = e.select(
+        F.col("event_type").alias("destination_id"),
+        F.col("ts").alias("created_at"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit("jr-"), (F.dayofmonth("ts") % 10).cast("string")),
+        )
+        .otherwise(F.lit(""))
+        .alias("source_job_run_id"),
+    )
+    registry = spark.createDataFrame(
+        [("view", True), ("click", True), ("purchase", True), ("error", False)],
+        "destination_id string, enabled boolean",
+    )
+    drained = drain_jobs(
+        jobs,
+        registry,
+        now=F.lit(m),
+        abort_destination_ids=("click",),
+        cancelled_job_run_ids=("jr-3",),
+        default_retention_days=21,
+        retention_days={"view": 7},
+    )
+    return (
+        drained.groupBy(
+            "destination_id",
+            F.coalesce("drain_reason", F.lit("deliverable")).alias("drain_reason"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("destination_id", "drain_reason")
+    )

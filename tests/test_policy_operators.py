@@ -285,3 +285,59 @@ def test_adaptive_caps_scale_with_failure_rate(spark):
     df = spark.createDataFrame(rows, "destination_id string, delivered boolean")
     caps = adaptive_caps(df, base_cap=40, min_cap=5)
     assert caps == {"a": 40, "b": 20, "c": 5}
+
+
+def test_drain_jobs_reason_precedence(spark):
+    import datetime as dt
+
+    from rudder_server_spark.operators.router import drain_jobs
+
+    now = dt.datetime(2024, 2, 1)
+    old = dt.datetime(2024, 1, 1)   # > 21d before now
+    fresh = dt.datetime(2024, 1, 31)
+    rows = [
+        # expired wins even for an unknown destination (reference checks age first)
+        ("ghost", old, ""),
+        # unknown destination, fresh -> not-found
+        ("ghost", fresh, ""),
+        # disabled
+        ("dead", fresh, ""),
+        # abort list
+        ("abortme", fresh, ""),
+        # cancelled retl run
+        ("ok", fresh, "jr-bad"),
+        # empty run id NEVER matches the cancel list
+        ("ok", fresh, ""),
+        # per-destination retention override: 5d for 'short'
+        ("short", dt.datetime(2024, 1, 20), ""),
+        # survivor
+        ("ok", fresh, "jr-good"),
+    ]
+    jobs = spark.createDataFrame(
+        rows, "destination_id string, created_at timestamp, source_job_run_id string"
+    )
+    registry = spark.createDataFrame(
+        [("ok", True), ("dead", False), ("abortme", True), ("short", True)],
+        "destination_id string, enabled boolean",
+    )
+    out = {
+        (r["destination_id"], r["created_at"], r["source_job_run_id"]): r["drain_reason"]
+        for r in drain_jobs(
+            jobs,
+            registry,
+            now=F.lit(now),
+            abort_destination_ids=("abortme",),
+            cancelled_job_run_ids=("jr-bad", ""),
+            default_retention_days=21,
+            retention_days={"short": 5},
+        ).collect()
+    }
+    assert out[("ghost", old, "")] == "job expired"
+    assert out[("ghost", fresh, "")] == "destination is not available in the config"
+    assert out[("dead", fresh, "")] == "destination is disabled"
+    assert out[("abortme", fresh, "")] == "destination configured to abort"
+    assert out[("ok", fresh, "jr-bad")] == "cancelled jobRunID"
+    # "" is in the cancel list above, but an empty run id must still pass
+    assert out[("ok", fresh, "")] is None
+    assert out[("short", dt.datetime(2024, 1, 20), "")] == "job expired"
+    assert out[("ok", fresh, "jr-good")] is None
