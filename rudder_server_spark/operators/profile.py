@@ -64,3 +64,51 @@ def profile_columns(
         F.min("val").alias("min_s"),
         F.max("val").alias("max_s"),
     )
+
+
+def schema_versions(
+    df: DataFrame,
+    key_cols: tuple = ("write_key", "event_type", "event_identifier"),
+    payload_col: str = "payload",
+    observed_col: str = "received_at",
+    redact_write_keys: tuple = (),
+) -> DataFrame:
+    """Event-schema VERSIONING — the schema-forwarder rollup
+    (schema-forwarder/internal/transformer/transformer.go:144-180): each
+    event's schema identity is the hash of its flattened key set; per
+    (key, schema_hash) version the forwarder keeps counts, the observation
+    window, and one retained sample — redacted to '{}' for write keys whose
+    workspace disables PII reporting (transformer.go:106-116,154-155).
+
+    Spark shape: schema identity = md5 over the SORTED top-level key list
+    (array_sort(json_object_keys(...)) — one JSON walk, codegen, no UDF),
+    then ONE grouped aggregate: count, min/max observed, and min(payload)
+    as the deterministic retained sample (the reference keeps the latest;
+    min is the engine-portable choice for oracle comparison). The group
+    key has one row per live schema version — bounded by schema diversity,
+    not corpus size, so the final frame is metadata-scale at 100 TB.
+    """
+    keys = F.array_sort(F.json_object_keys(F.col(payload_col)))
+    out = (
+        df.select(
+            *key_cols,
+            F.md5(F.concat_ws(",", keys)).alias("schema_hash"),
+            F.col(observed_col),
+            F.col(payload_col),
+        )
+        .groupBy(*key_cols, "schema_hash")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(observed_col).alias("first_observed"),
+            F.max(observed_col).alias("last_observed"),
+            F.min(payload_col).alias("sample"),
+        )
+    )
+    if redact_write_keys:
+        out = out.withColumn(
+            "sample",
+            F.when(
+                F.col(key_cols[0]).isin(*redact_write_keys), F.lit("{}")
+            ).otherwise(F.col("sample")),
+        )
+    return out

@@ -1601,3 +1601,63 @@ def q88(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("destination_id", "drain_reason")
     )
+
+
+# --------------------------------------------------------------------------
+# Q89 event-schema versioning — the schema-forwarder's rollup (schema-
+# forwarder/internal/transformer/transformer.go:144-180 getSchemaMessage:
+# flatten → schema → proto.SchemaHash; batcher dedups by hash and keeps
+# counts + sample; PII-disabled write keys redact the sample to '{}' —
+# transformer.go:106-116,154-155). Schema identity here = md5 of the
+# sorted top-level payload key list — engine-portable (Spark
+# json_object_keys == DuckDB json_keys), one JSON walk, no UDF. Write
+# keys derive from the user bucket; 'wk-0' has PII reporting disabled.
+@register(
+    "q89_schema_versions",
+    f"""
+    SELECT write_key, event_type, event_identifier, schema_hash,
+           count(*) AS n_events,
+           min(received_at) AS first_observed,
+           max(received_at) AS last_observed,
+           CASE WHEN write_key = 'wk-0' THEN '{{}}' ELSE min(payload) END AS sample
+    FROM (
+      SELECT 'wk-' || CAST(user_id % 3 AS VARCHAR) AS write_key,
+             event_type,
+             CASE WHEN event_type = 'track' THEN event_name ELSE '' END
+               AS event_identifier,
+             md5(array_to_string(list_sort(json_keys(payload)), ',')) AS schema_hash,
+             received_at, payload
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    GROUP BY write_key, event_type, event_identifier, schema_hash
+    ORDER BY write_key, event_type, event_identifier, schema_hash
+    """,
+    doc=(
+        "Event-schema version rollup: md5(sorted top-level key set) as the "
+        "schema identity per (writeKey, type, identifier); per-version "
+        "counts, observation window, retained sample with per-write-key "
+        "PII redaction. One grouped aggregate, output bounded by live "
+        "schema diversity. Ref: schema-forwarder/internal/transformer/"
+        "transformer.go:106-180"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q89(spark, sf):
+    from rudder_server_spark.operators.profile import schema_versions
+
+    src = _load(spark, sf).select(
+        F.concat(F.lit("wk-"), (F.col("user_id") % 3).cast("string")).alias(
+            "write_key"
+        ),
+        "event_type",
+        # track events version per event name (getEventIdentifier,
+        # transformer.go:132-142); other types version per type alone
+        F.when(F.col("event_type") == "track", F.col("event_name"))
+        .otherwise(F.lit(""))
+        .alias("event_identifier"),
+        "received_at",
+        "payload",
+    )
+    return schema_versions(src, redact_write_keys=("wk-0",)).orderBy(
+        "write_key", "event_type", "event_identifier", "schema_hash"
+    )
