@@ -624,3 +624,44 @@ def cluster_safe_split(
         .select(id_col, "split_key", "split")
         .orderBy(id_col)
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Marginal-content scoring: per document, the fraction of its DISTINCT
+    n-word shingles whose FIRST corpus occurrence (minimum ``id_col``) is
+    this document.
+
+    Boilerplate-heavy documents (every shingle already seen in an earlier
+    doc) score ~0; genuinely new content scores ~1 — the n-gram-level twin
+    of dup_spans' row-level attribution, and the signal curriculum/
+    dedup-threshold tuning reads before deleting anything.
+
+    Returns (id, n_shingles, n_novel, novelty). Scale shape: two linear
+    keyed shuffles — first-occurrence attribution is a map-side-combining
+    min per shingle, the join back is on the same key, and the per-doc
+    rollup is keyed by id. Raw shingle strings are joined (not xxhash64)
+    so the numbers are exactly reproducible by the SQL oracle; at corpus
+    scale swap the join key for the hashed form if shingle strings
+    dominate the shuffle (collision odds are the same argument minhash
+    already accepts).
+    """
+    ex = shingle_table(df, id_col, text_col, n)
+    first = ex.groupBy("sh").agg(F.min("sid").alias("_first_sid"))
+    per_doc = (
+        ex.join(first, "sh")
+        .groupBy("sid")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count_if(F.col("sid") == F.col("_first_sid")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        F.col("sid").alias(id_col),
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+        ).alias("novelty"),
+    )

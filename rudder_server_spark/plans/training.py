@@ -2639,3 +2639,72 @@ def t63(spark, sf):
     target = d.where(F.col("doc_id") % 10 == 0)
     raw = d.where(F.col("doc_id") % 10 != 0)
     return dsir_select(raw, target, k=50, n_buckets=4096, temperature=1.0, seed=7)
+
+
+# --------------------------------------------------------------------------
+# t64 n-gram novelty — per-source marginal-content audit: how much of each
+# source's shingle mass first appears THERE (vs boilerplate already seen in
+# lower doc_ids). The attribution twin of t51's repeated passages: t51
+# finds the copies, this scores what each doc adds. Sum-of-ints ratio per
+# source (not an avg of per-doc doubles) keeps the fold engine-portable.
+@register(
+    "t64_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS sid,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks
+    ),
+    first AS (SELECT sh, min(sid) AS first_sid FROM sh GROUP BY sh),
+    per_doc AS (
+      SELECT s.sid, count(*) AS n_shingles,
+             CAST(SUM(CASE WHEN s.sid = f.first_sid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM sh s JOIN first f ON s.sh = f.sh
+      GROUP BY s.sid
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(SUM(p.n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS novel_shingles,
+           CAST(ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_shingles), 6)
+                AS DOUBLE) AS novelty,
+           CAST(SUM(CASE WHEN p.n_novel = p.n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+             AS fully_novel_docs
+    FROM per_doc p JOIN documents d ON d.doc_id = p.sid
+    GROUP BY d.source ORDER BY d.source
+    """,
+    doc=(
+        "N-gram novelty: fraction of each source's distinct-shingle mass "
+        "first observed in that document (min-doc_id attribution). Two "
+        "linear keyed shuffles (min per shingle + same-key join back), "
+        "per-doc rollup, bounded per-source output; ratio of integer sums "
+        "for an engine-portable fold."
+    ),
+    tags=("training", "dedup"),
+)
+def t64(spark, sf):
+    from rudder_server_spark.operators.dedup import ngram_novelty
+
+    d = load_table(spark, sf, "documents")
+    per_doc = ngram_novelty(d)
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_novel").alias("novel_shingles"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_shingles"), 6
+            ).alias("novelty"),
+            F.count_if(F.col("n_novel") == F.col("n_shingles")).alias(
+                "fully_novel_docs"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -793,3 +793,16 @@ def test_q87_single_distinct_no_expand(spark):
     df = REG["q87_activation_records"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "Expand" not in plan, plan
+
+
+def test_t64_novelty_keyed_joins_no_expand(spark):
+    """N-gram novelty: first-occurrence attribution must be a keyed hash
+    join on the shingle (never a nested loop), the min-per-shingle agg must
+    combine map-side, and no Expand may multiply the exploded shingle
+    table (the count/count_if pair is a conditional aggregate, not a
+    mixed-DISTINCT plan)."""
+    df = REG["t64_ngram_novelty"].spark_fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+    assert "Expand" not in plan
