@@ -2960,3 +2960,80 @@ def q86(spark, sf):
             )
         )
     return reduce(lambda a, b: a.unionByName(b), stats).orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# Q90 notifier queue sweep — the warehouse job queue's tick (services/
+# notifier): orphaned claims requeue (repo.go:480-512), then a claim round
+# picks the first `slots` (priority ASC, id ASC) waiting/failed jobs for
+# round-robin workers (repo.go:350-394; failed jobs re-claim as-is — the
+# attempt>maxAttempt abort fires on the NEXT failure, repo.go:400-435).
+# Synthetic queue from events: priority = user bucket, status from
+# event_type, last_exec_time = ts, now = corpus high-water mark.
+@register(
+    "q90_notifier_sweep",
+    """
+    WITH hw AS (SELECT max(ts) AS m FROM events),
+    q AS (
+      SELECT event_id AS id, (user_id % 3) + 1 AS priority,
+             CASE event_type WHEN 'signup' THEN 'waiting'
+                             WHEN 'view' THEN 'waiting'
+                             WHEN 'click' THEN 'executing'
+                             WHEN 'purchase' THEN 'failed'
+                             ELSE 'succeeded' END AS status,
+             ts AS last_exec_time, m
+      FROM events CROSS JOIN hw
+    ),
+    st1 AS (
+      SELECT *, CASE WHEN status = 'executing'
+                      AND last_exec_time <= m - INTERVAL 24 HOUR
+                     THEN 'waiting' ELSE status END AS s1
+      FROM q
+    ),
+    rk AS (
+      SELECT *, CASE WHEN s1 IN ('waiting','failed')
+                     THEN row_number() OVER (
+                       PARTITION BY (s1 IN ('waiting','failed'))
+                       ORDER BY priority, id) END AS r
+      FROM st1
+    ),
+    fin AS (
+      SELECT CASE WHEN r <= 64 THEN 'executing' ELSE s1 END AS new_status,
+             CASE WHEN r <= 64 THEN 'w-' || CAST((r - 1) % 8 AS VARCHAR) END
+               AS worker_id
+      FROM rk
+    )
+    SELECT new_status, coalesce(worker_id, '') AS worker_id, count(*) AS n
+    FROM fin GROUP BY new_status, worker_id
+    ORDER BY new_status, worker_id
+    """,
+    doc=(
+        "Notifier queue tick: orphan requeue then a (priority, id)-ordered "
+        "claim round assigned round-robin to workers; post-sweep counts "
+        "per (status, worker). Ref: services/notifier/repo.go:350-512"
+    ),
+    tags=("rudder", "jobsdb"),
+)
+def q90(spark, sf):
+    from rudder_server_spark.sources.jobsdb import notifier_sweep
+
+    e = _events(spark, sf)
+    m = e.agg(F.max("ts")).head()[0]
+    jobs = e.select(
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 3) + 1).alias("priority"),
+        F.when(F.col("event_type").isin("signup", "view"), "waiting")
+        .when(F.col("event_type") == "click", "executing")
+        .when(F.col("event_type") == "purchase", "failed")
+        .otherwise("succeeded")
+        .alias("status"),
+        F.col("ts").alias("last_exec_time"),
+    )
+    swept = notifier_sweep(jobs, now=F.lit(m), orphan_timeout_hours=24, slots=64, workers=8)
+    return (
+        swept.groupBy(
+            "new_status", F.coalesce("worker_id", F.lit("")).alias("worker_id")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("new_status", "worker_id")
+    )

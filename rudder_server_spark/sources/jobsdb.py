@@ -157,3 +157,67 @@ def cleanup_stats(
     last = stats.groupBy(run_col).agg(F.max(ts_col).alias("_mts"))
     expired = last.where(F.col("_mts") <= F.lit(before)).select(run_col)
     return stats.join(F.broadcast(expired), run_col, "left_anti")
+
+
+def notifier_sweep(
+    jobs: DataFrame,
+    now: Column,
+    orphan_timeout_hours: int = 24,
+    slots: int = 64,
+    workers: int = 8,
+    id_col: str = "id",
+    priority_col: str = "priority",
+    status_col: str = "status",
+    exec_ts_col: str = "last_exec_time",
+) -> DataFrame:
+    """One tick of the warehouse notifier queue (services/notifier) as a
+    deterministic batch transition. Two rules, applied in the reference's
+    order:
+
+    1. Orphan requeue (repo.go:480-512 orphanJobIDs): 'executing' jobs
+       whose last_exec_time is at least ``orphan_timeout_hours`` old go
+       back to 'waiting' — the worker died holding the claim.
+    2. Claim round (repo.go:350-394 claim): among 'waiting' OR 'failed'
+       jobs (failed jobs re-claim as-is; the attempt>maxAttempt abort
+       happens on the NEXT failure, repo.go:400-435), the first ``slots``
+       in (priority ASC, id ASC) order become 'executing', assigned
+       round-robin to ``workers`` claimants — the batch twin of ``FOR
+       UPDATE SKIP LOCKED LIMIT 1`` per worker.
+
+    Adds ``new_status`` and ``worker_id`` (null when unclaimed). One
+    row_number window over the claim-eligible subset; the orphan rule is a
+    narrow codegen'd projection. At scale the window partitions by nothing
+    but filters first to the eligible fraction — bound ``slots`` to the
+    worker fleet, not the queue, so the global rank stops at a
+    TakeOrdered-sized frontier in practice (rank > slots rows keep their
+    status and never need exact ranks; Spark still computes them in one
+    pass here, matching the SQL oracle exactly).
+    """
+    orphaned = F.when(
+        (F.col(status_col) == "executing")
+        & (F.col(exec_ts_col) <= F.timestamp_add("HOUR", F.lit(-orphan_timeout_hours), now)),
+        F.lit("waiting"),
+    ).otherwise(F.col(status_col))
+    staged = jobs.withColumn("_st1", orphaned)
+    claimable = F.col("_st1").isin("waiting", "failed")
+    w = Window.orderBy(priority_col, id_col)
+    ranked = staged.withColumn(
+        "_rk",
+        F.when(claimable, F.row_number().over(w.partitionBy(claimable))).otherwise(
+            F.lit(None)
+        ),
+    )
+    claimed = claimable & (F.col("_rk") <= slots)
+    return (
+        ranked.withColumn(
+            "new_status", F.when(claimed, F.lit("executing")).otherwise(F.col("_st1"))
+        )
+        .withColumn(
+            "worker_id",
+            F.when(
+                claimed,
+                F.concat(F.lit("w-"), ((F.col("_rk") - 1) % workers).cast("string")),
+            ),
+        )
+        .drop("_st1", "_rk")
+    )
