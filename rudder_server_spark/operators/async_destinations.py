@@ -210,14 +210,19 @@ def finalize_job_statuses(
       attempt+1 by the router's retry sweep).
 
     The poll frame is one row per upload — broadcast it; the join adds no
-    shuffle beyond the batching exchange.
+    shuffle beyond the batching exchange. An upload ABSENT from the poll
+    frame (partial poll results) stays ``importing`` — the reference keeps
+    un-polled uploads in the importing state rather than triaging them
+    (common/common.go:53-62 Poll lifecycle); a NULL verdict must never fall
+    through to the failed/aborted branches.
     """
     pj = F.broadcast(poll.select("upload_id", "has_failed"))
     joined = batched.join(pj, "upload_id", "left")
     aborted = F.substring(F.md5(F.col(job_id_col).cast("string")), 1, 1) == abort_hex_digit
     return joined.withColumn(
         "final_state",
-        F.when(~F.col("has_failed"), F.lit("succeeded"))
+        F.when(F.col("has_failed").isNull(), F.lit("importing"))
+        .when(~F.col("has_failed"), F.lit("succeeded"))
         .when(aborted, F.lit("aborted"))
         .otherwise(F.lit("failed")),
     )

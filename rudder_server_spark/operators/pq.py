@@ -54,6 +54,13 @@ def pq_train(
     """
     import numpy as np
 
+    if k > 128:
+        raise ValueError(
+            f"pq_train k={k} exceeds 128: codes are stored as signed int8 "
+            "(array<tinyint>), so codebooks above 128 entries would wrap "
+            "negative and adc_score's element_at lookup would silently read "
+            "from the wrong end of the table"
+        )
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
     rows = (
         train.select(vec_col)
@@ -97,6 +104,11 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<tinyint>) — one Arrow pass, argmin per subspace."""
+    if any(len(b) > 128 for b in codebooks):
+        raise ValueError(
+            "pq_encode codebook exceeds 128 entries; int8 codes would wrap "
+            "negative (train with k<=128)"
+        )
     out_schema = T.StructType(
         [
             next(f for f in df.schema.fields if f.name == id_col),
@@ -131,9 +143,10 @@ def adc_score(codebooks: list, query: list, codes_col: str = "codes") -> Column:
 
     ``element_at(array(<k literals>), CAST(codes[j] AS INT) + 1)`` per
     subspace, summed — literal tables, whole-stage codegen, reads only
-    the code column. m·k stays small by design (8×16 here; even 64×256
-    is a 16k-literal expression, far under the shingle/codegen hazards
-    documented in operators/similarity.py)."""
+    the code column. m·k stays small by design (8×16 here; k is capped
+    at 128 by pq_train/pq_encode because codes are signed int8, keeping
+    the expression far under the shingle/codegen hazards documented in
+    operators/similarity.py)."""
     import numpy as np
 
     q = np.asarray([float(v) for v in query], dtype=np.float64)

@@ -45,15 +45,17 @@ _TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ck = (id(spark), os.path.abspath(sf_dir), name)
-    cached = _TABLE_CACHE.get(ck)
-    if cached is not None:
-        return cached
     # the driver may hand us a vanilla session; nanosAsLong is runtime-settable
     # and required to read the fixtures' TIMESTAMP(NANOS) columns. Session tz
     # is pinned UTC so the ns→timestamp conversion below matches the DuckDB
-    # oracle regardless of host timezone.
+    # oracle regardless of host timezone. Re-asserted even on cache hits:
+    # cached plans EXECUTE under the session's current timezone, so a caller
+    # that mutated it between calls would silently shift ts-derived results.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cached = _TABLE_CACHE.get(ck)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): read as long ns (see
     # session.py nanosAsLong) and truncate to µs — the same truncation

@@ -1,0 +1,190 @@
+"""Stream-manager destination shaping: Kinesis, Lambda, EventBridge.
+
+The reference's services/streammanager/ holds one small ``Produce`` per
+destination: unmarshal the routed jsonData, pull the destination config,
+build the provider SDK's input struct, send, map errors to (statusCode,
+respStatus, message). The SDK call is environment-blocked here (no AWS in
+this sandbox), so — exactly like sources/kafka.py (S9) — each manager is
+split into
+
+  1. a **shape**: ONE narrow codegen'd projection producing the provider's
+     documented input contract as columns (plus ``error`` for rows the
+     reference would 400 before sending), and
+  2. an **injectable producer seam**: ``publish_stream(shaped, producer)``
+     hands the error-free contract columns to ``producer(df)``; tests
+     inject a recording producer, deployment injects the real client
+     (foreachBatch + boto3, per-partition client reuse).
+
+Shapes are pure column expressions — whole-stage codegen, no UDFs, no
+shuffle; they compose with router_sink / kafka_sink for the streaming path.
+
+Reference anchors:
+  - kinesis: services/streammanager/kinesis/kinesismanager.go:57-112
+    (message subtree → Data; partitionKey = messageId when UseMessageID
+    else userId; empty message → 400 "InvalidPayload"/"Empty Payload"),
+    kinesismanager_utils.go:8-11 (Config{Stream, UseMessageID}).
+  - lambda: services/streammanager/lambda/lambdamanager.go:46-87
+    (inputData{payload} string → InvokeInput.Payload; config
+    {lambda, invocationType default "Event", clientContext}; empty
+    payload → 400 "Invalid payload"), lambdamanager_utils.go:5-14.
+  - eventbridge: services/streammanager/eventbridge/eventbridgemanager.go:
+    46-99 (jsonData IS the PutEventsRequestEntry; Detail/DetailType/Source
+    all required — the AWS API reports per-entry errors when missing, which
+    the manager surfaces as a 400).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c.isNotNull() & (c != ""), c)
+
+
+def wrap_stream_event(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Wrap a raw event payload into the routed jsonData document the
+    stream managers consume: ``{"message": <payload>, "userId": ...}``
+    (the transformer output contract the router hands to Produce).
+    userId falls back to anonymousId like the kafka shaping."""
+    p = F.col(payload_col)
+    user_id = F.coalesce(
+        _nonempty(F.get_json_object(p, "$.userId")),
+        F.get_json_object(p, "$.anonymousId"),
+        F.lit(""),
+    )
+    arr = F.to_json(F.array(user_id))
+    user_json = arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+    return df.withColumn(
+        "json_data",
+        F.concat(F.lit('{"message":'), p, F.lit(',"userId":'), user_json, F.lit("}")),
+    )
+
+
+def kinesis_shape(
+    df: DataFrame,
+    dest_config: dict | None = None,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Kinesis PutRecord input as columns: ``stream``, ``partition_key``,
+    ``data`` (the message subtree re-marshalled, binary), ``error``.
+
+    Partition-key precedence (kinesismanager.go:87-95): when the config
+    sets ``useMessageID``, ``message.messageId``; empty/unset falls back to
+    root ``userId``. A missing/empty message is the reference's
+    400 "Empty Payload" — surfaced as ``error`` instead of a sent row.
+    """
+    cfg = dest_config or {}
+    j = F.col(json_data_col)
+    msg = F.get_json_object(j, "$.message")
+    pk = F.get_json_object(j, "$.userId")
+    if cfg.get("useMessageID"):
+        pk = F.coalesce(_nonempty(F.get_json_object(j, "$.message.messageId")), pk)
+    stream = F.lit(cfg.get("stream")).cast("string")
+    error = F.when(stream.isNull(), F.lit("stream is required for Kinesis")).when(
+        _nonempty(msg).isNull(), F.lit("Empty Payload")
+    )
+    return df.select(
+        "*",
+        stream.alias("stream"),
+        F.when(error.isNull(), pk).alias("partition_key"),
+        F.when(error.isNull(), msg.cast("binary")).alias("data"),
+        error.alias("error"),
+    )
+
+
+def lambda_shape(
+    df: DataFrame,
+    dest_config: dict | None = None,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Lambda InvokeInput as columns: ``function_name``,
+    ``invocation_type`` (config default "Event"), ``client_context``
+    (nullable), ``invoke_payload``, ``error``.
+
+    jsonData carries ``{"payload": "<string>"}`` (lambdamanager_utils.go:
+    12-14); an empty payload is the reference's 400 "Invalid payload".
+    """
+    cfg = dest_config or {}
+    payload = F.get_json_object(F.col(json_data_col), "$.payload")
+    fn_name = F.lit(cfg.get("lambda")).cast("string")
+    inv = F.lit(cfg.get("invocationType") or "Event")
+    ctx = F.lit(cfg.get("clientContext") or None).cast("string")
+    error = F.when(fn_name.isNull(), F.lit("lambda function is required")).when(
+        _nonempty(payload).isNull(), F.lit("Invalid payload")
+    )
+    return df.select(
+        "*",
+        F.when(error.isNull(), fn_name).alias("function_name"),
+        F.when(error.isNull(), inv).alias("invocation_type"),
+        F.when(error.isNull(), ctx).alias("client_context"),
+        F.when(error.isNull(), payload).alias("invoke_payload"),
+        error.alias("error"),
+    )
+
+
+def eventbridge_shape(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """EventBridge PutEventsRequestEntry as columns: ``detail`` (JSON
+    string), ``detail_type``, ``source``, ``event_bus_name`` (nullable →
+    the provider default bus), ``resources`` (array<string>), ``error``.
+
+    jsonData IS the entry document (eventbridgemanager.go:54-58). The AWS
+    API nil-errors entries missing Detail/DetailType/Source and reports the
+    failure per-entry (eventbridgemanager.go:85-92) — the shape rejects
+    them up front as ``error`` rows.
+    """
+    j = F.col(json_data_col)
+    detail = F.get_json_object(j, "$.detail")
+    detail_type = F.get_json_object(j, "$.detailType")
+    source = F.get_json_object(j, "$.source")
+    bus = F.get_json_object(j, "$.eventBusName")
+    resources = F.from_json(
+        F.get_json_object(j, "$.resources"), "array<string>"
+    )
+    error = (
+        F.when(_nonempty(detail).isNull(), F.lit("Detail is required for EventBridge"))
+        .when(_nonempty(detail_type).isNull(), F.lit("DetailType is required for EventBridge"))
+        .when(_nonempty(source).isNull(), F.lit("Source is required for EventBridge"))
+    )
+    ok = error.isNull()
+    return df.select(
+        "*",
+        F.when(ok, detail).alias("detail"),
+        F.when(ok, detail_type).alias("detail_type"),
+        F.when(ok, source).alias("source"),
+        F.when(ok, bus).alias("event_bus_name"),
+        F.when(ok, resources).alias("resources"),
+        error.alias("error"),
+    )
+
+
+def publish_stream(
+    shaped: DataFrame,
+    contract_cols: list,
+    producer=None,
+) -> DataFrame:
+    """Deliver shaped rows through the injectable producer seam; return
+    the failed (``error`` non-null) rows for the proc_error path — the
+    same contract as sources/kafka.publish_kafka.
+
+    ``producer(df)`` receives ONLY the provider contract columns of the
+    error-free rows; None raises (no AWS SDK in this environment — the
+    deployment wiring is a foreachBatch boto3 client per partition, the
+    exact seam router_sink uses for HTTP).
+    """
+    ok = shaped.where(F.col("error").isNull()).select(*contract_cols)
+    if producer is None:
+        raise NotImplementedError(
+            "no default stream producer in this environment; inject "
+            "producer(df) (deployment: foreachBatch + per-partition client)"
+        )
+    producer(ok)
+    return shaped.where(F.col("error").isNotNull())
+
+
+KINESIS_CONTRACT = ["stream", "partition_key", "data"]
+LAMBDA_CONTRACT = ["function_name", "invocation_type", "client_context", "invoke_payload"]
+EVENTBRIDGE_CONTRACT = ["detail", "detail_type", "source", "event_bus_name", "resources"]

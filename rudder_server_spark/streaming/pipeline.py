@@ -145,12 +145,22 @@ def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | Non
         # components convergence loop (several sequential jobs: the sink's
         # critical path). Launch them first so that loop overlaps all the
         # standard-table writes instead of queuing behind them.
-        identity = [n for n in names if n.startswith("rudder_identity_")]
+        identity = sorted(
+            (n for n in names if n.startswith("rudder_identity_")),
+            # merge_rules first: it is the cheap consumer of the shared lazy
+            # localCheckpoint of the rules frame (event_tables rules()), so
+            # writing it SERIALLY forces that checkpoint exactly once before
+            # mappings' CC loop and avoids the concurrent-first-touch
+            # duplicate merge-payload parse.
+            key=lambda n: (n != "rudder_identity_merge_rules", n),
+        )
         standard = [n for n in names if not n.startswith("rudder_identity_")]
         with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+            if identity:
+                _write(tables[identity[0]], os.path.join(out_dir, identity[0]))
             futs = [
                 ex.submit(_write, tables[n], os.path.join(out_dir, n))
-                for n in identity
+                for n in identity[1:]
             ]
             if standard:
                 # first standard write serially: it materializes the shared

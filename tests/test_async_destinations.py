@@ -167,3 +167,20 @@ def test_simulate_poll_is_deterministic(spark):
     b = {r["upload_id"]: r["has_failed"] for r in A.simulate_poll(uploads).collect()}
     assert a == b
     assert all(r["status_code"] == 200 for r in A.simulate_poll(uploads).collect())
+
+def test_unpolled_uploads_stay_importing(spark):
+    """Partial poll results: uploads absent from the poll frame must stay
+    'importing' (Poll lifecycle, common/common.go:53-62) — never triaged
+    into failed/aborted off a NULL verdict."""
+    batched = A.assign_upload_batches(_jobs(spark, n=30), max_events_per_file=4)
+    uploads = [r["upload_id"] for r in batched.select("upload_id").distinct().collect()]
+    assert len(uploads) >= 2
+    polled, unpolled = uploads[0], set(uploads[1:])
+    poll = spark.createDataFrame([(polled, False)], "upload_id string, has_failed boolean")
+    fin = A.finalize_job_statuses(batched, poll)
+    for r in fin.collect():
+        if r["upload_id"] == polled:
+            assert r["final_state"] == "succeeded"
+        else:
+            assert r["upload_id"] in unpolled
+            assert r["final_state"] == "importing"

@@ -94,3 +94,18 @@ def test_rescore_scores_are_exact_cosines(spark, emb, books):
     }
     for vid, sim in got.items():
         assert sim == exact[vid]  # rescore is the exact metric, not ADC
+
+
+def test_pq_rejects_codebooks_over_int8_range(spark, emb):
+    """Codes are signed int8: k>128 must raise at train AND encode time,
+    never silently wrap negative into adc_score's element_at lookup."""
+    import pytest
+
+    with pytest.raises(ValueError, match="int8"):
+        PQ.pq_train(emb, m=8, k=129)
+    bad_books = [[[0.0] * 8] * 129 for _ in range(8)]
+    with pytest.raises(ValueError, match="int8"):
+        PQ.pq_encode(emb, bad_books)
+    # k=128 exactly is the documented envelope and must be accepted
+    books = PQ.pq_train(emb.limit(300), m=8, k=128)
+    assert len(books[0]) == 128

@@ -1,0 +1,267 @@
+"""Contract tests: streammanager shapes (kinesis/lambda/eventbridge), the
+Redis KV destination shape, and the warehouse upload archiver.
+
+Mirrors the reference's manager tests:
+  - services/streammanager/kinesis/kinesis_suite_test.go (partition-key
+    precedence, empty-payload 400),
+  - services/streammanager/lambda/lambdamanager_test.go (invalid payload,
+    default invocationType, clientContext),
+  - services/streammanager/eventbridge/eventbridgemanager_test.go
+    (required-entry-field failures),
+  - services/kvstoremanager/kvstoremanager.go:52-79 (EventToKeyValue gjson
+    .Str semantics, HSET-compatible detection),
+  - warehouse/archive/archiver_test.go (eligibility, idempotent flag).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rudder_server_spark.operators import kv_destinations as KV
+from rudder_server_spark.operators import wh_archive as WA
+from rudder_server_spark.sources import streammanager as SM
+
+
+def _frame(spark, docs):
+    return spark.createDataFrame([(d,) for d in docs], "json_data string")
+
+
+# ------------------------------------------------------------------ kinesis
+
+def test_kinesis_partition_key_precedence(spark):
+    docs = [
+        '{"message":{"messageId":"m-1","a":1},"userId":"u-1"}',
+        '{"message":{"a":2},"userId":"u-2"}',  # no messageId -> userId
+        '{"message":{"messageId":"","a":3},"userId":"u-3"}',  # empty -> userId
+    ]
+    out = SM.kinesis_shape(
+        _frame(spark, docs), {"stream": "s1", "useMessageID": True}
+    ).collect()
+    assert [r["partition_key"] for r in out] == ["m-1", "u-2", "u-3"]
+    assert all(r["stream"] == "s1" and r["error"] is None for r in out)
+    # without useMessageID the messageId is ignored (kinesismanager.go:89-95)
+    out2 = SM.kinesis_shape(_frame(spark, docs[:1]), {"stream": "s1"}).collect()
+    assert out2[0]["partition_key"] == "u-1"
+
+
+def test_kinesis_error_rows(spark):
+    out = SM.kinesis_shape(
+        _frame(spark, ['{"userId":"u-1"}']), {"stream": "s1"}
+    ).collect()
+    assert out[0]["error"] == "Empty Payload" and out[0]["data"] is None
+    out2 = SM.kinesis_shape(_frame(spark, ['{"message":{"a":1}}']), {}).collect()
+    assert out2[0]["error"] == "stream is required for Kinesis"
+
+
+def test_kinesis_data_is_message_subtree(spark):
+    import json
+
+    out = SM.kinesis_shape(
+        _frame(spark, ['{"message":{"a":1,"b":"x"},"userId":"u"}']),
+        {"stream": "s"},
+    ).collect()[0]
+    assert json.loads(bytes(out["data"]).decode()) == {"a": 1, "b": "x"}
+
+
+# ------------------------------------------------------------------- lambda
+
+def test_lambda_shape_contract(spark):
+    docs = ['{"payload":"evt-1"}', '{"payload":""}', "{}"]
+    out = SM.lambda_shape(
+        _frame(spark, docs), {"lambda": "fn", "clientContext": "ctx"}
+    ).collect()
+    assert out[0]["function_name"] == "fn"
+    assert out[0]["invocation_type"] == "Event"  # default (lambdamanager.go:67-69)
+    assert out[0]["client_context"] == "ctx"
+    assert out[0]["invoke_payload"] == "evt-1"
+    assert out[1]["error"] == "Invalid payload"
+    assert out[2]["error"] == "Invalid payload"
+    dry = SM.lambda_shape(
+        _frame(spark, docs[:1]), {"lambda": "fn", "invocationType": "RequestResponse"}
+    ).collect()[0]
+    assert dry["invocation_type"] == "RequestResponse"
+    nofn = SM.lambda_shape(_frame(spark, docs[:1]), {}).collect()[0]
+    assert nofn["error"] == "lambda function is required"
+
+
+# -------------------------------------------------------------- eventbridge
+
+def test_eventbridge_required_fields(spark):
+    full = (
+        '{"detail":"{\\"k\\":1}","detailType":"dt","source":"src",'
+        '"eventBusName":"bus","resources":["r1","r2"]}'
+    )
+    out = SM.eventbridge_shape(_frame(spark, [full])).collect()[0]
+    assert out["error"] is None
+    assert out["detail_type"] == "dt" and out["source"] == "src"
+    assert out["event_bus_name"] == "bus" and out["resources"] == ["r1", "r2"]
+
+    for missing, msg in [
+        ('{"detailType":"dt","source":"s"}', "Detail is required for EventBridge"),
+        ('{"detail":"d","source":"s"}', "DetailType is required for EventBridge"),
+        ('{"detail":"d","detailType":"dt"}', "Source is required for EventBridge"),
+    ]:
+        r = SM.eventbridge_shape(_frame(spark, [missing])).collect()[0]
+        assert r["error"] == msg
+
+
+# ----------------------------------------------------------- producer seam
+
+def test_publish_stream_seam(spark):
+    shaped = SM.kinesis_shape(
+        _frame(spark, ['{"message":{"a":1},"userId":"u"}', '{"userId":"u2"}']),
+        {"stream": "s"},
+    )
+    got = {}
+
+    def producer(df):
+        got["cols"] = df.columns
+        got["rows"] = df.count()
+
+    failed = SM.publish_stream(shaped, SM.KINESIS_CONTRACT, producer=producer)
+    assert got["cols"] == SM.KINESIS_CONTRACT and got["rows"] == 1
+    assert failed.count() == 1
+    with pytest.raises(NotImplementedError):
+        SM.publish_stream(shaped, SM.KINESIS_CONTRACT)
+
+
+# ----------------------------------------------------------------- redis KV
+
+def test_redis_hmset_gjson_string_semantics(spark):
+    # EventToKeyValue: fields map keeps v.Str — "" for numbers/null/bools/
+    # containers (kvstoremanager.go:52-61)
+    doc = (
+        '{"message":{"key":"user:1","fields":'
+        '{"email":"a@b.c","age":25,"plan":null,"vip":true,"nested":{"x":1}}}}'
+    )
+    out = KV.redis_kv_shape(_frame(spark, [doc])).collect()
+    vals = {r["field"]: r["value"] for r in out}
+    assert vals == {"email": "a@b.c", "age": "", "plan": "", "vip": "", "nested": ""}
+    assert all(r["op"] == "HMSET" and r["key"] == "user:1" and r["error"] is None for r in out)
+
+
+def test_redis_hset_compatible_event(spark):
+    doc = '{"message":{"hash":"h:u1","key":"k1","value":"v1","fields":{"x":"y"}}}'
+    out = KV.redis_kv_shape(_frame(spark, [doc])).collect()
+    # HSET wins over HMSET when hash/key/value all present (customdestinationmanager.go:141-144)
+    assert len(out) == 1
+    r = out[0]
+    assert (r["op"], r["key"], r["field"], r["value"]) == ("HSET", "h:u1", "k1", "v1")
+
+
+def test_redis_setjson_mode_and_errors(spark):
+    doc = '{"message":{"key":"k9","fields":{"a":"b"}}}'
+    out = KV.redis_kv_shape(
+        _frame(spark, [doc]), {"shouldSendDataAsJson": True, "prefix": "p:"}
+    ).collect()[0]
+    assert out["op"] == "SETJSON" and out["key"] == "p:k9" and out["field"] is None
+    assert '"fields"' in out["value"] and out["error"] is None
+    # no key / no fields -> error row, kept-with-status
+    bad = KV.redis_kv_shape(_frame(spark, ['{"message":{"other":1}}'])).collect()
+    assert len(bad) == 1 and bad[0]["error"] is not None and bad[0]["op"] is None
+
+
+def test_kv_final_state_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"message":{"key":"u1","fields":{"plan":"free"}}}'),
+            (2, '{"message":{"key":"u1","fields":{"plan":"pro"}}}'),
+        ],
+        "job_id long, json_data string",
+    )
+    shaped = KV.redis_kv_shape(df)
+    state = {(r["key"], r["field"]): r["value"] for r in KV.kv_final_state(shaped).collect()}
+    assert state == {("u1", "plan"): "pro"}
+
+
+def test_send_kv_seam(spark):
+    shaped = KV.redis_kv_shape(
+        _frame(spark, ['{"message":{"key":"u1","fields":{"a":"b"}}}', "{}"])
+    )
+    seen = {}
+
+    def writer(df):
+        seen["n"] = df.count()
+        seen["cols"] = df.columns
+
+    failed = KV.send_kv(shaped, writer=writer)
+    assert seen == {"n": 1, "cols": ["op", "key", "field", "value"]}
+    assert failed.count() == 1
+    with pytest.raises(NotImplementedError):
+        KV.send_kv(shaped)
+
+
+# ---------------------------------------------------------------- archiver
+
+NOW = datetime.datetime(2024, 3, 1)
+
+
+def _wh_frames(spark):
+    uploads = spark.createDataFrame(
+        [
+            # upload_id, source, dest, status, created_at, workspace, metadata
+            ("u1", "s1", "d1", "exported_data", datetime.datetime(2024, 1, 1), "w1", "{}"),
+            ("u2", "s1", "d1", "exported_data", datetime.datetime(2024, 2, 28), "w1", "{}"),  # too new
+            ("u3", "s1", "d2", "exporting", datetime.datetime(2024, 1, 1), "w1", "{}"),  # wrong status
+            ("u4", "s2", "d1", "exported_data", datetime.datetime(2024, 1, 1), "w1",
+             '{"archivedStagingAndLoadFiles":true}'),  # already archived
+            ("u5", "s2", "d2", "exported_data", datetime.datetime(2024, 1, 1), "", "{}"),  # empty ws
+            ("u6", "s3", "d1", "exported_data", datetime.datetime(2024, 1, 1), "w-degraded", "{}"),
+        ],
+        "upload_id string, source_id string, destination_id string, status string,"
+        " created_at timestamp, workspace_id string, metadata string",
+    )
+    staging = spark.createDataFrame(
+        [(i, u) for u, n in [("u1", 3), ("u2", 2), ("u4", 1)] for i in range(n)],
+        "id long, upload_id string",
+    )
+    load = spark.createDataFrame(
+        [(i, u) for u, n in [("u1", 5), ("u2", 1)] for i in range(n)],
+        "id long, upload_id string",
+    )
+    return uploads, staging, load
+
+
+def test_archive_eligibility_and_stats(spark):
+    uploads, staging, load = _wh_frames(spark)
+    res = WA.archive_uploads(
+        uploads, staging, load, NOW, days=7, skip_workspaces=("w-degraded",)
+    )
+    assert [r["upload_id"] for r in res["selected"].collect()] == ["u1"]
+    stats = res["stats"].collect()[0]
+    assert stats["archived_staging_files"] == 3 and stats["archived_load_files"] == 5
+    # hot tables lose exactly u1's rows
+    assert res["staging"].count() == 3 and res["load"].count() == 1
+    assert res["dump"].count() == 3
+
+
+def test_archive_flag_makes_rerun_noop(spark, tmp_path):
+    uploads, staging, load = _wh_frames(spark)
+    res = WA.archive_uploads(
+        uploads, staging, load, NOW, days=7,
+        skip_workspaces=("w-degraded",), dump_dir=str(tmp_path / "dump"),
+    )
+    meta = {
+        r["upload_id"]: r["metadata"] for r in res["uploads"].collect()
+    }
+    assert '"archivedStagingAndLoadFiles":true' in meta["u1"]
+    assert meta["u2"] == "{}"
+    # the dump landed partitioned by upload_id, sorted by id
+    dumped = spark.read.parquet(str(tmp_path / "dump"))
+    assert dumped.count() == 3
+    assert {r["upload_id"] for r in dumped.select("upload_id").collect()} == {"u1"}
+    # idempotence: re-running over the updated tables selects nothing
+    res2 = WA.archive_uploads(
+        res["uploads"], res["staging"], res["load"], NOW, days=7,
+        skip_workspaces=("w-degraded",),
+    )
+    assert res2["selected"].count() == 0
+    assert res2["staging"].count() == res["staging"].count()
+
+
+def test_expire_uploads_retention(spark):
+    uploads, _, _ = _wh_frames(spark)
+    # 7-day retention deletes old exported uploads regardless of the flag
+    left = WA.expire_uploads(uploads, NOW, retention_days=7, skip_workspaces=("w-degraded",))
+    assert sorted(r["upload_id"] for r in left.collect()) == ["u2", "u3", "u5", "u6"]
