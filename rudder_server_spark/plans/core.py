@@ -3037,3 +3037,88 @@ def q90(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy("new_status", "worker_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q93 warehouse upload-archival sweep — warehouse/archive/archiver.go
+# (Do → archiveUploads, :205-447): exported uploads past retention get
+# their staging/load-file metadata rows dumped + deleted and the upload
+# flagged archivedStagingAndLoadFiles. The uploads/staging/load relations
+# derive deterministically from events (one upload per (event_type, day);
+# one staging + one load file per event); the output is the archiver's
+# per-upload accounting (numArchivedUploads stats, archiver.go:440-444).
+@register(
+    "q93_wh_archive",
+    """
+    WITH f AS (
+      SELECT event_id, event_type, ts, CAST(ts AS DATE) AS d,
+             event_type || '/' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS upload_id
+      FROM events
+    ),
+    uploads AS (
+      SELECT upload_id, event_type AS source_id, 'wh' AS destination_id,
+             CASE WHEN day(d) % 7 = 0 THEN 'exporting' ELSE 'exported_data' END AS status,
+             max(ts) AS created_at,
+             CASE WHEN day(d) % 11 = 0 THEN ''
+                  ELSE 'ws-' || CAST(day(d) % 3 AS VARCHAR) END AS workspace_id,
+             CASE WHEN day(d) % 5 = 0 THEN '{"archivedStagingAndLoadFiles":true}'
+                  ELSE '{}' END AS metadata,
+             CAST(count(*) AS BIGINT) AS n_files
+      FROM f GROUP BY upload_id, event_type, d
+    )
+    SELECT upload_id, source_id, destination_id,
+           n_files AS archived_staging_files,
+           n_files AS archived_load_files
+    FROM uploads
+    WHERE status = 'exported_data'
+      AND created_at < TIMESTAMP '2024-01-25 00:00:00'
+      AND workspace_id <> '' AND workspace_id <> 'ws-2'
+      AND json_extract_string(metadata, '$.archivedStagingAndLoadFiles')
+          IS DISTINCT FROM 'true'
+    ORDER BY upload_id
+    """,
+    doc=(
+        "Warehouse archiver sweep accounting: eligibility filter on the "
+        "bounded uploads relation (status + retention + workspace + "
+        "archived flag), broadcast semi-join split of staging/load rows, "
+        "per-upload archived counts. Ref: warehouse/archive/archiver.go:"
+        "205-447"
+    ),
+    tags=("rudder", "warehouse"),
+)
+def q93(spark, sf):
+    import datetime as _dt
+
+    from rudder_server_spark.operators.wh_archive import archive_uploads
+
+    e = load_table(spark, sf, "events")
+    d = F.to_date("ts")
+    dom = F.dayofmonth(d)
+    upload_id = F.concat("event_type", F.lit("/"), F.date_format(d, "yyyy-MM-dd"))
+    staging = e.select(F.col("event_id").alias("id"), upload_id.alias("upload_id"))
+    load = staging
+    uploads = (
+        e.groupBy(
+            upload_id.alias("upload_id"),
+            F.col("event_type").alias("source_id"),
+            F.when(dom % 7 == 0, "exporting")
+            .otherwise("exported_data")
+            .alias("status"),
+            F.when(dom % 11 == 0, "")
+            .otherwise(F.concat(F.lit("ws-"), (dom % 3).cast("string")))
+            .alias("workspace_id"),
+            F.when(dom % 5 == 0, '{"archivedStagingAndLoadFiles":true}')
+            .otherwise("{}")
+            .alias("metadata"),
+        )
+        .agg(F.max("ts").alias("created_at"))
+        .withColumn("destination_id", F.lit("wh"))
+    )
+    res = archive_uploads(
+        uploads, staging, load,
+        now=_dt.datetime(2024, 2, 1), days=7, skip_workspaces=("ws-2",),
+    )
+    return res["stats"].select(
+        "upload_id", "source_id", "destination_id",
+        "archived_staging_files", "archived_load_files",
+    ).orderBy("upload_id")

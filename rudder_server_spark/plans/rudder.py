@@ -1661,3 +1661,193 @@ def q89(spark, sf):
     return schema_versions(src, redact_write_keys=("wk-0",)).orderBy(
         "write_key", "event_type", "event_identifier", "schema_hash"
     )
+
+
+# --------------------------------------------------------------------------
+# Q91 stream-manager shape audit — the three AWS delivery managers
+# (services/streammanager/{kinesis,lambda,eventbridge}): per (manager,
+# event type), how many routed events produce a valid provider input vs
+# fail the manager's 400 gate, plus (kinesis) how many carry a usable
+# partition key. Shapes are pure codegen projections; the SDK call is the
+# injectable producer seam (sources/streammanager.publish_stream).
+@register(
+    "q91_stream_shapes",
+    f"""
+    WITH p AS (
+      SELECT json_extract_string(payload, '$.type') AS etype,
+             NULLIF(json_extract_string(payload, '$.messageId'), '') AS msgid,
+             COALESCE(NULLIF(json_extract_string(payload, '$.userId'), ''),
+                      json_extract_string(payload, '$.anonymousId'), '') AS uid,
+             json_extract_string(payload, '$.event') AS ename
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    SELECT * FROM (
+      SELECT 'eventbridge' AS manager, etype AS event_type,
+             CAST(SUM(CASE WHEN ename IS NOT NULL AND ename <> '' THEN 1 ELSE 0 END) AS BIGINT) AS resolved,
+             CAST(SUM(CASE WHEN ename IS NOT NULL AND ename <> '' THEN 0 ELSE 1 END) AS BIGINT) AS failed,
+             CAST(0 AS BIGINT) AS keyed
+      FROM p GROUP BY etype
+      UNION ALL
+      SELECT 'kinesis', etype, CAST(count(*) AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(SUM(CASE WHEN COALESCE(msgid, uid) <> '' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM p GROUP BY etype
+      UNION ALL
+      SELECT 'lambda', etype,
+             CAST(SUM(CASE WHEN etype <> 'page' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype = 'page' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM p GROUP BY etype
+    ) ORDER BY manager, event_type
+    """,
+    doc=(
+        "Kinesis/Lambda/EventBridge Produce-contract audit: per-manager "
+        "resolved vs 400-failed counts (+ kinesis partition-key coverage: "
+        "messageId-else-userId precedence) over the routed event stream. "
+        "Ref: kinesismanager.go:57-112, lambdamanager.go:46-87, "
+        "eventbridgemanager.go:46-99"
+    ),
+    tags=("rudder", "sinks"),
+)
+def q91(spark, sf):
+    from rudder_server_spark.sources.streammanager import (
+        eventbridge_shape,
+        kinesis_shape,
+        lambda_shape,
+        wrap_stream_event,
+    )
+
+    src = _load(spark, sf)
+    p = F.col("payload")
+    etype = F.get_json_object(p, "$.type")
+
+    def _js(c):
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    def audit(name, shaped, keyed=None):
+        ok = F.col("error").isNull()
+        keyed = keyed if keyed is not None else F.lit(False)
+        return shaped.groupBy(etype.alias("event_type")).agg(
+            F.sum(F.when(ok, 1).otherwise(0)).alias("resolved"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("failed"),
+            F.sum(F.when(keyed, 1).otherwise(0)).alias("keyed"),
+        ).select(F.lit(name).alias("manager"), "*")
+
+    kin = kinesis_shape(
+        wrap_stream_event(src), {"stream": "evt-stream", "useMessageID": True}
+    )
+    kin_a = audit(
+        "kinesis", kin,
+        keyed=F.col("partition_key").isNotNull() & (F.col("partition_key") != ""),
+    )
+
+    # lambda jsonData: {"payload": <event json>}, blanked for 'page' to
+    # exercise the Invalid-payload gate deterministically
+    lam_doc = F.concat(
+        F.lit('{"payload":'),
+        _js(F.when(etype == "page", F.lit("")).otherwise(p)),
+        F.lit("}"),
+    )
+    lam = lambda_shape(src.withColumn("json_data", lam_doc), {"lambda": "fn-events"})
+    lam_a = audit("lambda", lam)
+
+    # eventbridge entry: detail = the event, detailType = its type, source =
+    # its event name — types without an event name fail the Source gate
+    ename = F.get_json_object(p, "$.event")
+    eb_doc = F.concat(
+        F.lit('{"detail":'), _js(p),
+        F.lit(',"detailType":'), _js(etype),
+        F.when(
+            ename.isNotNull(), F.concat(F.lit(',"source":'), _js(ename))
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    eb = eventbridge_shape(src.withColumn("json_data", eb_doc))
+    eb_a = audit("eventbridge", eb)
+
+    return (
+        eb_a.unionByName(kin_a).unionByName(lam_a)
+        .orderBy("manager", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92 Redis KV destination final state — router/customdestinationmanager
+# KV mode (customdestinationmanager.go:136-148) + services/kvstoremanager:
+# identify events HMSET their traits under user:<id> (EventToKeyValue,
+# gjson .Str semantics: non-string trait values → ""), track events HSET
+# (hash=events:<id>, field=messageId, value=event name); the output is the
+# per-(key, field) last-write-wins hash state a Redis replay would hold.
+@register(
+    "q92_redis_kv_state",
+    f"""
+    WITH base AS (
+      SELECT payload, message_id,
+             json_extract_string(payload, '$.type') AS etype,
+             json_extract_string(payload, '$.userId') AS uid
+      FROM read_parquet('{_ORACLE_PATH}')
+    ),
+    hmset AS (
+      SELECT 'user:' || uid AS key, k AS field,
+             CASE WHEN json_type(payload, '$.traits.' || k) = 'VARCHAR'
+                  THEN json_extract_string(payload, '$.traits.' || k)
+                  ELSE '' END AS value,
+             message_id
+      FROM (SELECT *, unnest(json_keys(payload, '$.traits')) AS k
+            FROM base WHERE etype = 'identify')
+    ),
+    hset AS (
+      SELECT 'events:' || uid AS key,
+             json_extract_string(payload, '$.messageId') AS field,
+             json_extract_string(payload, '$.event') AS value,
+             message_id
+      FROM base WHERE etype = 'track'
+    ),
+    writes AS (SELECT * FROM hmset UNION ALL SELECT * FROM hset)
+    SELECT key, field, arg_max(value, message_id) AS value
+    FROM writes GROUP BY key, field ORDER BY key, field
+    """,
+    doc=(
+        "Redis KV destination replay: HMSET of identify traits (string "
+        "values only, gjson .Str parity via variant parsing) + HSET of "
+        "track events, reduced to last-write-wins hash state per (key, "
+        "field) — one shuffle on the hash key. Ref: customdestination"
+        "manager.go:136-148, kvstoremanager.go:52-79"
+    ),
+    tags=("rudder", "sinks"),
+)
+def q92(spark, sf):
+    from rudder_server_spark.operators.kv_destinations import (
+        kv_final_state,
+        redis_kv_shape,
+    )
+
+    src = _load(spark, sf)
+    p = F.col("payload")
+    etype = F.get_json_object(p, "$.type")
+
+    def _js(c):
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    uid = F.get_json_object(p, "$.userId")
+    identify_doc = F.concat(
+        F.lit('{"message":{"key":'), _js(F.concat(F.lit("user:"), uid)),
+        F.lit(',"fields":'), F.get_json_object(p, "$.traits"), F.lit("}}"),
+    )
+    track_doc = F.concat(
+        F.lit('{"message":{"hash":'), _js(F.concat(F.lit("events:"), uid)),
+        F.lit(',"key":'), _js(F.get_json_object(p, "$.messageId")),
+        F.lit(',"value":'), _js(F.get_json_object(p, "$.event")), F.lit("}}"),
+    )
+    docs = (
+        src.where(etype == "identify")
+        .select(F.col("message_id").alias("job_id"), identify_doc.alias("json_data"))
+        .unionByName(
+            src.where(etype == "track").select(
+                F.col("message_id").alias("job_id"), track_doc.alias("json_data")
+            )
+        )
+    )
+    return kv_final_state(redis_kv_shape(docs)).orderBy("key", "field")
