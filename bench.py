@@ -59,9 +59,10 @@ BENCH_QUERIES = [
 # oracle, so it would inflate warm_total with no matching baseline entry —
 # its perf is covered by the cosine/ivf_assign paths t14/t41/q27 exercise
 # (t41/q27 generated-SQL; t14's k=8 × dim=64 = 512 terms exceeds
-# IVF_CODEGEN_MAX_TERMS=256 and runs the Arrow ivf_assign path — probed in
-# r5: at 512 terms the pushed-down cell filter duplicates the expression
-# past janino's 64 KB method limit).
+# IVF_CODEGEN_MAX_TERMS=288 and runs the Arrow ivf_assign path — the r6
+# boundary probe showed 288 terms compiles at every k/dim split while 320+
+# trips janino's 64 KB method limit once the pushed-down cell filter
+# duplicates the expression; see similarity.py's threshold comment).
 #
 # The four q18/q34/q36/q47 rows are the STREAMING shell under the gate
 # (VERDICT r3 #6): each restages fixture slices to JSON, runs a real

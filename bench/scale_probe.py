@@ -1,18 +1,27 @@
 #!/usr/bin/env python
-"""Shingle-dedup scale crossover probe (VERDICT r4 #7).
+"""Scale crossover probes (VERDICT r4 #7 shingle dedup; r5 #1 CC/fan-out).
 
-t2/t3's 6-8-stage bucketed DAGs are slower than DuckDB's one in-process
-hash join at sf0.1 (5k docs) — the claim is that the staged, linear-in-
-corpus design wins as the corpus grows. This probe measures the ratio at
-1x / 4x / 10x the sf0.1 documents corpus and records the trend.
+The staged multi-shuffle DAGs are slower than DuckDB's in-process hash
+joins at sf0.1 — the claim is that the linear-in-corpus designs win as the
+corpus grows. These probes measure the engine-vs-DuckDB ratio as the input
+scales, holding the STRUCTURE (dup rate / component-size distribution)
+fixed so only size grows:
 
-Corpus scaling preserves the near-dup rate instead of inflating it:
-replica k rewrites every third token with a replica-specific suffix, so
-every 3-shingle crosses a rewritten position — cross-replica Jaccard is
-~0 (no candidate-pair explosion) while within-replica near-dup structure
-mirrors the original. Both engines read the SAME scaled parquet.
+- documents probes (t2/t3 shingle LSH, t55 near-dup CC clusters): replica
+  k rewrites every third token with a replica suffix — cross-replica
+  Jaccard ~0, within-replica structure mirrors the original.
+- rudder_events probes (q9 identity CC, q16 fan-out): replica k shifts the
+  identifier space (emails/anonymousIds/messageIds get a replica suffix),
+  so the merge graph gains k disjoint copies of the same component-size
+  distribution instead of densifying one giant component.
 
-Usage: python bench/scale_probe.py [K ...]   (default 1 4 10)
+Both engines always read the SAME scaled parquet. The q9 probe also
+records the connected-components path (driver union-find vs distributed
+label propagation) and, forced onto the distributed path, the iteration
+count — the "iterations vs graph size" evidence for the O(log d) claim.
+
+Usage: python bench/scale_probe.py [K ...]      (default 1 4 10)
+       PROBE=cc|fanout|dedup to select a suite   (default all)
 Prints one JSON line per (K, query).
 """
 
@@ -61,55 +70,202 @@ def build_scaled_corpus(spark, k: int, out_dir: str) -> str:
     return out_dir
 
 
-def main() -> None:
+def build_scaled_events(spark, k: int, sf_dir: str) -> str:
+    """Materialize the rudder_events fixture at k x the base corpus,
+    registered under ``sf_dir``'s basename so the declared queries'
+    ``rudder_events_path(sf_dir)`` resolves to it directly.
+
+    Replica r > 0 suffixes every identifier namespace — emails and
+    anonymousIds inside payloads (the q9 merge-graph nodes) and the
+    message_id column (q16's primary key) — so the identity graph gains k
+    DISJOINT copies of the base component-size distribution and fan-out
+    ids stay unique. Payload layout is otherwise untouched.
+    """
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.sources.rudder_events import (
+        FIXTURE_DIR,
+        rudder_events_path,
+    )
+
+    os.makedirs(sf_dir, exist_ok=True)
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(FIXTURE_DIR, f"rudder_events_{name}.parquet")
+    if os.path.exists(out):
+        return sf_dir
+    base = spark.read.parquet(rudder_events_path(BASE_SF))
+    reps = []
+    for r in range(k):
+        if r == 0:
+            reps.append(base)
+            continue
+        p = F.col("payload")
+        p = F.regexp_replace(p, r"(u\d+)@example\.com", rf"$1.r{r}@example.com")
+        p = F.regexp_replace(p, r"(anon-\d{4})", rf"$1r{r}")
+        p = F.regexp_replace(p, r'"messageId":"msg-', f'"messageId":"msg{r}-')
+        reps.append(
+            base.withColumn("payload", p)
+            .withColumn(
+                "message_id",
+                F.regexp_replace("message_id", r"^msg-", f"msg{r}-"),
+            )
+            .withColumn(
+                "anonymous_id",
+                F.regexp_replace("anonymous_id", r"(anon-\d{4})", rf"$1r{r}"),
+            )
+        )
+    from functools import reduce
+
+    corpus = reduce(lambda a, b: a.unionByName(b), reps)
+    corpus.write.mode("overwrite").parquet(out)
+    return sf_dir
+
+
+def _time_engine(spark, fn, runs: int = 3) -> float:
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return round(min(times[1:]), 3)
+
+
+def _time_duck(setup_sql: list, query_sql: str) -> float:
     import duckdb
 
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for s in setup_sql:
+        con.sql(s)
+    duck_times = []
+    for _ in range(2):
+        t0 = time.time()
+        con.sql(query_sql).fetchall()
+        duck_times.append(time.time() - t0)
+    con.close()
+    return round(min(duck_times), 3)
+
+
+def _emit(**kw) -> None:
+    print(json.dumps(kw), flush=True)
+
+
+def probe_dedup(spark, reg, ks) -> None:
+    """t2/t3 banded-LSH crossover (r4 probe) + t55 near-dup CC clusters."""
+    for k in ks:
+        sf_dir = build_scaled_corpus(spark, k, f"/tmp/rss_scale_{k}x")
+        glob = os.path.join(sf_dir, "documents.parquet", "*.parquet")
+        view = f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
+        for name in ("t2_ngram_jaccard", "t3_minhash_lsh", "t55_dup_clusters"):
+            qd = reg[name]
+            engine = _time_engine(
+                spark,
+                lambda: qd.spark_fn(spark, sf_dir)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+            )
+            duck = _time_duck([view], qd.oracle)
+            _emit(
+                k=k, docs=5000 * k, query=name, engine_warm_sec=engine,
+                duckdb_warm_sec=duck,
+                ratio=round(engine / duck, 2) if duck else None,
+            )
+
+
+def probe_cc(spark, reg, ks) -> None:
+    """q9 identity connected components: default path vs DuckDB recursive
+    CTE, plus the forced-distributed loop's iteration count (the O(log d)
+    pointer-jumping claim — iterations must stay flat as replicas grow,
+    because replicas are disjoint and diameter is unchanged)."""
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.operators import identity as I
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    base_fixture = rudder_events_path("/root/testdata/sf0.01")
+    for k in ks:
+        sf_dir = build_scaled_events(spark, k, f"/tmp/rss_ev_{k}x")
+        scaled = rudder_events_path(sf_dir)
+        glob = os.path.join(scaled, "*.parquet")
+        qd = reg["q9_identity_graph"]
+        engine = _time_engine(
+            spark,
+            lambda: qd.spark_fn(spark, sf_dir)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        default_path = I.LAST_RUN["path"]
+        duck = _time_duck([], qd.oracle.replace(base_fixture, glob))
+
+        # forced distributed run: same edges, broadcast fast path disabled
+        ev = spark.read.parquet(scaled).where(F.col("event_type") == "merge")
+        mp = F.from_json(
+            F.col("payload"),
+            "mergeProperties array<struct<type:string,value:string>>",
+        )["mergeProperties"]
+        edges = ev.select(
+            F.element_at(mp, 1)["value"].alias("src"),
+            F.element_at(mp, 2)["value"].alias("dst"),
+        )
+
+        def run_dist():
+            I.connected_components(edges, broadcast_threshold=0).write.mode(
+                "overwrite"
+            ).format("noop").save()
+
+        dist = _time_engine(spark, run_dist)
+        _emit(
+            k=k, merge_rows=ev.count(), query="q9_identity_graph",
+            engine_warm_sec=engine, engine_path=default_path,
+            distributed_warm_sec=dist,
+            distributed_iterations=I.LAST_RUN["iterations"],
+            duckdb_warm_sec=duck,
+            ratio=round(engine / duck, 2) if duck else None,
+            distributed_ratio=round(dist / duck, 2) if duck else None,
+        )
+
+
+def probe_fanout(spark, reg, ks) -> None:
+    """q16 event-table fan-out (the q18 per-micro-batch inner plan): full
+    tracks-table materialization vs the DuckDB single-pass projection."""
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    base_fixture = rudder_events_path("/root/testdata/sf0.01")
+    for k in ks:
+        sf_dir = build_scaled_events(spark, k, f"/tmp/rss_ev_{k}x")
+        glob = os.path.join(rudder_events_path(sf_dir), "*.parquet")
+        for name in ("q16_tracks_table", "q17_fanout_counts"):
+            qd = reg[name]
+            engine = _time_engine(
+                spark,
+                lambda: qd.spark_fn(spark, sf_dir)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+            )
+            duck = _time_duck([], qd.oracle.replace(base_fixture, glob))
+            _emit(
+                k=k, query=name, engine_warm_sec=engine, duckdb_warm_sec=duck,
+                ratio=round(engine / duck, 2) if duck else None,
+            )
+
+
+def main() -> None:
     from rudder_server_spark.plans.registry import load_all
     from rudder_server_spark.session import get_spark
 
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    which = os.environ.get("PROBE", "all")
     reg = load_all()
     spark = get_spark(app_name="scale_probe")
-
-    for k in ks:
-        sf_dir = build_scaled_corpus(spark, k, f"/tmp/rss_scale_{k}x")
-        for name in ("t2_ngram_jaccard", "t3_minhash_lsh"):
-            qd = reg[name]
-            # engine: warm min-of-2 (first run per scale pays fixture IO)
-            times = []
-            for _ in range(3):
-                t0 = time.time()
-                qd.spark_fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                times.append(time.time() - t0)
-            engine = round(min(times[1:]), 3)
-            # oracle: DuckDB warm second run on the same parquet
-            con = duckdb.connect()
-            # Spark writes a parquet DIRECTORY; give DuckDB the part glob
-            con.sql(
-                f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{os.path.join(sf_dir, 'documents.parquet', '*.parquet')}')"
-            )
-            con.sql(f"SET threads TO {os.cpu_count()}")
-            duck_times = []
-            for _ in range(2):
-                t0 = time.time()
-                con.sql(qd.oracle).fetchall()
-                duck_times.append(time.time() - t0)
-            duck = round(min(duck_times), 3)
-            con.close()
-            print(
-                json.dumps(
-                    {
-                        "k": k,
-                        "docs": 5000 * k,
-                        "query": name,
-                        "engine_warm_sec": engine,
-                        "duckdb_warm_sec": duck,
-                        "ratio": round(engine / duck, 2) if duck else None,
-                    }
-                ),
-                flush=True,
-            )
+    if which in ("all", "dedup"):
+        probe_dedup(spark, reg, ks)
+    if which in ("all", "cc"):
+        probe_cc(spark, reg, ks)
+    if which in ("all", "fanout"):
+        probe_fanout(spark, reg, ks)
 
 
 if __name__ == "__main__":

@@ -22,6 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Introspection for probes/tests: connected_components records which path
+# the last call took and how many propagation rounds the distributed loop
+# ran (the scale-probe's "iterations vs graph size" evidence). Not part of
+# the operator contract; single-threaded probe use only.
+LAST_RUN: dict = {"path": None, "iterations": 0}
+
 
 def connected_components(
     edges: DataFrame,
@@ -95,6 +101,8 @@ def connected_components(
             if not fits_driver:
                 rows = None
 
+    LAST_RUN["path"] = "driver" if fits_driver else "distributed"
+    LAST_RUN["iterations"] = 0
     if fits_driver:
         spark = edges.sparkSession
         parent: dict = {}
@@ -150,6 +158,7 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        LAST_RUN["iterations"] += 1
         if changed == 0:
             break
     return labels.select(F.col("node").alias("identifier"), F.col("lbl").alias("component"))

@@ -216,15 +216,22 @@ def ivf_train(
 # codegen win and becomes a codegen hazard: janino's per-method analysis
 # (buildLocalVariableMap is superlinear in locals) exhausted a default 1g
 # driver heap COMPILING the k=16 × dim=64 = 1024-term expansion — the r3
-# t57 vanilla-session OOM. 512 terms (t14's k=8 × dim=64) was probed in
-# round 5 and also fails: the consumer duplicates the expression into the
-# pushed-down cell filter, and the combined processNext() trips janino's
-# 64 KB method limit (ERROR + interpreted fallback — slower than Arrow).
-# So ≤256 terms is the proven codegen envelope; t14's k=8 runs the Arrow
-# path by design, not by accident. Real IVF wants k ~ sqrt(N) cells
+# t57 vanilla-session OOM; smaller expansions instead trip janino's 64 KB
+# method limit because the consumer duplicates the whole expression into
+# the pushed-down cell filter (ERROR + interpreted fallback — slower than
+# Arrow). Round-6 boundary probe (1g driver, the t14 assign+isin plan,
+# janino markers grepped from the subprocess log):
+#   288 terms: COMPILES at every split probed — (k,dim) = (3,96) (4,72)
+#              (6,48) (9,32) (12,24) (18,16) (36,8)
+#   320 terms: mixed — (5,64) compiles, (10,32) (20,16) (40,8) all trip
+#              the 64 KB limit (code size grows with k at fixed terms:
+#              each centroid adds struct/array plumbing beyond its dots)
+#   384+ terms: fails at every split tried
+# So ≤288 is the proven all-shape codegen envelope; t14's k=8 × dim=64 =
+# 512 legitimately runs the Arrow path. Real IVF wants k ~ sqrt(N) cells
 # (thousands at corpus scale), which no expression tree survives; past
 # the threshold the assignment is an Arrow-batched numpy matrix product.
-IVF_CODEGEN_MAX_TERMS = 256
+IVF_CODEGEN_MAX_TERMS = 288
 
 
 def ivf_assign(

@@ -185,6 +185,204 @@ def publish_stream(
     return shaped.where(F.col("error").isNotNull())
 
 
+def firehose_shape(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Firehose PutRecord input as columns: ``delivery_stream``, ``data``
+    (the message subtree re-marshalled, binary), ``error``.
+
+    The routed document carries its own target stream
+    (``deliveryStreamMapTo``, firehosemanager.go:49-86); a missing message
+    or missing/empty stream is the reference's 400.
+    """
+    j = F.col(json_data_col)
+    msg = F.get_json_object(j, "$.message")
+    stream = F.get_json_object(j, "$.deliveryStreamMapTo")
+    error = F.when(
+        _nonempty(msg).isNull(), F.lit("message from payload not found")
+    ).when(_nonempty(stream).isNull(), F.lit("Delivery Stream not found"))
+    ok = error.isNull()
+    return df.select(
+        "*",
+        F.when(ok, stream).alias("delivery_stream"),
+        F.when(ok, msg.cast("binary")).alias("data"),
+        error.alias("error"),
+    )
+
+
+def wunderkind_shape(
+    df: DataFrame,
+    env_config: dict | None = None,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Wunderkind delivery — a pinned-config Lambda invoke
+    (wunderkindmanager.go:58-90, wunderkind_utils.go:3-18): the function
+    comes from deployment env (WUNDERKIND_LAMBDA), the invocation type is
+    always RequestResponse, and the payload contract matches lambda's.
+    """
+    cfg = env_config or {}
+    payload = F.get_json_object(F.col(json_data_col), "$.payload")
+    fn_name = F.lit(cfg.get("WUNDERKIND_LAMBDA")).cast("string")
+    error = F.when(fn_name.isNull(), F.lit("wunderkind lambda is required")).when(
+        _nonempty(payload).isNull(), F.lit("Invalid payload")
+    )
+    ok = error.isNull()
+    return df.select(
+        "*",
+        F.when(ok, fn_name).alias("function_name"),
+        F.when(ok, F.lit("RequestResponse")).alias("invocation_type"),
+        F.when(ok, payload).alias("invoke_payload"),
+        error.alias("error"),
+    )
+
+
+def personalize_shape(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Personalize dispatch (personalizemanager.go:46-88): ``choice``
+    selects the API (PutEvents / PutUsers / PutItems) with the request
+    under ``payload``; anything else defaults to PutEvents over the WHOLE
+    document. Columns: ``api``, ``request`` (the JSON the SDK input is
+    unmarshalled from), ``tracking_id`` (PutEvents' required id, surfaced
+    for auditability), ``error``.
+    """
+    j = F.col(json_data_col)
+    choice = F.get_json_object(j, "$.choice")
+    known = choice.isin("PutEvents", "PutUsers", "PutItems")
+    api = F.when(known, choice).otherwise(F.lit("PutEvents"))
+    request = F.when(known, F.get_json_object(j, "$.payload")).otherwise(j)
+    error = F.when(
+        known & F.get_json_object(j, "$.payload").isNull(),
+        F.lit("Could not unmarshal jsonData"),
+    )
+    ok = error.isNull()
+    tracking = F.get_json_object(request, "$.trackingId")
+    return df.select(
+        "*",
+        F.when(ok, api).alias("api"),
+        F.when(ok, request).alias("request"),
+        F.when(ok & (api == "PutEvents"), tracking).alias("tracking_id"),
+        error.alias("error"),
+    )
+
+
+def bqstream_shape(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """BigQuery streaming-insert rows (bqstreammanager.go:120-157): the
+    document carries ``datasetId``/``tableId`` and ``properties`` — one
+    record object OR an array of them; each becomes one insertAll row.
+    One-to-many, so this EXPLODES: output one row per record with
+    ``dataset_id``, ``table_id``, ``record`` (JSON string), ``error``
+    (key-less/record-less documents keep one NULL-record row).
+    """
+    j = F.col(json_data_col)
+    ds, tbl = F.get_json_object(j, "$.datasetId"), F.get_json_object(j, "$.tableId")
+    props = F.get_json_object(j, "$.properties")
+    # object → single-element array; array → per-element JSON re-marshal
+    # (variant keeps arbitrary record shapes without a fixed schema)
+    recs = F.when(
+        F.trim(props).startswith("["),
+        F.transform(
+            F.from_json(props, "array<variant>"), lambda v: F.to_json(v)
+        ),
+    ).otherwise(F.array(props))
+    error = F.when(
+        _nonempty(ds).isNull() | _nonempty(tbl).isNull(),
+        F.lit("datasetId and tableId are required"),
+    ).when(props.isNull(), F.lit("error in unmarshalling data"))
+    ok = error.isNull()
+    null_arr = F.array(F.lit(None).cast("string"))
+    return df.select(
+        "*",
+        F.when(ok, ds).alias("dataset_id"),
+        F.when(ok, tbl).alias("table_id"),
+        F.explode_outer(F.when(ok, recs).otherwise(null_arr)).alias("record"),
+        error.alias("error"),
+    )
+
+
+def googlesheets_shape(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Google Sheets row values (googlesheetsmanager.go:120-260): the
+    transformed document is ``{message: {"<pos>": {attributeKey,
+    attributeValue}, ...}}``, optionally wrapped in ``batch: [...]``; each
+    message appends one sheet row whose cells sit at the numeric positions.
+    Relational contract: one row per (batch_index, position) with
+    ``attribute_key``, ``value_str`` and ``value_num`` — numeric
+    attributeValues keep their number type (parseTransformedData's
+    gjson.Number branch), everything else lands stringified.
+    """
+    j = F.col(json_data_col)
+    batch = F.get_json_object(j, "$.batch")
+    msgs = F.when(
+        batch.isNotNull(),
+        F.transform(
+            F.from_json(batch, "array<variant>"),
+            lambda v: F.to_json(F.try_variant_get(v, "$.message", "variant")),
+        ),
+    ).otherwise(F.array(F.get_json_object(j, "$.message")))
+    rows = df.select(
+        "*", F.posexplode_outer(msgs).alias("batch_index", "_msg")
+    )
+    cells = rows.select(
+        "*",
+        F.explode_outer(F.from_json(F.col("_msg"), "map<string,variant>")).alias(
+            "_pos", "_cell"
+        ),
+    )
+    raw_val = F.to_json(F.try_variant_get(F.col("_cell"), "$.attributeValue", "variant"))
+    is_num = raw_val.isNotNull() & ~raw_val.startswith('"') & ~raw_val.isin(
+        "null", "true", "false"
+    ) & ~raw_val.startswith("[") & ~raw_val.startswith("{")
+    pos = F.col("_pos").try_cast("int")
+    return cells.select(
+        *[c for c in cells.columns if not c.startswith("_")],
+        pos.alias("position"),
+        F.try_variant_get(F.col("_cell"), "$.attributeKey", "string").alias(
+            "attribute_key"
+        ),
+        F.try_variant_get(F.col("_cell"), "$.attributeValue", "string").alias(
+            "value_str"
+        ),
+        F.when(is_num, F.try_variant_get(F.col("_cell"), "$.attributeValue", "double"))
+        .alias("value_num"),
+        F.when(F.col("_pos").isNotNull() & pos.isNull(),
+               F.lit("non-numeric message position")).alias("error"),
+    )
+
+
+def gcf_shape(
+    df: DataFrame,
+    dest_config: dict | None = None,
+    json_data_col: str = "json_data",
+) -> DataFrame:
+    """Google Cloud Function delivery (googlecloudfunction.go:123-160):
+    POST the routed document to the configured function URL. Columns:
+    ``function_url``, ``body`` (binary), ``error``."""
+    cfg = dest_config or {}
+    url = F.lit(cfg.get("googleCloudFunctionUrl")).cast("string")
+    error = F.when(url.isNull(), F.lit("googleCloudFunctionUrl is required"))
+    ok = error.isNull()
+    return df.select(
+        "*",
+        F.when(ok, url).alias("function_url"),
+        F.when(ok, F.col(json_data_col).cast("binary")).alias("body"),
+        error.alias("error"),
+    )
+
+
 KINESIS_CONTRACT = ["stream", "partition_key", "data"]
 LAMBDA_CONTRACT = ["function_name", "invocation_type", "client_context", "invoke_payload"]
 EVENTBRIDGE_CONTRACT = ["detail", "detail_type", "source", "event_bus_name", "resources"]
+FIREHOSE_CONTRACT = ["delivery_stream", "data"]
+WUNDERKIND_CONTRACT = ["function_name", "invocation_type", "invoke_payload"]
+PERSONALIZE_CONTRACT = ["api", "request", "tracking_id"]
+BQSTREAM_CONTRACT = ["dataset_id", "table_id", "record"]
+GOOGLESHEETS_CONTRACT = ["batch_index", "position", "attribute_key", "value_str", "value_num"]
+GCF_CONTRACT = ["function_url", "body"]

@@ -806,3 +806,32 @@ def test_t64_novelty_keyed_joins_no_expand(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
     assert "Expand" not in plan
+
+
+def test_ivf_assign_codegen_boundary(spark):
+    """IVF_CODEGEN_MAX_TERMS is the measured all-shape janino envelope
+    (r6 probe: 288 terms compiles at (3,96)(4,72)(6,48)(9,32)(12,24)
+    (18,16)(36,8); 320 fails at 3 of 4 splits). Pin the path selection at
+    the boundary: exactly-at-cap stays generated SQL, one term past takes
+    Arrow."""
+    import random
+
+    from rudder_server_spark.operators.similarity import (
+        IVF_CODEGEN_MAX_TERMS,
+        ivf_assign,
+    )
+
+    assert IVF_CODEGEN_MAX_TERMS == 288, "re-probe janino before moving the cap"
+    e = load_table(spark, SF_DIR, "embeddings").limit(50)
+    dim = 64
+    rng = random.Random(11)
+    # largest k with k*dim <= cap -> generated SQL (and it must execute)
+    k_at = IVF_CODEGEN_MAX_TERMS // dim
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k_at)]
+    at = ivf_assign(e, cents)
+    assert "ArrowEvalPython" not in at._jdf.queryExecution().executedPlan().toString()
+    assert at.where(F.col("ivf_cell").isin([0, 1])).count() >= 0  # runs
+    # first k past the cap -> Arrow
+    cents2 = cents + [[rng.uniform(-1, 1) for _ in range(dim)]]
+    past = ivf_assign(e, cents2)
+    assert "ArrowEvalPython" in past._jdf.queryExecution().executedPlan().toString()

@@ -265,3 +265,98 @@ def test_expire_uploads_retention(spark):
     # 7-day retention deletes old exported uploads regardless of the flag
     left = WA.expire_uploads(uploads, NOW, retention_days=7, skip_workspaces=("w-degraded",))
     assert sorted(r["upload_id"] for r in left.collect()) == ["u2", "u3", "u5", "u6"]
+
+
+# --------------------------------------------------- remaining stream managers
+
+def test_firehose_shape(spark):
+    docs = [
+        '{"message":{"a":1},"deliveryStreamMapTo":"ds-1"}',
+        '{"deliveryStreamMapTo":"ds-1"}',
+        '{"message":{"a":1},"deliveryStreamMapTo":""}',
+        '{"message":{"a":1}}',
+    ]
+    out = SM.firehose_shape(_frame(spark, docs)).collect()
+    assert out[0]["delivery_stream"] == "ds-1" and out[0]["error"] is None
+    import json
+    assert json.loads(bytes(out[0]["data"]).decode()) == {"a": 1}
+    assert out[1]["error"] == "message from payload not found"
+    assert out[2]["error"] == "Delivery Stream not found"
+    assert out[3]["error"] == "Delivery Stream not found"
+
+
+def test_wunderkind_shape(spark):
+    out = SM.wunderkind_shape(
+        _frame(spark, ['{"payload":"p1"}', '{"payload":""}']),
+        {"WUNDERKIND_LAMBDA": "wk-fn"},
+    ).collect()
+    # invocation type is PINNED RequestResponse (wunderkind_utils.go:4)
+    assert out[0]["function_name"] == "wk-fn"
+    assert out[0]["invocation_type"] == "RequestResponse"
+    assert out[0]["invoke_payload"] == "p1"
+    assert out[1]["error"] == "Invalid payload"
+    noenv = SM.wunderkind_shape(_frame(spark, ['{"payload":"p"}'])).collect()[0]
+    assert noenv["error"] == "wunderkind lambda is required"
+
+
+def test_personalize_shape_dispatch(spark):
+    docs = [
+        '{"choice":"PutUsers","payload":"{\\"datasetArn\\":\\"d\\"}"}',
+        '{"choice":"PutEvents","payload":"{\\"trackingId\\":\\"t-1\\"}"}',
+        '{"choice":"PutItems"}',  # listed choice, missing payload -> 400
+        '{"trackingId":"t-2","eventList":[]}',  # default: whole doc, PutEvents
+    ]
+    out = SM.personalize_shape(_frame(spark, docs)).collect()
+    assert out[0]["api"] == "PutUsers" and out[0]["tracking_id"] is None
+    assert out[1]["api"] == "PutEvents" and out[1]["tracking_id"] == "t-1"
+    assert out[2]["error"] == "Could not unmarshal jsonData"
+    assert out[3]["api"] == "PutEvents" and out[3]["tracking_id"] == "t-2"
+    assert '"eventList"' in out[3]["request"]
+
+
+def test_bqstream_shape_explodes_records(spark):
+    docs = [
+        '{"datasetId":"d1","tableId":"t1","properties":{"k":1}}',
+        '{"datasetId":"d1","tableId":"t1","properties":[{"k":1},{"k":2}]}',
+        '{"tableId":"t1","properties":{"k":1}}',
+        '{"datasetId":"d1","tableId":"t1"}',
+    ]
+    out = SM.bqstream_shape(_frame(spark, docs)).collect()
+    assert len(out) == 5  # 1 + 2 + 1 error + 1 error
+    ok = [r for r in out if r["error"] is None]
+    assert len(ok) == 3 and all(r["dataset_id"] == "d1" for r in ok)
+    import json
+    recs = sorted(json.loads(r["record"])["k"] for r in ok)
+    assert recs == [1, 1, 2]
+    errs = sorted(r["error"] for r in out if r["error"])
+    assert errs == ["datasetId and tableId are required", "error in unmarshalling data"]
+
+
+def test_googlesheets_shape_rows(spark):
+    single = (
+        '{"message":{"0":{"attributeKey":"Product","attributeValue":"Realme C3"},'
+        '"1":{"attributeKey":"Value","attributeValue":5900}}}'
+    )
+    batched = (
+        '{"batch":[{"message":{"0":{"attributeKey":"A","attributeValue":"x"}}},'
+        '{"message":{"0":{"attributeKey":"A","attributeValue":"y"}}}]}'
+    )
+    out = SM.googlesheets_shape(_frame(spark, [single])).collect()
+    cells = {r["position"]: r for r in out}
+    assert cells[0]["attribute_key"] == "Product" and cells[0]["value_str"] == "Realme C3"
+    assert cells[0]["value_num"] is None
+    # numeric attributeValue keeps number type (gjson.Number branch)
+    assert cells[1]["value_num"] == 5900.0
+    bout = SM.googlesheets_shape(_frame(spark, [batched])).collect()
+    got = sorted((r["batch_index"], r["value_str"]) for r in bout)
+    assert got == [(0, "x"), (1, "y")]
+
+
+def test_gcf_shape(spark):
+    out = SM.gcf_shape(
+        _frame(spark, ['{"a":1}']), {"googleCloudFunctionUrl": "https://fn"}
+    ).collect()[0]
+    assert out["function_url"] == "https://fn"
+    assert bytes(out["body"]).decode() == '{"a":1}'
+    bad = SM.gcf_shape(_frame(spark, ['{"a":1}'])).collect()[0]
+    assert bad["error"] == "googleCloudFunctionUrl is required"

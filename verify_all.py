@@ -32,11 +32,16 @@ SF = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # hostile probes: the driver may run non-UTC, AND with the default-
+    # sized 1g driver heap (the r3 regression class: janino/codegen driver-
+    # side compilation OOMs only surface under a small driver). Explicit so
+    # the guard cannot silently weaken if the box's defaults change.
+    driver_mem = os.environ.get("VERIFY_DRIVER_MEMORY", "1g")
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
         )
-        # hostile probe: the driver may run non-UTC; results must not care
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("verify_all")
@@ -94,6 +99,9 @@ def main() -> None:
         "failures": failures,
         "rows_only": rows_only,
         "elapsed_sec": round(time.time() - t0, 1),
+        # recorded so the artifact proves which driver heap the sweep ran
+        # under (VERDICT r5 #7: keep every row deterministic at 1g)
+        "driver_memory": spark.conf.get("spark.driver.memory", driver_mem),
     }
     # sf0.01 is the driver's gate -> canonical VERIFY_ALL.json; other SFs
     # (e.g. the 10x sf0.1 re-check) write a suffixed artifact alongside
