@@ -3122,3 +3122,134 @@ def q93(spark, sf):
         "upload_id", "source_id", "destination_id",
         "archived_staging_files", "archived_load_files",
     ).orderBy("upload_id")
+
+
+# --------------------------------------------------------------------------
+# Q94 live-events debugger — services/debugger/destination/
+# eventDeliveryStatusUploader.go: delivery statuses for destinations with
+# live-debug enabled, buffered to the latest `size` per destination inside
+# the cache TTL (cache/internal/memory/memory.go:22-26), newest first —
+# the UI's live tail. Broadcast enabled-gate + per-key WindowGroupLimit
+# (plan-pinned in tests): nothing corpus-sized is ever sorted.
+@register(
+    "q94_live_events",
+    """
+    WITH statuses AS (
+      SELECT 'dst-' || CAST(event_id % 4 AS VARCHAR) AS destination_id,
+             'job-' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS message_id,
+             CASE WHEN event_type = 'error' THEN 'failed' ELSE 'succeeded' END AS job_state,
+             ts AS sent_at
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY destination_id
+               ORDER BY sent_at DESC, message_id DESC) AS rank
+      FROM statuses
+      WHERE destination_id IN ('dst-0', 'dst-2')
+        AND sent_at >= TIMESTAMP '2024-01-31 00:00:00' - INTERVAL 72 HOUR
+    )
+    SELECT destination_id, CAST(rank AS INT) AS rank, message_id, job_state
+    FROM ranked WHERE rank <= 5
+    ORDER BY destination_id, rank
+    """,
+    doc=(
+        "Live-events debugger buffer: enabled-destination gate (broadcast "
+        "semi), TTL filter, latest-5-per-key group limit, newest first. "
+        "Ref: eventDeliveryStatusUploader.go:117-163, debugger cache "
+        "memory.go:22-26"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q94(spark, sf):
+    import datetime as _dt
+
+    from rudder_server_spark.operators.debugger import live_events_buffer
+
+    e = load_table(spark, sf, "events")
+    statuses = e.select(
+        F.concat(F.lit("dst-"), (F.col("event_id") % 4).cast("string")).alias(
+            "destination_id"
+        ),
+        F.concat(
+            F.lit("job-"), F.lpad(F.col("event_id").cast("string"), 10, "0")
+        ).alias("message_id"),
+        F.when(F.col("event_type") == "error", "failed")
+        .otherwise("succeeded")
+        .alias("job_state"),
+        F.col("ts").alias("sent_at"),
+    )
+    enabled = spark.createDataFrame(
+        [("dst-0",), ("dst-2",)], "destination_id string"
+    )
+    buf = live_events_buffer(
+        statuses, enabled, size=5, ttl_hours=72,
+        now=_dt.datetime(2024, 1, 31),
+    )
+    return buf.select(
+        "destination_id", F.col("rank").cast("int").alias("rank"),
+        "message_id", "job_state",
+    ).orderBy("destination_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Q95 suppression-store fold — enterprise/suppress-user/syncer.go:126-152 +
+# suppression-backup-service: the synced regulation update stream folded
+# into current repository state (latest update per (workspace, user) wins;
+# canceled revokes; empty source list = all sources). One max_by
+# aggregation on the bounded (workspace, user) key — the state the F2
+# suppression filter and the backup exporter both consume.
+@register(
+    "q95_suppression_fold",
+    """
+    WITH updates AS (
+      SELECT 'ws-' || CAST(user_id % 3 AS VARCHAR) AS workspace_id,
+             'u-' || CAST(user_id AS VARCHAR) AS user_id,
+             CASE WHEN event_type = 'purchase' THEN []::VARCHAR[]
+                  ELSE ['src-' || CAST(event_id % 2 AS VARCHAR)] END AS source_ids,
+             event_type = 'error' AS canceled,
+             ts AS created_at
+      FROM events WHERE event_type IN ('purchase', 'signup', 'error')
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY workspace_id, user_id
+               ORDER BY created_at DESC, canceled DESC) AS rn
+      FROM updates
+    )
+    SELECT workspace_id, user_id, source_ids, created_at
+    FROM ranked WHERE rn = 1 AND NOT canceled
+    ORDER BY workspace_id, user_id
+    """,
+    doc=(
+        "Suppression sync-stream fold to current state: latest update per "
+        "(workspace, user), cancels revoke, empty source list = wildcard. "
+        "Ref: syncer.go:126-152, suppress-user/model/model.go:16-22, "
+        "suppression-backup-service/exporter/exporter.go:50-80"
+    ),
+    tags=("rudder", "filters"),
+)
+def q95(spark, sf):
+    from rudder_server_spark.sources.suppression_store import fold_suppressions
+
+    e = load_table(spark, sf, "events").where(
+        F.col("event_type").isin("purchase", "signup", "error")
+    )
+    updates = e.select(
+        F.concat(F.lit("ws-"), (F.col("user_id") % 3).cast("string")).alias(
+            "workspace_id"
+        ),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("user_id"),
+        F.when(
+            F.col("event_type") == "purchase", F.array().cast("array<string>")
+        )
+        .otherwise(
+            F.array(
+                F.concat(F.lit("src-"), (F.col("event_id") % 2).cast("string"))
+            )
+        )
+        .alias("source_ids"),
+        (F.col("event_type") == "error").alias("canceled"),
+        F.col("ts").alias("created_at"),
+    )
+    return fold_suppressions(updates).orderBy("workspace_id", "user_id")
