@@ -1851,3 +1851,143 @@ def q92(spark, sf):
         )
     )
     return kv_final_state(redis_kv_shape(docs)).orderBy("key", "field")
+
+
+# --------------------------------------------------------------------------
+# Q96 stream-manager shape audit, batch 2 — firehose, wunderkind,
+# personalize, bqstream, googlecloudfunction (services/streammanager/):
+# per (manager, event type), resolved vs 400-failed counts; bqstream also
+# proves the record explode (rows = records, not documents).
+@register(
+    "q96_stream_shapes2",
+    f"""
+    WITH p AS (
+      SELECT json_extract_string(payload, '$.type') AS etype,
+             json_extract_string(payload, '$.event') AS ename
+      FROM read_parquet('{_ORACLE_PATH}')
+    )
+    SELECT * FROM (
+      -- firehose: deliveryStreamMapTo = event name -> no-name types fail
+      SELECT 'firehose' AS manager, etype AS event_type,
+             CAST(SUM(CASE WHEN ename IS NOT NULL AND ename <> '' THEN 1 ELSE 0 END) AS BIGINT) AS resolved,
+             CAST(SUM(CASE WHEN ename IS NOT NULL AND ename <> '' THEN 0 ELSE 1 END) AS BIGINT) AS failed
+      FROM p GROUP BY etype
+      UNION ALL
+      -- wunderkind: payload blanked for 'alias' to exercise Invalid payload
+      SELECT 'wunderkind', etype,
+             CAST(SUM(CASE WHEN etype <> 'alias' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype = 'alias' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM p GROUP BY etype
+      UNION ALL
+      -- personalize: merge -> PutUsers with payload, extract -> PutItems
+      -- WITHOUT payload (unmarshal 400), rest default PutEvents (whole doc)
+      SELECT 'personalize', etype,
+             CAST(SUM(CASE WHEN etype <> 'extract' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype = 'extract' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM p GROUP BY etype
+      UNION ALL
+      -- bqstream: track rows carry TWO records (array), others one object;
+      -- rows counted post-explode, page has no datasetId -> failed
+      SELECT 'bqstream', etype,
+             CAST(SUM(CASE WHEN etype = 'page' THEN 0
+                           WHEN etype = 'track' THEN 2 ELSE 1 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype = 'page' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM p GROUP BY etype
+      UNION ALL
+      SELECT 'gcf', etype, CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+      FROM p GROUP BY etype
+    ) ORDER BY manager, event_type
+    """,
+    doc=(
+        "Firehose/Wunderkind/Personalize/BQStream/GCF Produce-contract "
+        "audit: per-manager resolved vs 400-failed counts over the routed "
+        "stream; bqstream rows counted post-record-explode. Ref: "
+        "firehosemanager.go:49-96, wunderkindmanager.go:58-90, "
+        "personalizemanager.go:46-88, bqstreammanager.go:120-157, "
+        "googlecloudfunction.go:123-160"
+    ),
+    tags=("rudder", "sinks"),
+)
+def q96(spark, sf):
+    from rudder_server_spark.sources.streammanager import (
+        bqstream_shape,
+        firehose_shape,
+        gcf_shape,
+        personalize_shape,
+        wunderkind_shape,
+    )
+
+    src = _load(spark, sf)
+    p = F.col("payload")
+    etype = F.get_json_object(p, "$.type")
+    ename = F.get_json_object(p, "$.event")
+
+    def _js(c):
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    def audit(name, shaped, weight=None):
+        ok = F.col("error").isNull()
+        w = weight if weight is not None else F.lit(1)
+        return shaped.groupBy(etype.alias("event_type")).agg(
+            F.sum(F.when(ok, w).otherwise(0)).cast("long").alias("resolved"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("failed"),
+        ).select(F.lit(name).alias("manager"), "*")
+
+    fh_doc = F.concat(
+        F.lit('{"message":'), p,
+        F.when(
+            ename.isNotNull(),
+            F.concat(F.lit(',"deliveryStreamMapTo":'), _js(ename)),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    fh = audit("firehose", firehose_shape(src.withColumn("json_data", fh_doc)))
+
+    wk_doc = F.concat(
+        F.lit('{"payload":'),
+        _js(F.when(etype == "alias", F.lit("")).otherwise(p)),
+        F.lit("}"),
+    )
+    wk = audit(
+        "wunderkind",
+        wunderkind_shape(
+            src.withColumn("json_data", wk_doc), {"WUNDERKIND_LAMBDA": "wk-fn"}
+        ),
+    )
+
+    pz_doc = (
+        F.when(
+            etype == "merge",
+            F.concat(F.lit('{"choice":"PutUsers","payload":'), _js(p), F.lit("}")),
+        )
+        .when(etype == "extract", F.lit('{"choice":"PutItems"}'))
+        .otherwise(p)
+    )
+    pz = audit("personalize", personalize_shape(src.withColumn("json_data", pz_doc)))
+
+    bq_props = F.when(
+        etype == "track", F.concat(F.lit("["), p, F.lit(","), p, F.lit("]"))
+    ).otherwise(p)
+    bq_doc = F.concat(
+        F.when(etype == "page", F.lit('{"tableId":"t",')).otherwise(
+            F.lit('{"datasetId":"d","tableId":"t",')
+        ),
+        F.lit('"properties":'),
+        bq_props,
+        F.lit("}"),
+    )
+    bq_shaped = bqstream_shape(src.withColumn("json_data", bq_doc))
+    bq = audit("bqstream", bq_shaped)
+
+    gcf = audit(
+        "gcf",
+        gcf_shape(
+            src.withColumn("json_data", p), {"googleCloudFunctionUrl": "https://fn"}
+        ),
+    )
+
+    return (
+        bq.unionByName(fh).unionByName(gcf).unionByName(pz).unionByName(wk)
+        .orderBy("manager", "event_type")
+    )
