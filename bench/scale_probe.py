@@ -117,7 +117,18 @@ def build_scaled_events(spark, k: int, sf_dir: str) -> str:
     from functools import reduce
 
     corpus = reduce(lambda a, b: a.unionByName(b), reps)
-    corpus.write.mode("overwrite").parquet(out)
+    # reproduce the base fixture's layout discipline (rudder_events.py:
+    # clustered by event_type, bounded row groups): DuckDB's window/dedup
+    # oracles are strongly layout-sensitive (measured 40x on q69 between
+    # the clustered single file and a naive multi-part copy of the SAME
+    # rows), and the probe must not handicap the baseline side.
+    (
+        corpus.repartition(1)
+        .sortWithinPartitions("event_type", "message_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024 * 1024)
+        .parquet(out)
+    )
     return sf_dir
 
 
@@ -236,7 +247,7 @@ def probe_fanout(spark, reg, ks) -> None:
     for k in ks:
         sf_dir = build_scaled_events(spark, k, f"/tmp/rss_ev_{k}x")
         glob = os.path.join(rudder_events_path(sf_dir), "*.parquet")
-        for name in ("q16_tracks_table", "q17_fanout_counts"):
+        for name in ("q16_tracks_table", "q17_fanout_counts", "q69_batch_pipeline"):
             qd = reg[name]
             engine = _time_engine(
                 spark,
@@ -248,6 +259,74 @@ def probe_fanout(spark, reg, ks) -> None:
             duck = _time_duck([], qd.oracle.replace(base_fixture, glob))
             _emit(
                 k=k, query=name, engine_warm_sec=engine, duckdb_warm_sec=duck,
+                ratio=round(engine / duck, 2) if duck else None,
+            )
+
+
+def build_scaled_sf(spark, k: int, out_dir: str) -> str:
+    """A scaled driver-table sf dir: events.parquet at k x the base (event
+    and user id spaces offset per replica so per-user/cohort structure is
+    replicated, not densified), every other table symlinked from the base —
+    queries and oracles run unmodified against it."""
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.sources.fixtures import TABLES, load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(BASE_SF, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if t != "events" and os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    ev_out = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(ev_out):
+        return out_dir
+    e = load_table(spark, BASE_SF, "events")
+    reps = [
+        e.withColumn("event_id", F.col("event_id") + F.lit(r * 10**9)).withColumn(
+            "user_id", F.col("user_id") + F.lit(r * 10**7)
+        )
+        for r in range(k)
+    ]
+    from functools import reduce
+
+    # same layout discipline as build_scaled_events (single sorted file,
+    # bounded row groups) so the oracle side is never layout-handicapped
+    (
+        reduce(lambda a, b: a.unionByName(b), reps)
+        .repartition(1)
+        .sortWithinPartitions("event_type", "ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024 * 1024)
+        .parquet(ev_out)
+    )
+    return out_dir
+
+
+def probe_floors(spark, reg, ks) -> None:
+    """The remaining perf-weak floor rows (q3 pileup, q39 column profile,
+    q79 retention): multi-stage DAGs whose sf0.1 cost is dominated by
+    local-mode scheduling floors. Measured here at growing event volume to
+    show the ratio falls as real work amortizes the floors."""
+    for k in ks:
+        sf_dir = build_scaled_sf(spark, k, f"/tmp/rss_sf_{k}x")
+        glob_ev = os.path.join(sf_dir, "events.parquet", "*.parquet")
+        setup = [
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob_ev}')"
+        ]
+        for name in ("q3_pileup", "q39_column_profile", "q79_retention"):
+            qd = reg[name]
+            engine = _time_engine(
+                spark,
+                lambda: qd.spark_fn(spark, sf_dir)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+            )
+            duck = _time_duck(setup, qd.oracle)
+            _emit(
+                k=k, events=100_000 * k, query=name, engine_warm_sec=engine,
+                duckdb_warm_sec=duck,
                 ratio=round(engine / duck, 2) if duck else None,
             )
 
@@ -266,6 +345,8 @@ def main() -> None:
         probe_cc(spark, reg, ks)
     if which in ("all", "fanout"):
         probe_fanout(spark, reg, ks)
+    if which in ("all", "floors"):
+        probe_floors(spark, reg, ks)
 
 
 if __name__ == "__main__":
