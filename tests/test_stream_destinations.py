@@ -360,3 +360,55 @@ def test_gcf_shape(spark):
     assert bytes(out["body"]).decode() == '{"a":1}'
     bad = SM.gcf_shape(_frame(spark, ['{"a":1}'])).collect()[0]
     assert bad["error"] == "googleCloudFunctionUrl is required"
+
+
+# ------------------------------------------------------------ edge hardening
+
+def test_wrap_stream_event_identity_fallbacks(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"userId":"u1","anonymousId":"a1"}',),
+            ('{"userId":"","anonymousId":"a2"}',),  # empty -> anonymousId
+            ('{"type":"merge"}',),  # neither -> ""
+        ],
+        "payload string",
+    )
+    out = SM.wrap_stream_event(df).collect()
+    import json
+    uids = [json.loads(r["json_data"])["userId"] for r in out]
+    assert uids == ["u1", "a2", ""]
+    # message rides as the raw payload subtree
+    assert json.loads(out[2]["json_data"])["message"] == {"type": "merge"}
+
+
+def test_redis_empty_fields_object_is_error_row(spark):
+    out = KV.redis_kv_shape(
+        _frame(spark, ['{"message":{"key":"u1","fields":{}}}'])
+    ).collect()
+    assert len(out) == 1 and out[0]["op"] is None and out[0]["error"] is not None
+
+
+def test_googlesheets_non_numeric_position_errors(spark):
+    doc = '{"message":{"x":{"attributeKey":"A","attributeValue":"v"}}}'
+    out = SM.googlesheets_shape(_frame(spark, [doc])).collect()
+    assert len(out) == 1
+    assert out[0]["position"] is None
+    assert out[0]["error"] == "non-numeric message position"
+
+
+def test_archive_dump_sorted_within_partitions(spark, tmp_path):
+    """The reference's dump pages ORDER BY id (archiver.go:148-160) — pin
+    that each written file is id-sorted."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    uploads, staging, load = _wh_frames(spark)
+    WA.archive_uploads(
+        uploads, staging, load, NOW, days=7,
+        skip_workspaces=("w-degraded",), dump_dir=str(tmp_path / "d"),
+    )
+    files = _glob.glob(str(tmp_path / "d" / "**" / "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        ids = pq.read_table(f).column("id").to_pylist()
+        assert ids == sorted(ids)
