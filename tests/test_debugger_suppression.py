@@ -126,3 +126,49 @@ def test_export_restore_roundtrip(spark, tmp_path):
     a = sorted((r["workspace_id"], r["user_id"]) for r in restored.collect())
     b = sorted((r["workspace_id"], r["user_id"]) for r in state.collect())
     assert a == b
+
+
+# -------------------------------------------- gjson-parity property test
+
+def test_redis_hmset_gjson_parity_property(spark):
+    """Differential fuzz: redis_kv_shape's HMSET rows must equal the Go
+    reference semantics (EventToKeyValue, kvstoremanager.go:52-61 —
+    fields[k] = gjson v.Str: the string content for JSON strings, ''
+    for numbers/bools/null/containers) over random field objects."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from rudder_server_spark.operators.kv_destinations import redis_kv_shape
+
+    val = st.one_of(
+        st.text(alphabet="abc é\"\\", max_size=6),
+        st.integers(-10**6, 10**6),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.booleans(),
+        st.none(),
+        st.lists(st.integers(0, 3), max_size=2),
+        st.dictionaries(st.sampled_from(["x", "y"]), st.integers(0, 3), max_size=2),
+    )
+    fields = st.dictionaries(
+        st.text(alphabet="abcdef_", min_size=1, max_size=6), val,
+        min_size=1, max_size=5,
+    )
+
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(fields)
+    def check(f):
+        doc = json.dumps({"message": {"key": "k", "fields": f}})
+        got = {
+            r["field"]: r["value"]
+            for r in redis_kv_shape(_fr(doc)).collect()
+        }
+        want = {k: (v if isinstance(v, str) else "") for k, v in f.items()}
+        assert got == want, (got, want, doc)
+
+    _fr = lambda d: spark.createDataFrame([(d,)], "json_data string")  # noqa: E731
+    check()
