@@ -377,6 +377,41 @@ def gcf_shape(
     )
 
 
+def stream_sink(
+    shape_fn,
+    contract_cols: list,
+    producer,
+    dest_config: dict | None = None,
+    on_error=None,
+):
+    """foreachBatch sink factory for any stream manager — the S9 streaming
+    path generalized from sources/kafka.kafka_sink: shape each micro-batch
+    with ``shape_fn(df, dest_config)`` (or ``shape_fn(df)`` for managers
+    without a config, e.g. eventbridge), publish the error-free contract
+    columns through the injectable ``producer(df)``, and hand shaping
+    failures to ``on_error(df, epoch_id)`` (the streaming proc_error
+    analogue) when provided. Mirrors the router's per-destination worker
+    loop (router/handle.go) with the provider SDK behind the seam."""
+    import inspect
+
+    takes_config = len(inspect.signature(shape_fn).parameters) > 2 or (
+        "dest_config" in inspect.signature(shape_fn).parameters
+        or "env_config" in inspect.signature(shape_fn).parameters
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        shaped = (
+            shape_fn(batch_df, dest_config) if takes_config else shape_fn(batch_df)
+        )
+        failed = publish_stream(shaped, contract_cols, producer=producer)
+        if on_error is not None:
+            on_error(failed, epoch_id)
+
+    return write_batch
+
+
 KINESIS_CONTRACT = ["stream", "partition_key", "data"]
 LAMBDA_CONTRACT = ["function_name", "invocation_type", "client_context", "invoke_payload"]
 EVENTBRIDGE_CONTRACT = ["detail", "detail_type", "source", "event_bus_name", "resources"]

@@ -412,3 +412,37 @@ def test_archive_dump_sorted_within_partitions(spark, tmp_path):
     for f in files:
         ids = pq.read_table(f).column("id").to_pylist()
         assert ids == sorted(ids)
+
+
+def test_stream_sink_foreachbatch_roundtrip(spark):
+    """stream_sink generalizes kafka_sink to every manager: shape, publish
+    error-free contract rows through the seam, route failures to on_error."""
+    sent, errs = [], []
+
+    def producer(df):
+        sent.extend(df.collect())
+
+    def on_error(df, epoch_id):
+        errs.append((epoch_id, df.count()))
+
+    sink = SM.stream_sink(
+        SM.kinesis_shape, SM.KINESIS_CONTRACT, producer,
+        dest_config={"stream": "s1", "useMessageID": True}, on_error=on_error,
+    )
+    batch = _frame(
+        spark,
+        ['{"message":{"messageId":"m1","a":1},"userId":"u1"}', '{"userId":"u2"}'],
+    )
+    sink(batch, epoch_id=7)
+    assert len(sent) == 1 and sent[0]["partition_key"] == "m1"
+    assert errs == [(7, 1)]
+    # config-less manager (eventbridge) works through the same factory
+    sent.clear(); errs.clear()
+    sink2 = SM.stream_sink(
+        SM.eventbridge_shape, SM.EVENTBRIDGE_CONTRACT, producer, on_error=on_error
+    )
+    sink2(_frame(spark, ['{"detail":"d","detailType":"t","source":"s"}']), 1)
+    assert len(sent) == 1 and errs == [(1, 0)]
+    # empty batch short-circuits without touching the producer
+    sink2(_frame(spark, []).limit(0), 2)
+    assert len(sent) == 1
