@@ -665,3 +665,88 @@ def ngram_novelty(
             F.col("n_novel").cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+
+
+def strip_repeated_passages(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-passage REMOVAL — the strip pass of Lee et al. 2021
+    (arXiv:2107.06499 §4: delete every n-token span occurring in ≥
+    ``min_docs`` distinct documents), completing t51's mining stats with
+    the cleaning operator a training pipeline actually runs.
+
+    Returns (id_col, clean_text, n_tokens, n_removed): the NORMALIZED
+    (lowercased, whitespace-collapsed) text with every covered token
+    excised — overlapping repeated spans merge naturally because removal
+    is by covered token POSITION, not by span string.
+
+    Scale shape: positions ride a ``transform(sequence(...))`` over the
+    token array (JVM-side, no Python crossing); the corpus-wide
+    span-frequency aggregate shuffles 8-byte xxhash64 keys with map-side
+    combine absorbing hot boilerplate; the join-back carries only
+    REPEATED (doc, start) pairs, so the per-doc coverage flatten is
+    bounded by repeated-span count × n, and the rebuild (array_except of
+    index sequences + element_at) is linear per document. Two shuffles
+    total, both linear in corpus span count — removal never materializes
+    doc pairs. In-doc self-repeats do NOT qualify a span (frequency
+    counts DISTINCT documents, matching the paper's between-doc dedup),
+    but once a span qualifies, EVERY occurrence in every doc is excised.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.col(id_col).alias("sid"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("tk"),
+    ).localCheckpoint(eager=False)
+    # the short-doc guard must live INSIDE the expression: a .where() in
+    # the same projection does not stop sequence(0, negative) evaluating
+    with_spans = base.select(
+        "sid",
+        F.expr(
+            f"CASE WHEN size(tk) >= {n} THEN "
+            f"transform(sequence(0, size(tk) - {n}), "
+            f"s -> struct(s AS s, xxhash64(concat_ws(' ', slice(tk, s + 1, {n}))) AS h)) "
+            f"ELSE array() END"
+        ).alias("spans"),
+    )
+    ex = with_spans.select("sid", F.explode("spans").alias("sp")).select(
+        "sid", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
+    )
+    rep = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("sid").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        ex.join(rep, "h")
+        .groupBy("sid")
+        .agg(F.collect_set("s").alias("starts"))
+        .select(
+            "sid",
+            F.expr(
+                f"array_distinct(flatten(transform(starts, s -> sequence(s, s + {n - 1}))))"
+            ).alias("cov"),
+        )
+    )
+    return (
+        base.join(covered, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.expr(
+                "concat_ws(' ', transform("
+                "  array_except(CASE WHEN size(tk) = 0 THEN array() "
+                "               ELSE sequence(0, size(tk) - 1) END, "
+                "               coalesce(cov, array())), "
+                "  i -> element_at(tk, i + 1)))"
+            ).alias("clean_text"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )

@@ -2708,3 +2708,62 @@ def t64(spark, sf):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# T65 strip repeated passages — the REMOVAL half of Lee et al. 2021
+# (arXiv:2107.06499 §4) completing t51's mining stats: every 8-token span
+# occurring in >= 2 distinct documents is excised by covered token
+# position (overlapping spans merge), returning the cleaned normalized
+# text. Two linear shuffles (span-frequency on 8-byte hashes, per-doc
+# coverage); the rebuild is JVM-side array surgery — no doc pairs, no
+# Python, no quadratic tier.
+@register(
+    "t65_strip_passages",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             END AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS span
+      FROM t, UNNEST(CASE WHEN len(tk) >= 8 THEN generate_series(0, len(tk)-8)
+                          ELSE []::BIGINT[] END) AS g(s)
+    ),
+    rep AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT doc_id, list_sort(list_distinct(flatten(list(gs)))) AS covered
+      FROM (SELECT w.doc_id, generate_series(w.s, w.s+7) AS gs
+            FROM w JOIN rep USING (span))
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(CASE WHEN len(tk) = 0 THEN []::BIGINT[]
+                                ELSE generate_series(0, len(tk)-1) END,
+                           i -> NOT list_contains(COALESCE(cov.covered, []::BIGINT[]), i)),
+               i -> tk[i+1]),
+             ' '), '') AS clean_text,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(cov.covered), 0) AS BIGINT) AS n_removed
+    FROM t LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Repeated-passage removal (Lee et al. 2021 strip pass): excise "
+        "every 8-token span shared by >=2 docs, by covered token position "
+        "(overlaps merge). Linear span-hash shuffle + bounded coverage "
+        "join-back; completes t51's mining with the cleaning operator."
+    ),
+    tags=("training", "dedup"),
+)
+def t65(spark, sf):
+    from rudder_server_spark.operators.dedup import strip_repeated_passages
+
+    d = load_table(spark, sf, "documents")
+    return strip_repeated_passages(d, n=8, min_docs=2)

@@ -1032,3 +1032,39 @@ def test_chunk_documents_windows_and_edges(spark):
     assert [r["chunk_idx"] for r in by_doc[1]] == [0, 1, 2, 3]
     assert [r["n_tokens"] for r in by_doc[2]] == [1]
     assert 3 not in by_doc
+
+
+def test_strip_repeated_passages_semantics(spark):
+    """Lee et al. strip pass: planted cross-doc boilerplate is fully
+    excised (overlapping windows merge), clean/short/empty docs pass
+    through, and in-doc self-repeats alone do NOT qualify a span."""
+    from rudder_server_spark.operators.dedup import strip_repeated_passages
+
+    boil = "subscribe to our newsletter for the latest updates and offers today"
+    selfrep = "x1 x2 x3 x4 x5 x6 x7 x8 " * 2  # same 8-gram twice, ONE doc
+    docs = [
+        (1, f"alpha bravo charlie {boil} delta echo"),
+        (2, f"{boil} foxtrot golf hotel india juliet kilo"),
+        (3, "unique text with no shared passages at all here ok"),
+        (4, "short doc"),
+        (5, ""),
+        (6, selfrep.strip()),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in strip_repeated_passages(df, n=8, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "alpha bravo charlie delta echo"
+    assert out[2]["clean_text"] == "foxtrot golf hotel india juliet kilo"
+    assert out[1]["n_removed"] == 11 and out[2]["n_removed"] == 11
+    assert out[3]["n_removed"] == 0 and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_tokens"] == 0
+    # min_docs counts DISTINCT documents: a self-repeat is not boilerplate
+    assert out[6]["n_removed"] == 0
+
+    # idempotence: stripping the stripped corpus is a no-op (no span can
+    # still be shared once all shared spans are gone)
+    cleaned = spark.createDataFrame(
+        [(k, v["clean_text"]) for k, v in out.items()], "doc_id long, text string"
+    )
+    again = {r["doc_id"]: r for r in strip_repeated_passages(cleaned, n=8, min_docs=2).collect()}
+    assert all(r["n_removed"] == 0 for r in again.values())
+    assert all(again[k]["clean_text"] == out[k]["clean_text"] for k in out)
