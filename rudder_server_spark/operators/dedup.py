@@ -750,3 +750,84 @@ def strip_repeated_passages(
         )
         .orderBy(id_col)
     )
+
+
+def strip_contaminated_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Decontamination REMOVAL — excise every ``n``-token span of a
+    TRAINING document that also occurs anywhere in the BENCHMARK corpus
+    (the surgical alternative to t19/t42's drop-the-document detection;
+    the n-gram-overlap decontamination of GPT-3 appendix C / PaLM §6.1,
+    applied at span rather than document grain).
+
+    Returns (id_col, clean_text, n_tokens, n_removed) over ``train``,
+    normalized like :func:`strip_repeated_passages`.
+
+    Scale shape: the benchmark side reduces to DISTINCT 8-byte span
+    hashes (tiny relative to any training corpus — benchmarks are
+    bounded); the train side joins its positioned spans against that
+    set — Spark/AQE broadcasts it when small, hash-join otherwise — so
+    the work is one linear pass over training spans; coverage/rebuild
+    identical to the repeated-passage strip. No doc pairs, no Python.
+    """
+    def _spans(df: DataFrame) -> DataFrame:
+        norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        base = df.select(
+            F.col(id_col).alias("sid"),
+            F.when(norm == "", F.array().cast("array<string>"))
+            .otherwise(F.split(norm, " "))
+            .alias("tk"),
+        )
+        return base.select(
+            "sid",
+            "tk",
+            F.expr(
+                f"CASE WHEN size(tk) >= {n} THEN "
+                f"transform(sequence(0, size(tk) - {n}), "
+                f"s -> struct(s AS s, xxhash64(concat_ws(' ', slice(tk, s + 1, {n}))) AS h)) "
+                f"ELSE array() END"
+            ).alias("spans"),
+        )
+
+    bench_hashes = (
+        _spans(benchmark)
+        .select(F.explode("spans").alias("sp"))
+        .select(F.col("sp.h").alias("h"))
+        .distinct()
+    )
+    tr = _spans(train).localCheckpoint(eager=False)
+    ex = tr.select("sid", F.explode("spans").alias("sp")).select(
+        "sid", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
+    )
+    covered = (
+        ex.join(bench_hashes, "h")
+        .groupBy("sid")
+        .agg(F.collect_set("s").alias("starts"))
+        .select(
+            "sid",
+            F.expr(
+                f"array_distinct(flatten(transform(starts, s -> sequence(s, s + {n - 1}))))"
+            ).alias("cov"),
+        )
+    )
+    return (
+        tr.join(covered, "sid", "left")
+        .select(
+            F.col("sid").alias(id_col),
+            F.expr(
+                "concat_ws(' ', transform("
+                "  array_except(CASE WHEN size(tk) = 0 THEN array() "
+                "               ELSE sequence(0, size(tk) - 1) END, "
+                "               coalesce(cov, array())), "
+                "  i -> element_at(tk, i + 1)))"
+            ).alias("clean_text"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )

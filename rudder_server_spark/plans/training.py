@@ -2767,3 +2767,69 @@ def t65(spark, sf):
 
     d = load_table(spark, sf, "documents")
     return strip_repeated_passages(d, n=8, min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# T66 span-level decontamination — excise every 8-token span a training
+# document shares with the benchmark corpus (benchmark = every 10th
+# fixture doc), the surgical sibling of t19/t42's drop-the-document
+# detection. Benchmark side reduces to distinct span hashes (bounded);
+# train side is one linear positioned-span join + the t65 rebuild.
+@register(
+    "t66_strip_contamination",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             CASE WHEN trim(regexp_replace(lower(text), '\s+', ' ', 'g')) = ''
+                  THEN []::VARCHAR[]
+                  ELSE string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+             END AS tk
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT array_to_string(tk[s+1:s+8], ' ') AS span
+      FROM norm, UNNEST(CASE WHEN len(tk) >= 8 THEN generate_series(0, len(tk)-8)
+                             ELSE []::BIGINT[] END) AS g(s)
+      WHERE doc_id % 10 = 0
+    ),
+    train AS (SELECT * FROM norm WHERE doc_id % 10 <> 0),
+    w AS (
+      SELECT doc_id, s, array_to_string(tk[s+1:s+8], ' ') AS span
+      FROM train, UNNEST(CASE WHEN len(tk) >= 8 THEN generate_series(0, len(tk)-8)
+                              ELSE []::BIGINT[] END) AS g(s)
+    ),
+    cov AS (
+      SELECT doc_id, list_sort(list_distinct(flatten(list(gs)))) AS covered
+      FROM (SELECT w.doc_id, generate_series(w.s, w.s+7) AS gs
+            FROM w JOIN bench USING (span))
+      GROUP BY doc_id
+    )
+    SELECT train.doc_id,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(CASE WHEN len(tk) = 0 THEN []::BIGINT[]
+                                ELSE generate_series(0, len(tk)-1) END,
+                           i -> NOT list_contains(COALESCE(cov.covered, []::BIGINT[]), i)),
+               i -> tk[i+1]),
+             ' '), '') AS clean_text,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(cov.covered), 0) AS BIGINT) AS n_removed
+    FROM train LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Span-level decontamination: strip every 8-token span shared with "
+        "the benchmark corpus from training docs (GPT-3 appx C / PaLM "
+        "§6.1 n-gram overlap, at span grain). Benchmark reduces to "
+        "distinct span hashes; one linear train-side join + positioned "
+        "rebuild."
+    ),
+    tags=("training", "dedup"),
+)
+def t66(spark, sf):
+    from rudder_server_spark.operators.dedup import strip_contaminated_spans
+
+    d = load_table(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    train = d.where(F.col("doc_id") % 10 != 0)
+    return strip_contaminated_spans(train, bench, n=8)

@@ -1068,3 +1068,25 @@ def test_strip_repeated_passages_semantics(spark):
     again = {r["doc_id"]: r for r in strip_repeated_passages(cleaned, n=8, min_docs=2).collect()}
     assert all(r["n_removed"] == 0 for r in again.values())
     assert all(again[k]["clean_text"] == out[k]["clean_text"] for k in out)
+
+
+def test_strip_contaminated_spans_semantics(spark):
+    """Decontamination strip: training spans shared with the benchmark are
+    excised; train-only repeats survive; benchmark docs are untouched
+    input (not in the output)."""
+    from rudder_server_spark.operators.dedup import strip_contaminated_spans
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {leak} outro words"),
+            (2, "totally original training text with nothing leaked here ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_contaminated_spans(train, bench, n=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "intro words outro words"
+    assert out[1]["n_removed"] == 10  # the full 10-token leaked passage
+    assert out[2]["n_removed"] == 0
