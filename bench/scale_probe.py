@@ -167,7 +167,7 @@ def probe_dedup(spark, reg, ks) -> None:
         sf_dir = build_scaled_corpus(spark, k, f"/tmp/rss_scale_{k}x")
         glob = os.path.join(sf_dir, "documents.parquet", "*.parquet")
         view = f"CREATE VIEW documents AS SELECT * FROM read_parquet('{glob}')"
-        for name in ("t2_ngram_jaccard", "t3_minhash_lsh", "t55_dup_clusters"):
+        for name in ("t2_ngram_jaccard", "t3_minhash_lsh", "t55_dup_clusters", "t65_strip_passages"):
             qd = reg[name]
             engine = _time_engine(
                 spark,
