@@ -1991,3 +1991,79 @@ def q96(spark, sf):
         bq.unionByName(fh).unionByName(gcf).unionByName(pz).unionByName(wk)
         .orderBy("manager", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q97 Google Sheets row-values audit — the last stream manager without an
+# oracle row (googlesheetsmanager.go:120-260): track events become
+# positioned sheet cells ({"0": messageId, "1": event, "2": price}); the
+# shape explodes message maps into (batch_index, position, key, value)
+# cells with gjson number/string typing. Audit: per (position,
+# attribute_key), cell count and how many kept a numeric value.
+@register(
+    "q97_sheets_rows",
+    f"""
+    WITH tr AS (
+      SELECT json_extract_string(payload, '$.messageId') AS msgid,
+             json_extract_string(payload, '$.event') AS ename,
+             json_extract(payload, '$.properties.price') AS price
+      FROM read_parquet('{_ORACLE_PATH}')
+      WHERE json_extract_string(payload, '$.type') = 'track'
+    ),
+    cells AS (
+      SELECT 0 AS position, 'messageId' AS attribute_key,
+             1 AS n, 0 AS numeric_n FROM tr
+      UNION ALL
+      SELECT 1, 'event', 1, 0 FROM tr
+      UNION ALL
+      SELECT 2, 'price', 1,
+             CASE WHEN json_type(price) IN ('DOUBLE','BIGINT','UBIGINT') THEN 1 ELSE 0 END
+      FROM tr
+    )
+    SELECT position, attribute_key,
+           CAST(SUM(n) AS BIGINT) AS n_cells,
+           CAST(SUM(numeric_n) AS BIGINT) AS n_numeric
+    FROM cells GROUP BY position, attribute_key
+    ORDER BY position, attribute_key
+    """,
+    doc=(
+        "Google Sheets destination shaping audit: positioned cell rows "
+        "from track events with gjson number/string typing (numeric "
+        "attributeValues keep their type, strings land in value_str). "
+        "Ref: googlesheetsmanager.go:120-260"
+    ),
+    tags=("rudder", "sinks"),
+)
+def q97(spark, sf):
+    from rudder_server_spark.sources.streammanager import googlesheets_shape
+
+    src = _load(spark, sf)
+    p = F.col("payload")
+    etype = F.get_json_object(p, "$.type")
+
+    def _js(c):
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    doc = F.concat(
+        F.lit('{"message":{"0":{"attributeKey":"messageId","attributeValue":'),
+        _js(F.get_json_object(p, "$.messageId")),
+        F.lit('},"1":{"attributeKey":"event","attributeValue":'),
+        _js(F.get_json_object(p, "$.event")),
+        F.lit('},"2":{"attributeKey":"price","attributeValue":'),
+        F.coalesce(F.get_json_object(p, "$.properties.price"), F.lit("null")),
+        F.lit("}}}"),
+    )
+    shaped = googlesheets_shape(
+        src.where(etype == "track").withColumn("json_data", doc)
+    )
+    return (
+        shaped.groupBy("position", "attribute_key")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.when(F.col("value_num").isNotNull(), 1).otherwise(0)).alias(
+                "n_numeric"
+            ),
+        )
+        .orderBy("position", "attribute_key")
+    )
