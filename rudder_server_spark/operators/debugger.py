@@ -37,7 +37,7 @@ def live_events_buffer(
     ts_col: str = "sent_at",
     order_col: str = "message_id",
     size: int = 3,
-    ttl_hours: int = 3,
+    ttl_hours: int | None = 3,
     now: datetime.datetime | None = None,
 ) -> DataFrame:
     """The per-key live-events cache state: for each ENABLED key, the
@@ -46,11 +46,20 @@ def live_events_buffer(
     ``enabled_keys`` is the backend-config gate (one column named like
     ``key_col``) — broadcast, like every control-plane dimension here.
     ``order_col`` breaks timestamp ties deterministically.
+
+    ``now`` anchors the TTL cutoff and is REQUIRED while ``ttl_hours`` is
+    set (the default); pass ``ttl_hours=None`` to disable age filtering
+    explicitly. Raising beats silently returning an unbounded-age buffer.
     """
+    if ttl_hours is not None and now is None:
+        raise ValueError(
+            "ttl_hours is set but now is None — pass now= to anchor the "
+            "TTL cutoff, or ttl_hours=None to disable age filtering"
+        )
     gated = df.join(
         F.broadcast(enabled_keys.select(key_col).distinct()), key_col, "semi"
     )
-    if now is not None:
+    if ttl_hours is not None:
         cutoff = now - datetime.timedelta(hours=ttl_hours)
         gated = gated.where(F.col(ts_col) >= F.lit(cutoff))
     w = Window.partitionBy(key_col).orderBy(

@@ -5,11 +5,23 @@ The reference's router/customdestinationmanager routes KV destinations
 services/kvstoremanager: per event, ``send`` picks one of three write
 modes (customdestinationmanager.go:136-148):
 
-  1. ``ShouldSendDataAsJSON`` (config ``shouldSendDataAsJson``): the whole
-     jsonData document is SET as JSON under a configured key prefix —
-     modeled here as op='SETJSON' with value = message JSON;
+  1. ``ShouldSendDataAsJSON`` — gated on destination config
+     ``useJSONModule`` (redis/redis.go:253-261): ``SendDataAsJSON``
+     (redis.go:238-248) issues ``JSONSet(message.key, path, value)`` where
+     key/path/value come straight off the document
+     (extractJSONSetArgs, redis.go:226-236) — modeled here as op='SETJSON'
+     rows ``(key=message.key, field=message.path, value=message.value)``.
+     The reference's merge strategy (setArgsForMergeStrategy,
+     redis.go:185-218: JSONGet the existing doc, nest the value under path
+     with sjson, RFC-7386 merge-patch, JSONSet(key, "$", merged)) is
+     stateful against the live Redis value, so it belongs to the writer
+     seam, not the relation — ``send_kv``'s injectable writer receives the
+     per-event JSONSet args and applies the merge at delivery time. This
+     simplification is deliberate and documented here.
   2. HSET-compatible events — ``message.hash``, ``message.key``,
-     ``message.value`` all present (kvstoremanager.go:63-79):
+     ``message.value`` all PRESENT (IsHSETCompatibleEvent,
+     kvstoremanager.go:64-72, uses gjson Exists(): an explicit JSON null
+     counts as present and extracts as "" via .String()):
      ``HSET(hash, key, value)``;
   3. default: ``EventToKeyValue`` (kvstoremanager.go:52-61) —
      ``HMSET(message.key, message.fields)`` where fields is the string map
@@ -37,44 +49,51 @@ def redis_kv_shape(
     """Project each routed event into its Redis write rows.
 
     Returns the input columns plus ``op`` ('SETJSON' | 'HSET' | 'HMSET'),
-    ``key``, ``field`` (NULL for SETJSON), ``value``. HMSET events fan out
-    one row per entry of ``message.fields``; events with no usable key
-    produce op=NULL rows with ``error`` set (the reference's kv manager
-    errors them at send time).
+    ``key``, ``field`` (for SETJSON: the JSONPath ``message.path``, NULL =
+    root insert), ``value``. HMSET events fan out one row per entry of
+    ``message.fields``; events with no usable key produce op=NULL rows
+    with ``error`` set (the reference's kv manager errors them at send
+    time).
     """
     cfg = dest_config or {}
     j = F.col(json_data_col)
     g = lambda p: F.get_json_object(j, f"$.{p}")  # noqa: E731
     nonempty = lambda c: F.when(c.isNotNull() & (c != ""), c)  # noqa: E731
 
-    if cfg.get("shouldSendDataAsJson"):
-        prefix = str(cfg.get("prefix") or "")
-        key = F.concat(F.lit(prefix), g("message.key"))
+    if cfg.get("useJSONModule"):
+        # SendDataAsJSON args (extractJSONSetArgs, redis.go:226-236);
+        # the writer applies the merge strategy — see module docstring.
         row = F.array(
             F.struct(
                 F.lit("SETJSON").alias("op"),
-                key.alias("key"),
-                F.lit(None).cast("string").alias("field"),
-                g("message").alias("value"),
+                g("message.key").alias("key"),
+                nonempty(g("message.path")).alias("field"),
+                g("message.value").alias("value"),
             )
         )
         shaped = df.select("*", F.inline(row))
         return shaped.withColumn(
             "error",
-            F.when(nonempty(g("message.key")).isNull(), F.lit("key is required")),
+            F.when(nonempty(F.col("key")).isNull(), F.lit("key is required")),
         )
 
-    hset_ok = (
-        g("message.hash").isNotNull()
-        & g("message.key").isNotNull()
-        & g("message.value").isNotNull()
+    # IsHSETCompatibleEvent uses gjson Exists() — presence, not non-null:
+    # message.value:null must still route to HSET (extracted as "" by
+    # .String()). get_json_object can't distinguish null from absent, so
+    # test key membership on the message object itself.
+    msg_keys = F.json_object_keys(g("message"))
+    present = lambda k: F.coalesce(  # noqa: E731
+        F.array_contains(msg_keys, k), F.lit(False)
     )
+    hset_ok = present("hash") & present("key") & present("value")
+    # gjson .String() of an explicit null is "" (ExtractHashKeyValueFromEvent)
+    gs = lambda p: F.coalesce(g(p), F.lit(""))  # noqa: E731
     hset_rows = F.array(
         F.struct(
             F.lit("HSET").alias("op"),
-            g("message.hash").alias("key"),
-            g("message.key").alias("field"),
-            g("message.value").alias("value"),
+            gs("message.hash").alias("key"),
+            gs("message.key").alias("field"),
+            gs("message.value").alias("value"),
         )
     )
     # EventToKeyValue keeps only STRING field values (result[k] = v.Str —
@@ -101,10 +120,14 @@ def redis_kv_shape(
     # inline_outer keeps key-less / field-less events as NULL-op rows so the
     # error column can report them (keep-with-status, like F7)
     shaped = df.select("*", F.inline_outer(rows))
+    # An HSET row keeps an empty key (explicit null hash extracts to "" and
+    # Redis accepts "" as a key name — the reference would write it); only
+    # op-less events and key-less HMSETs are errored.
     return shaped.withColumn(
         "error",
         F.when(
-            F.col("op").isNull() | nonempty(F.col("key")).isNull(),
+            F.col("op").isNull()
+            | ((F.col("op") != "HSET") & nonempty(F.col("key")).isNull()),
             F.lit("no hash/key/value or key/fields in event"),
         ),
     )

@@ -88,24 +88,42 @@ def archive_uploads(
     load_left = load_files.join(keys, "upload_id", "anti")
 
     if dump_dir is not None:
+        # Dynamic partition overwrite: only the upload_id partitions present
+        # in THIS sweep's dump are replaced, so a re-run whose selected set
+        # is empty (flagged uploads fail eligibility) writes zero partitions
+        # and leaves every prior sweep's backup intact — the set-oriented
+        # analogue of the reference's per-upload append-style backups
+        # (archiver.go backupRecords). Re-running the SAME sweep replaces
+        # its own partitions with identical bytes (idempotent).
         (
             dump.repartition("upload_id")
             .sortWithinPartitions("id")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("upload_id")
             .parquet(dump_dir)
         )
 
-    # splice the flag: metadata is a JSON object column; an empty/!{}-less
-    # doc gets the bare member, otherwise it's appended (last-key-wins on
-    # re-runs, same duplicate-member convention as the kafka retl splice)
-    member = F.lit('"archivedStagingAndLoadFiles":true')
-    body = F.trim(F.coalesce(F.col("metadata"), F.lit("{}")))
-    flagged = F.when(
-        F.length(F.regexp_replace(body, r"\s", "")) <= 2,
-        F.concat(F.lit("{"), member, F.lit("}")),
-    ).otherwise(
-        F.concat(F.regexp_replace(body, r"\}\s*$", ""), F.lit(","), member, F.lit("}"))
+    # Splice the flag by REBUILDING the object, replacing any existing
+    # archivedStagingAndLoadFiles member in place. Appending a duplicate
+    # member would be wrong: Spark's get_json_object reads the FIRST
+    # occurrence of a duplicated key (unlike Postgres jsonb / gjson
+    # last-wins), so _eligible would keep seeing the stale value and
+    # re-archive the upload every sweep while metadata grew one member per
+    # run. map<string,variant> round-trips arbitrary nested JSON losslessly
+    # (nested key order may normalize; readers are path-based).
+    parsed = F.from_json(F.coalesce(F.col("metadata"), F.lit("{}")), "map<string,variant>")
+    cleaned = F.map_filter(
+        F.coalesce(parsed, F.from_json(F.lit("{}"), "map<string,variant>")),
+        lambda k, _: k != F.lit("archivedStagingAndLoadFiles"),
+    )
+    flagged = F.to_json(
+        F.map_concat(
+            cleaned,
+            F.create_map(
+                F.lit("archivedStagingAndLoadFiles"), F.parse_json(F.lit("true"))
+            ),
+        )
     )
     uploads_updated = (
         uploads.join(

@@ -111,34 +111,46 @@ def kafka_shape(
     # userId: message userId when non-empty, else anonymousId (kafka.go:37-42)
     user_id = F.coalesce(_nonempty(get("userId")), get("anonymousId"))
 
-    # retl timestamp fix-up (UpdateTimestampFieldForRETLEvent): only for
-    # channel == "sources" without context.mappedToDestination
+    # retl timestamp fix-up (UpdateTimestampFieldForRETLEvent,
+    # destination_transformer/embedded/utils.go:73-99): only for
+    # channel == "sources" without context.mappedToDestination. The
+    # reference copies the event into a NEW map and sets
+    # newEventMessage["timestamp"] = v — a replace-in-place of the key with
+    # the RAW looked-up value (numbers stay numbers), skipping nil/"".
+    # Modeled with variants so the value's JSON type survives; a plain
+    # append of a duplicate "timestamp" member would be wrong — Spark's
+    # get_json_object reads the FIRST duplicate key, so downstream
+    # path-readers would keep seeing the stale value.
     is_retl = (get("channel") == "sources") & _nonempty(
         get("context.mappedToDestination")
     ).isNull()
-    retl_ts = F.lit(None).cast("string")
+    pv = F.parse_json(p)
+
+    def _vget(path):
+        # MapLookup semantics: skip absent, JSON-null, and "" values
+        v = F.try_variant_get(pv, f"$.{path}", "variant")
+        raw = F.to_json(v)
+        return F.when((raw != '""') & (raw != "null"), v)
+
+    retl_ts = None
     for t, fields in _RETL_TS_FIELDS.items():
-        picked = F.coalesce(*[_nonempty(get(f)) for f in fields])
-        retl_ts = F.when(is_retl & (etype == t), picked).otherwise(retl_ts)
+        picked = F.coalesce(*[_vget(f) for f in fields])
+        cond = is_retl & (etype == t)
+        retl_ts = F.when(cond, picked) if retl_ts is None else retl_ts.when(cond, picked)
 
     # shaped value: the original message JSON with the optional timestamp
-    # override spliced in, wrapped with userId/topic/schemaId. The message
-    # rides as a raw JSON subtree (no reserialization of untouched fields);
-    # the override appends a trailing "timestamp" member — on duplicate keys
-    # every practical parser (incl. Go's encoding/json the reference relies
-    # on) keeps the LAST value, so the override wins without re-encoding
-    # nested objects.
-    ts_member = F.concat(F.lit('"timestamp":'), _json_str(retl_ts))
-    body = F.trim(p)
-    patched_msg = F.when(
-        retl_ts.isNotNull(),
-        F.when(
-            F.length(F.regexp_replace(body, r"\s", "")) <= 2,  # "{}" message
-            F.concat(F.lit("{"), ts_member, F.lit("}")),
-        ).otherwise(
-            F.concat(F.regexp_replace(body, r"\}\s*$", ""), F.lit(","), ts_member, F.lit("}"))
-        ),
-    ).otherwise(p)
+    # override replaced in place, wrapped with userId/topic/schemaId.
+    # Non-retl events ride as the raw JSON subtree (no reserialization);
+    # retl events rebuild the top-level object exactly like the
+    # reference's maps.Copy + json.Marshal round-trip does.
+    msg_map = F.from_json(p, "map<string,variant>")
+    patched = F.to_json(
+        F.map_concat(
+            F.map_filter(msg_map, lambda k, _: k != F.lit("timestamp")),
+            F.create_map(F.lit("timestamp"), retl_ts),
+        )
+    )
+    patched_msg = F.when(retl_ts.isNotNull(), patched).otherwise(p)
 
     value = F.concat(
         F.lit('{"message":'),

@@ -90,6 +90,25 @@ def test_retl_timestamp_fixup(spark):
     assert msgs[1]["timestamp"] == "2024-02-02T00:00:00Z"
     assert msgs[2]["timestamp"] == "1999-01-01T00:00:00Z"
     assert msgs[3]["timestamp"] == "1999-01-01T00:00:00Z"
+    # replace-in-place, not duplicate-append (utils.go:87-97 rebuilds the
+    # map): a FIRST-key reader like get_json_object must see the new value
+    raw0 = json.loads(bytes(rows[0]["value"]).decode(), object_pairs_hook=list)
+    msg_keys = [k for k, _ in dict(raw0)["message"]] if False else [
+        k for k, _ in [kv for kv in raw0 if kv[0] == "message"][0][1]
+    ]
+    assert msg_keys.count("timestamp") == 1
+
+
+def test_retl_timestamp_preserves_json_type(spark):
+    # utils.go copies the raw looked-up value: a numeric
+    # properties.timestamp stays a number after the fix-up
+    cfg = {"topic": "t"}
+    rows = _shaped(spark, [
+        {"type": "track", "event": "E", "channel": "sources", "userId": "u1",
+         "properties": {"timestamp": 1700000000}, "timestamp": "old"},
+    ], cfg)
+    msg = json.loads(bytes(rows[0]["value"]).decode())["message"]
+    assert msg["timestamp"] == 1700000000 and isinstance(msg["timestamp"], int)
 
 
 def test_sink_options():

@@ -151,15 +151,46 @@ def test_redis_hset_compatible_event(spark):
 
 
 def test_redis_setjson_mode_and_errors(spark):
-    doc = '{"message":{"key":"k9","fields":{"a":"b"}}}'
+    # ShouldSendDataAsJSON gates on useJSONModule (redis.go:253-261);
+    # the JSONSet args are (message.key, message.path, message.value)
+    # straight off the document (extractJSONSetArgs, redis.go:226-236)
+    doc = '{"message":{"key":"k9","path":"traits.plan","value":{"a":"b"}}}'
     out = KV.redis_kv_shape(
-        _frame(spark, [doc]), {"shouldSendDataAsJson": True, "prefix": "p:"}
+        _frame(spark, [doc]), {"useJSONModule": True}
     ).collect()[0]
-    assert out["op"] == "SETJSON" and out["key"] == "p:k9" and out["field"] is None
-    assert '"fields"' in out["value"] and out["error"] is None
+    assert out["op"] == "SETJSON" and out["key"] == "k9"
+    assert out["field"] == "traits.plan" and out["value"] == '{"a":"b"}'
+    assert out["error"] is None
+    # empty path -> root insert (field NULL)
+    root = KV.redis_kv_shape(
+        _frame(spark, ['{"message":{"key":"k1","value":7}}']),
+        {"useJSONModule": True},
+    ).collect()[0]
+    assert root["field"] is None and root["value"] == "7"
+    # no key -> error row, kept-with-status
+    nokey = KV.redis_kv_shape(
+        _frame(spark, ['{"message":{"value":1}}']), {"useJSONModule": True}
+    ).collect()[0]
+    assert nokey["error"] == "key is required"
     # no key / no fields -> error row, kept-with-status
     bad = KV.redis_kv_shape(_frame(spark, ['{"message":{"other":1}}'])).collect()
     assert len(bad) == 1 and bad[0]["error"] is not None and bad[0]["op"] is None
+
+
+def test_redis_hset_presence_not_nonnull(spark):
+    # IsHSETCompatibleEvent uses gjson Exists(): message.value:null is
+    # PRESENT and extracts as "" (kvstoremanager.go:64-79) — must route to
+    # HSET(""), not fall through to HMSET
+    doc = '{"message":{"hash":"h1","key":"k1","value":null,"fields":{"a":"b"}}}'
+    out = KV.redis_kv_shape(_frame(spark, [doc])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["op"], r["key"], r["field"], r["value"]) == ("HSET", "h1", "k1", "")
+    assert r["error"] is None
+    # absent value key -> NOT HSET-compatible -> HMSET of fields
+    doc2 = '{"message":{"hash":"h1","key":"k1","fields":{"a":"b"}}}'
+    out2 = KV.redis_kv_shape(_frame(spark, [doc2])).collect()
+    assert [r["op"] for r in out2] == ["HMSET"]
 
 
 def test_kv_final_state_last_write_wins(spark):
