@@ -1,0 +1,633 @@
+"""Per-provider async-destination upload-file shapes.
+
+The batch router's async managers (router/batchrouter/asyncdestinationmanager/)
+each reshape the staged job lines into the provider's bulk-upload artifact:
+
+- MARKETO_BULK_UPLOAD — one headered CSV whose columns are the destination
+  config's field mapping, capped at 10 MB with a 95 % estimate buffer;
+  overflowing jobs are failed for retry and every written row is
+  sha256-fingerprinted for the poll-time warning/failure join-back
+  (marketo-bulk-upload/utils.go:153-248).
+- BINGADS_AUDIENCE — per-action (Replace/Remove/Add) zipped CSVs in the
+  Bing bulk "Customer List" schema: a 3-row template header, then one
+  "Customer List Item" row PER LIST MEMBER of each job, with
+  ClientId = jobId<<>>hashedEmail (audience/util.go:28-196,
+  audience/types.go:62-91).
+- BINGADS_OFFLINE_CONVERSIONS — per-action (insert/update/delete) zipped
+  CSVs in the "Offline Conversion" schema, after the manager's Transform
+  validation pipeline: required-field checks, RFC3339 → US-format time
+  rewrite, enhanced-conversion gate, stringification, optional sha256
+  hashing of email/phone (offline-conversions/bulk_uploader.go:49-149,
+  offline-conversions/util.go:28-173,459-542).
+- LYTICS_BULK_UPLOAD — one CSV whose columns are the streamTraitsMapping's
+  lytics properties, values plucked from message.properties with gjson-free
+  string semantics (lytics_bulk_upload/utils.go:20-97).
+
+Spark-first: every shape is a narrow codegen'd projection over the q84
+batching exchange (async_destinations.assign_upload_batches) — the same
+pattern as the q91 stream-manager shapes. The ONLY non-codegen piece is
+the providers' shared admission fold: each manager scans its staged file
+sequentially and ACCEPTS a job only if the running byte/row total stays
+under the cap — a rejected job does NOT advance the total, so later
+smaller jobs may still fit. That accept-or-skip fold is not a prefix
+cumsum; ``sequential_accept`` runs it as one bounded ``applyInPandas``
+per upload group. Groups are per-upload files already capped by
+``max_events_per_file`` upstream, so the pandas fold is O(file rows) with
+bounded memory no matter the corpus size — at 100 TB the number of groups
+grows, never the group.
+
+Documented divergences from the Go reference (all metadata-level, none
+affecting which rows ship):
+- Go iterates the marketo FieldsMapping as a map, so its header order is
+  RANDOM per process; we keep the mapping's declared order (deterministic
+  is strictly better and Marketo matches columns by name).
+- Go fmt "%v" prints large floats in scientific notation ("1e+06") and
+  JSON nulls as "<nil>"; we render numbers via their JSON text. Nulls DO
+  print "<nil>" to match.
+- staged-line byte sizes for the bing-ads/lytics caps are measured on a
+  canonical to_json re-marshal (Go's json.Marshal key order differs by a
+  few bytes per line against 100 MB caps).
+- go csv quoting treats any leading unicode space as quote-worthy; we
+  match ASCII whitespace via regex (``^\\s``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MARKETO_MAX_FILE_BYTES = 10 * 1024 * 1024  # utils.go:23 maxFileSize
+MARKETO_ESTIMATE_BUFFER = 0.95  # utils.go:24
+BINGADS_AUDIENCE_ACTIONS = ("Replace", "Remove", "Add")  # audience/types.go:62
+BINGADS_OFFLINE_ACTIONS = ("update", "insert", "delete")  # offline types.go:54
+CLIENT_ID_SEPARATOR = "<<>>"  # audience/types.go:66
+
+
+# --------------------------------------------------------------------- CSV
+
+def go_csv_field_py(s: str) -> str:
+    """Python mirror of Go encoding/csv field escaping (fieldNeedsQuotes):
+    quote when the field contains a comma, quote, CR or LF, starts with
+    whitespace, or is the literal ``\\.``; quotes double inside quotes.
+    Used for constant header lines and as the differential test oracle."""
+    if s == "":
+        return s
+    if (
+        s == r"\."
+        or any(ch in s for ch in (',', '"', '\r', '\n'))
+        or s[0].isspace()
+    ):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def go_csv_line_py(fields: list[str]) -> str:
+    """A full Go-escaped CSV record (no line terminator)."""
+    return ",".join(go_csv_field_py(f) for f in fields)
+
+
+def go_csv_field(c: Column) -> Column:
+    """Column version of ``go_csv_field_py`` — pure codegen, no UDF."""
+    needs = (
+        (c == F.lit(r"\."))
+        | c.rlike('[",\r\n]')
+        | c.rlike(r"^\s")
+    )
+    quoted = F.concat(F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"'))
+    return F.when(c == "", c).when(needs, quoted).otherwise(c)
+
+
+def go_csv_line(cols: list[Column]) -> Column:
+    """One CSV record from escaped fields. NULLs must be pre-coalesced —
+    concat_ws would silently DROP a null field and shift the columns."""
+    return F.concat_ws(",", *[go_csv_field(c) for c in cols])
+
+
+# --------------------------------------------------- admission fold (shared)
+
+def sequential_accept(
+    df: DataFrame,
+    size_col: str,
+    byte_cap: int,
+    order_cols: tuple = ("job_id",),
+    group_cols: tuple = (),
+    count_cap: int | None = None,
+    base_bytes: int = 0,
+    inclusive: bool = True,
+    out_col: str = "accepted",
+) -> DataFrame:
+    """The managers' accept-or-skip admission fold, one group = one upload
+    file: scan rows in staged order; accept a row only while the running
+    accepted-byte total (seeded with ``base_bytes``, e.g. the CSV header)
+    plus this row stays under ``byte_cap`` AND fewer than ``count_cap``
+    rows are accepted so far. A REJECTED row does not advance the totals
+    (marketo utils.go:216-231 ``continue``; bing-ads populateZipFile
+    else-branch), so this is a sequential fold, not a prefix cumsum —
+    after one oversized row, later smaller rows still fit.
+
+    ``inclusive=True`` accepts while ``total + size <= cap`` (marketo's
+    ``currentSize+rowSize > maxSizeWithBuffer → skip``);
+    ``inclusive=False`` accepts while ``total + size < cap`` (bing-ads /
+    lytics ``newFileSize < fileSizeLimit``).
+
+    Scale: groups are single upload files, bounded by the batcher's
+    ``max_events_per_file`` — the Arrow-batched pandas fold is O(group)
+    and group size is capped by construction; only group COUNT grows with
+    the corpus. Rows arrive unsorted within the group; the fold sorts the
+    bounded group, not the corpus.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    # copy — StructType.add would mutate the input frame's schema in place
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    order = [str(c) for c in order_cols]
+    size_name = str(size_col)
+    cap = int(byte_cap)
+    ccap = None if count_cap is None else int(count_cap)
+    base = int(base_bytes)
+    incl = bool(inclusive)
+    out_name = str(out_col)
+
+    def fold(pdf):
+        # self-contained: workers may not have the repo on sys.path
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        total, n, flags = base, 0, []
+        for sz in pdf[size_name]:
+            new = total + int(sz)
+            ok = (new <= cap if incl else new < cap) and (
+                ccap is None or n < ccap
+            )
+            if ok:
+                total, n = new, n + 1
+            flags.append(ok)
+        pdf[out_name] = flags
+        return pdf
+
+    if group_cols:
+        grouped = df.groupBy(*[F.col(c) for c in group_cols])
+    else:
+        grouped = df.groupBy(F.lit(1).alias("__g"))
+        # note: single-group fallback is for tests / one-file calls; real
+        # pipelines pass the upload-id grain so groups stay bounded
+    res = grouped.applyInPandas(fold, schema=out_schema)
+    return res
+
+
+# ------------------------------------------------------------------ marketo
+
+def marketo_headers(fields_mapping) -> list[str]:
+    """Header order from the destination config's column mapping: the
+    mapped-TO (marketo field) names, first occurrence wins
+    (createCSVFile's first pass, utils.go:170-176). Accepts the raw
+    ``columnFieldsMapping`` list of {"from","to"} dicts (configParser.go:
+    21-27) or an already-folded {from: to} dict; we keep DECLARED order
+    where Go's map iteration randomizes (see module docstring)."""
+    if isinstance(fields_mapping, dict):
+        tos = list(fields_mapping.values())
+    else:
+        tos = [m["to"] for m in fields_mapping]
+    out: list[str] = []
+    for t in tos:
+        if t not in out:
+            out.append(t)
+    return out
+
+
+def marketo_csv_rows(
+    jobs: DataFrame,
+    fields_mapping,
+    payload_col: str = "payload",
+    job_id_col: str = "job_id",
+    group_cols: tuple = (),
+    max_file_bytes: int = MARKETO_MAX_FILE_BYTES,
+    estimate_buffer: float = MARKETO_ESTIMATE_BUFFER,
+) -> DataFrame:
+    """createCSVFile (marketo-bulk-upload/utils.go:153-236) as a relation:
+    per job, the CSV row over the mapped headers (message values matched
+    BY HEADER NAME, absent → "", JSON null → "<nil>", non-strings via
+    their JSON text — fmt "%v" parity for ints/bools), its Go-escaped
+    ``csv_line``, ``row_bytes`` (escaped length + CRLF, calculateRowSize
+    parity), the sha256 ``data_hash`` of the raw values joined with ","
+    (calculateHashCode, utils.go:238-248 — the poll-time row⇄job key),
+    and ``accepted`` from the 95 %-of-10 MB admission fold seeded with the
+    header row's bytes. Rejected rows are the manager's overflowedJobIDs
+    (failed for retry)."""
+    headers = marketo_headers(fields_mapping)
+    header_line = go_csv_line_py(headers)
+    fields_v = F.from_json(F.col(payload_col), "map<string,variant>")
+
+    def val(h: str) -> Column:
+        v = F.try_element_at(fields_v, F.lit(h))
+        raw = F.to_json(v)
+        return (
+            F.when(~F.coalesce(F.map_contains_key(fields_v, F.lit(h)), F.lit(False)), F.lit(""))
+            .when(raw == "null", F.lit("<nil>"))
+            .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
+            .otherwise(raw)
+        )
+
+    vals = [val(h) for h in headers]
+    line = go_csv_line(vals)
+    shaped = jobs.select(
+        "*",
+        line.alias("csv_line"),
+        (F.octet_length(line) + F.lit(2)).alias("row_bytes"),
+        F.sha2(F.concat_ws(",", *vals), 256).alias("data_hash"),
+    )
+    return sequential_accept(
+        shaped,
+        size_col="row_bytes",
+        byte_cap=int(max_file_bytes * estimate_buffer),
+        order_cols=(job_id_col,),
+        group_cols=group_cols,
+        base_bytes=len(header_line.encode()) + 2,
+        inclusive=True,
+    )
+
+
+# ------------------------------------------------------------------ bingads
+
+def bingads_audience_template(audience_id: str, action: str) -> list[str]:
+    """The 3-row Customer List file prelude (CreateActionFileTemplate,
+    audience/types.go:79-91): column header, Format Version 6.0, and the
+    Customer List action row carrying the audience id + action type."""
+    rows = [
+        ["Type", "Status", "Id", "Parent Id", "Client Id", "Modified Time",
+         "Name", "Description", "Scope", "Audience", "Action Type",
+         "Sub Type", "Text"],
+        ["Format Version", "", "", "", "", "", "6.0", "", "", "", "", "", ""],
+        ["Customer List", "", audience_id, "", "", "", "", "", "", "",
+         action, "", ""],
+    ]
+    return [go_csv_line_py(r) for r in rows]
+
+
+def bingads_audience_rows(
+    jobs: DataFrame,
+    audience_id: str,
+    payload_col: str = "payload",
+    job_id_col: str = "job_id",
+    group_cols: tuple = (),
+    file_size_limit: int = 100 * 1024 * 1024,  # bulk_uploader.go:33
+    events_limit: int = 4_000_000,  # bulk_uploader.go:34
+) -> DataFrame:
+    """createZipFile + populateZipFile (audience/util.go:106-196) as a
+    relation. Jobs split per action file (Replace/Remove/Add); admission
+    is per ACTION file on the staged line's bytes and a per-file event
+    count (both strict-<, counted per JOB). Accepted jobs then explode
+    ``message.List`` — one "Customer List Item" CSV row per list member
+    with ClientId = jobId<<>>hashedEmail (newClientID, util.go:28-34;
+    the 13-column write at util.go:116). Unknown actions get error rows
+    (the reference would nil-deref; we keep-with-status). Output: one row
+    per (accepted job × list member) plus one row per rejected/error job
+    with NULL csv_line."""
+    if not audience_id:
+        raise ValueError("audienceId is empty")  # util.go:136-138
+    p = F.col(payload_col)
+    action = F.get_json_object(p, "$.message.Action")
+    staged = F.to_json(
+        F.struct(
+            F.struct(
+                F.get_json_object(p, "$.message.List").alias("List"),
+                action.alias("Action"),
+            ).alias("message"),
+            F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
+        )
+    )
+    base = jobs.select(
+        "*",
+        action.alias("action"),
+        F.octet_length(staged).alias("line_bytes"),
+    )
+    valid = base.where(F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS))
+    invalid = base.where(
+        ~F.coalesce(F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS), F.lit(False))
+    )
+    folded = sequential_accept(
+        valid,
+        size_col="line_bytes",
+        byte_cap=file_size_limit,
+        order_cols=(job_id_col,),
+        group_cols=tuple(group_cols) + ("action",),
+        count_cap=events_limit,
+        inclusive=False,
+    )
+    users = F.from_json(
+        F.get_json_object(p, "$.message.List"),
+        "array<struct<email string, hashedEmail string>>",
+    )
+    exploded = (
+        folded.where(F.col("accepted"))
+        .select("*", F.explode_outer(users).alias("_u"))
+        .withColumn(
+            "client_id",
+            F.concat(
+                F.col(job_id_col).cast("string"),
+                F.lit(CLIENT_ID_SEPARATOR),
+                F.col("_u.hashedEmail"),
+            ),
+        )
+        .withColumn(
+            "csv_line",
+            # an accepted job with an empty List stays accepted but writes
+            # no member rows (the reference's inner loop just doesn't run)
+            F.when(
+                F.col("_u").isNotNull(),
+                go_csv_line(
+                    [F.lit("Customer List Item"), F.lit(""), F.lit(""),
+                     F.lit(audience_id),
+                     F.coalesce(F.col("client_id"), F.lit("")),
+                     F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
+                     F.lit(""), F.lit("Email"),
+                     F.coalesce(F.col("_u.hashedEmail"), F.lit(""))]
+                ),
+            ),
+        )
+        .withColumn("error", F.lit(None).cast("string"))
+        .drop("_u")
+    )
+    rejected = (
+        folded.where(~F.col("accepted"))
+        .withColumn("client_id", F.lit(None).cast("string"))
+        .withColumn("csv_line", F.lit(None).cast("string"))
+        .withColumn("error", F.lit("file size/event limit reached"))
+    )
+    errored = (
+        invalid.withColumn("accepted", F.lit(False))
+        .withColumn("client_id", F.lit(None).cast("string"))
+        .withColumn("csv_line", F.lit(None).cast("string"))
+        .withColumn("error", F.lit("invalid action"))
+    )
+    return exploded.unionByName(rejected).unionByName(errored)
+
+
+_OFFLINE_TIME_FIELDS = ("conversionTime", "adjustedConversionTime")
+_US_TIME_FMT = "M/d/yyyy h:mm:ss a"  # Go "1/2/2006 3:04:05 PM"
+
+
+def _offline_parse_time(c: Column) -> Column:
+    """validateAndTransformTimeFields parsing (offline util.go:514-542):
+    RFC3339 or the US format, rendered back as US format (Go
+    "1/2/2006 3:04:05 PM"). Z-suffixed and US-format inputs are wall
+    clocks: parse and re-render in the SAME session tz, so the round trip
+    is timezone-proof (DST-gap wall times excepted — documented edge).
+    Explicit-offset forms are true instants, rendered at UTC."""
+    wall = F.coalesce(
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+        F.try_to_timestamp(c, F.lit(_US_TIME_FMT)),
+    )
+    ltz = F.try_to_timestamp(c)  # offset forms; render at UTC
+    return F.coalesce(
+        F.date_format(wall, _US_TIME_FMT),
+        F.date_format(F.to_utc_timestamp(ltz, F.current_timezone()), _US_TIME_FMT),
+    )
+
+
+def bingads_offline_rows(
+    jobs: DataFrame,
+    is_hash_required: bool = False,
+    payload_col: str = "payload",
+    job_id_col: str = "job_id",
+    group_cols: tuple = (),
+    file_size_limit: int = 100 * 1024 * 1024,
+    events_limit: int = 1000,  # offline bulk_uploader.go:31
+) -> DataFrame:
+    """Transform + populateZipFile for offline conversions
+    (offline-conversions/bulk_uploader.go:49-149, util.go:129-173) as a
+    relation. Payload is the staged Record: ``{"action": ..., "fields":
+    {...}}``. The validation ladder mirrors Transform's order: required
+    conversionName/conversionTime (present, string, non-empty), time
+    parse/rewrite to the US format, the enhanced-conversion gate
+    (microsoftClickId, else email/phone — an explicit null email counts,
+    Go's ``email != ""`` on a nil interface), adjustedConversionTime for
+    non-insert, conversionValue for update. Values stringify (fmt "%v"
+    parity via JSON text); email/phone sha256-hash when
+    ``is_hash_required`` (hashFields, util.go:484-512). Valid jobs pass
+    the per-action admission fold, then project the action's CSV row
+    (Id = jobId, Restate/Retract adjustment types)."""
+    p = F.col(payload_col)
+    action = F.get_json_object(p, "$.action")
+    fields_v = F.from_json(F.get_json_object(p, "$.fields"), "map<string,variant>")
+
+    def v(k: str) -> Column:
+        return F.try_element_at(fields_v, F.lit(k))
+
+    def present(k: str) -> Column:
+        return F.coalesce(F.map_contains_key(fields_v, F.lit(k)), F.lit(False))
+
+    def raw(k: str) -> Column:
+        return F.to_json(v(k))
+
+    def is_nonempty_string(k: str) -> Column:
+        return present(k) & raw(k).startswith('"') & (raw(k) != '""')
+
+    def sval(k: str) -> Column:
+        # the post-lo.MapValues stringification: nil → "", string as-is,
+        # everything else via its JSON text
+        r = raw(k)
+        return (
+            F.when(~present(k) | (r == "null"), F.lit(""))
+            .when(r.startswith('"'), F.variant_get(v(k), "$", "string"))
+            .otherwise(r)
+        )
+
+    conv_time = _offline_parse_time(F.variant_get(v("conversionTime"), "$", "string"))
+    adj_time = _offline_parse_time(
+        F.variant_get(v("adjustedConversionTime"), "$", "string")
+    )
+    # enhanced-conversion gate (bulk_uploader.go:78-104): clickId must be
+    # non-null non-empty; email/phone need only be present with any value
+    # other than "" (a JSON null passes Go's interface != "" check)
+    clickid_ok = present("microsoftClickId") & (raw("microsoftClickId") != "null") & (
+        raw("microsoftClickId") != '""'
+    )
+    email_ok = present("email") & (raw("email") != '""')
+    phone_ok = present("phone") & (raw("phone") != '""')
+    enhanced = clickid_ok | email_ok | phone_ok
+
+    err = (
+        F.when(~action.isin(*BINGADS_OFFLINE_ACTIONS), F.lit("invalid action"))
+        .when(~is_nonempty_string("conversionName"), F.lit("conversionName field invalid"))
+        .when(~is_nonempty_string("conversionTime"), F.lit("conversionTime field invalid"))
+        .when(conv_time.isNull(), F.lit("conversionTime format invalid"))
+        .when(
+            (action != "insert") & present("adjustedConversionTime") & adj_time.isNull(),
+            F.lit("adjustedConversionTime format invalid"),
+        )
+        .when(~enhanced, F.lit("missing required field: microsoftClickId (or provide a hashed email/phone for enhanced conversions)"))
+        .when(
+            (action != "insert") & ~(present("adjustedConversionTime") & (adj_time.isNotNull())),
+            F.lit("adjustedConversionTime field invalid"),
+        )
+        .when(
+            (action == "update") & ~is_nonempty_string("conversionValue"),
+            F.lit("conversionValue field invalid"),
+        )
+    )
+
+    def hashed(k: str) -> Column:
+        # hashFields hashes keys PRESENT in the (stringified) map — an
+        # absent email/phone stays the struct-default "" unhashed
+        s = sval(k)
+        if not is_hash_required:
+            return s
+        return F.when(present(k), F.sha2(s, 256)).otherwise(F.lit(""))
+
+    email, phone = hashed("email"), hashed("phone")
+    jid = F.col(job_id_col).cast("string")
+    ftype = F.lit("Offline Conversion")
+    insert_row = go_csv_line(
+        [ftype, F.lit(""), jid, F.lit(""), F.lit(""), F.lit(""),
+         sval("conversionCurrencyCode"), sval("conversionName"),
+         F.coalesce(conv_time, F.lit("")), sval("conversionValue"),
+         sval("microsoftClickId"), email, phone,
+         sval("externalAttributionCredit"), sval("externalAttributionModel")]
+    )
+    update_row = go_csv_line(
+        [ftype, F.lit("Restate"), F.lit(""), jid, F.lit(""),
+         sval("conversionName"), F.coalesce(conv_time, F.lit("")),
+         sval("conversionValue"), sval("microsoftClickId"), email, phone,
+         sval("conversionCurrencyCode"), F.coalesce(adj_time, F.lit(""))]
+    )
+    delete_row = go_csv_line(
+        [ftype, F.lit("Retract"), F.lit(""), jid, F.lit(""),
+         sval("conversionName"), F.coalesce(conv_time, F.lit("")),
+         sval("microsoftClickId"), email, phone,
+         F.coalesce(adj_time, F.lit(""))]
+    )
+    staged = F.to_json(
+        F.struct(
+            F.struct(
+                F.get_json_object(p, "$.fields").alias("fields"),
+                action.alias("action"),
+            ).alias("message"),
+            F.struct(F.col(job_id_col).alias("jobId")).alias("metadata"),
+        )
+    )
+    base = jobs.select(
+        "*",
+        action.alias("action"),
+        err.alias("error"),
+        F.octet_length(staged).alias("line_bytes"),
+    )
+    valid = base.where(F.col("error").isNull())
+    folded = sequential_accept(
+        valid,
+        size_col="line_bytes",
+        byte_cap=file_size_limit,
+        order_cols=(job_id_col,),
+        group_cols=tuple(group_cols) + ("action",),
+        count_cap=events_limit,
+        inclusive=False,
+    )
+    shaped = folded.withColumn(
+        "csv_line",
+        F.when(
+            ~F.col("accepted"), F.lit(None).cast("string")
+        )
+        .when(F.col("action") == "insert", insert_row)
+        .when(F.col("action") == "update", update_row)
+        .otherwise(delete_row),
+    )
+    errored = base.where(F.col("error").isNotNull()).withColumn(
+        "accepted", F.lit(False)
+    ).withColumn("csv_line", F.lit(None).cast("string"))
+    return shaped.unionByName(errored)
+
+
+def bingads_offline_template(action: str) -> list[str]:
+    """CreateActionFileTemplate for offline conversions (util.go:28-54):
+    per-action column header + Format Version row."""
+    if action == "insert":
+        rows = [
+            ["Type", "Status", "Id", "Parent Id", "Client Id", "Name",
+             "Conversion Currency Code", "Conversion Name", "Conversion Time",
+             "Conversion Value", "Microsoft Click Id", "Hashed Email Address",
+             "Hashed Phone Number", "External Attribution Credit",
+             "External Attribution Model"],
+            ["Format Version", "", "", "", "", "6.0", "", "", "", "", "", "",
+             "", "", ""],
+        ]
+    elif action == "update":
+        rows = [
+            ["Type", "Adjustment Type", "Client Id", "Id", "Name",
+             "Conversion Name", "Conversion Time", "Adjustment Value",
+             "Microsoft Click Id", "Hashed Email Address",
+             "Hashed Phone Number", "Adjusted Currency Code",
+             "Adjustment Time"],
+            ["Format Version", "", "", "", "6.0", "", "", "", "", "", "", "",
+             ""],
+        ]
+    else:
+        rows = [
+            ["Type", "Adjustment Type", "Client Id", "Id", "Name",
+             "Conversion Name", "Conversion Time", "Microsoft Click Id",
+             "Hashed Email Address", "Hashed Phone Number",
+             "Adjustment Time"],
+            ["Format Version", "", "", "", "6.0", "", "", "", "", "", ""],
+        ]
+    return [go_csv_line_py(r) for r in rows]
+
+
+# ------------------------------------------------------------------- lytics
+
+def lytics_csv_rows(
+    jobs: DataFrame,
+    stream_traits_mapping: list[dict],
+    payload_col: str = "payload",
+    job_id_col: str = "job_id",
+    group_cols: tuple = (),
+    file_size_limit: int = 10 * 1024 * 1024,  # lytics manager.go:22
+) -> DataFrame:
+    """PopulateCsvFile (lytics_bulk_upload/utils.go:20-97) as a relation:
+    one CSV cell per streamTraitsMapping entry (header = lyticsProperty,
+    in mapping order — duplicates keep their slots), values plucked from
+    ``message.properties`` by rudderProperty: strings as-is, other JSON
+    scalars via their text, JSON null → "<nil>" (Go fmt "%v" of nil),
+    absent → "". Admission is the strict-< byte fold on the staged line
+    (PopulateCsvFile's newFileSize check — note lytics has NO event-count
+    cap). The header row exists iff the file accepted ≥1 job
+    (utils.go:76-84)."""
+    p = F.col(payload_col)
+    props = F.from_json(
+        F.get_json_object(p, "$.message.properties"), "map<string,variant>"
+    )
+
+    def val(rudder_prop: str) -> Column:
+        v = F.try_element_at(props, F.lit(rudder_prop))
+        raw = F.to_json(v)
+        return (
+            F.when(~F.coalesce(F.map_contains_key(props, F.lit(rudder_prop)), F.lit(False)), F.lit(""))
+            .when(raw == "null", F.lit("<nil>"))
+            .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
+            .otherwise(raw)
+        )
+
+    vals = [val(m["rudderProperty"]) for m in stream_traits_mapping]
+    line = go_csv_line(vals)
+    staged = F.to_json(
+        F.struct(
+            F.struct(F.get_json_object(p, "$.message.properties").alias("properties")).alias("message"),
+            F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
+        )
+    )
+    shaped = jobs.select(
+        "*",
+        line.alias("csv_line"),
+        F.octet_length(staged).alias("line_bytes"),
+    )
+    return sequential_accept(
+        shaped,
+        size_col="line_bytes",
+        byte_cap=file_size_limit,
+        order_cols=(job_id_col,),
+        group_cols=group_cols,
+        inclusive=False,
+    )
+
+
+def lytics_headers(stream_traits_mapping: list[dict]) -> list[str]:
+    """The header row (utils.go:76-84) — lyticsProperty per mapping slot."""
+    return [m["lyticsProperty"] for m in stream_traits_mapping]

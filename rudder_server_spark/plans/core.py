@@ -3253,3 +3253,355 @@ def q95(spark, sf):
         F.col("ts").alias("created_at"),
     )
     return fold_suppressions(updates).orderBy("workspace_id", "user_id")
+
+
+# --------------------------------------------------------------------------
+# Q98 async-destination provider upload shapes — the per-provider bulk-file
+# contracts over the q84 batching exchange (router/batchrouter/
+# asyncdestinationmanager/): marketo headered CSV + row fingerprints
+# (marketo-bulk-upload/utils.go:153-248), bing-ads Customer List member
+# rows with jobId<<>>hashedEmail client ids (audience/util.go:106-134),
+# bing-ads offline-conversion rows after the Transform validation ladder
+# with sha256 email hashing and US-format time rewrite
+# (offline-conversions/bulk_uploader.go:49-149), and lytics trait-mapped
+# CSV (lytics_bulk_upload/utils.go:20-97). One audit row per
+# (provider, action): job/row/failure counts plus min/max of the exact CSV
+# lines — a value-level pin on escaping, time formats, hashing, "<nil>"
+# null rendering and column order for all four providers at once.
+@register(
+    "q98_provider_upload_shapes",
+    """
+    WITH mk AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) || '@example.com,fn'
+             || CAST(event_id % 100 AS VARCHAR) || ','
+             || CASE WHEN event_id % 7 = 0 THEN '<nil>'
+                     WHEN event_id % 11 = 0 THEN ''
+                     ELSE CAST(event_id % 80 AS VARCHAR) END AS line
+      FROM events
+    ),
+    marketo AS (
+      SELECT 'marketo' AS provider, '' AS action,
+             count(*) AS n_jobs, count(*) AS n_rows, 0 AS n_failed,
+             min(line) AS min_line, max(line) AS max_line,
+             min(sha256(line)) AS min_hash, max(sha256(line)) AS max_hash
+      FROM mk
+    ),
+    aud AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 = 7 THEN 'Bogus'
+                  ELSE CASE event_id % 3 WHEN 0 THEN 'Add'
+                                         WHEN 1 THEN 'Remove'
+                                         ELSE 'Replace' END END AS action,
+             md5('u' || CAST(user_id AS VARCHAR)) AS h1,
+             event_id % 2 = 0 AS single
+      FROM events
+    ),
+    aud_members AS (
+      SELECT event_id, action, h1 AS h FROM aud WHERE action <> 'Bogus'
+      UNION ALL
+      SELECT event_id, action, h1 || 'b' FROM aud
+      WHERE action <> 'Bogus' AND NOT single
+    ),
+    audience AS (
+      SELECT 'bingads_audience' AS provider, action,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_jobs,
+             CAST(count(line) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(line) AS BIGINT) AS n_failed,
+             min(line) AS min_line, max(line) AS max_line,
+             CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
+      FROM (
+        SELECT event_id, action,
+               'Customer List Item,,,aud-1,' || CAST(event_id AS VARCHAR)
+               || '<<>>' || h || ',,,,,,,Email,' || h AS line
+        FROM aud_members
+        UNION ALL
+        SELECT event_id, action, NULL FROM aud WHERE action = 'Bogus'
+      ) GROUP BY action
+    ),
+    off AS (
+      SELECT event_id,
+             CASE event_id % 3 WHEN 0 THEN 'insert'
+                               WHEN 1 THEN 'update' ELSE 'delete' END AS action,
+             strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p') AS us,
+             strftime(ts + INTERVAL 1 HOUR, '%-m/%-d/%Y %-I:%M:%S %p') AS us2,
+             CASE WHEN event_id % 5 = 0 THEN '' ELSE 'ck' || CAST(event_id AS VARCHAR) END AS ck,
+             CASE WHEN event_id % 10 = 0
+                  THEN sha256('u' || CAST(user_id AS VARCHAR) || '@example.com')
+                  ELSE '' END AS em
+      FROM events
+    ),
+    off_lines AS (
+      SELECT event_id, action,
+             CASE WHEN event_id % 5 = 0 AND event_id % 10 <> 0 THEN NULL
+                  WHEN action <> 'insert' AND event_id % 13 = 0 THEN NULL
+                  WHEN action = 'insert' THEN
+                    'Offline Conversion,,' || CAST(event_id AS VARCHAR)
+                    || ',,,,USD,Order Completed,' || us || ',12.5,' || ck
+                    || ',' || em || ',,,'
+                  WHEN action = 'update' THEN
+                    'Offline Conversion,Restate,,' || CAST(event_id AS VARCHAR)
+                    || ',,Order Completed,' || us || ',12.5,' || ck || ','
+                    || em || ',,USD,' || us2
+                  ELSE
+                    'Offline Conversion,Retract,,' || CAST(event_id AS VARCHAR)
+                    || ',,Order Completed,' || us || ',' || ck || ','
+                    || em || ',,' || us2
+             END AS line
+      FROM off
+    ),
+    offline AS (
+      SELECT 'bingads_offline' AS provider, action,
+             CAST(count(*) AS BIGINT) AS n_jobs,
+             CAST(count(line) AS BIGINT) AS n_rows,
+             CAST(count(*) - count(line) AS BIGINT) AS n_failed,
+             min(line) AS min_line, max(line) AS max_line,
+             CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
+      FROM off_lines GROUP BY action
+    ),
+    ly AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) || '@e.io,'
+             || json_extract_string(props, '$.k') || ',' AS line
+      FROM events
+    ),
+    lytics AS (
+      SELECT 'lytics' AS provider, '' AS action,
+             count(*) AS n_jobs, count(*) AS n_rows, 0 AS n_failed,
+             min(line) AS min_line, max(line) AS max_line,
+             CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
+      FROM ly
+    )
+    SELECT provider, action, CAST(n_jobs AS BIGINT) AS n_jobs,
+           CAST(n_rows AS BIGINT) AS n_rows, CAST(n_failed AS BIGINT) AS n_failed,
+           min_line, max_line, min_hash, max_hash
+    FROM (
+      SELECT * FROM marketo UNION ALL SELECT * FROM audience
+      UNION ALL SELECT * FROM offline UNION ALL SELECT * FROM lytics
+    ) ORDER BY provider, action
+    """,
+    doc=(
+        "Async-provider bulk-file shape audit over 4 providers: marketo "
+        "CSV rows + sha256 fingerprints, bing-ads audience member rows "
+        "(jobId<<>>hashedEmail), bing-ads offline conversions (validation "
+        "ladder, sha256 email hashing, Go US-time rewrite), lytics trait "
+        "CSV. Ref: marketo-bulk-upload/utils.go:153-248, bing-ads/"
+        "audience/util.go:106-134, bing-ads/offline-conversions/"
+        "bulk_uploader.go:49-149, lytics_bulk_upload/utils.go:20-97"
+    ),
+    tags=("rudder", "router"),
+)
+def q98(spark, sf):
+    from rudder_server_spark.operators import provider_uploads as PU
+
+    e = load_table(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id").cast("string")
+    day = F.to_date("ts").alias("upload_day")
+    s = lambda c: c.cast("string")  # noqa: E731
+
+    # ---- marketo: headered CSV over the field mapping
+    age = (
+        F.when(eid % 7 == 0, F.lit(',"age":null'))
+        .when(eid % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit(',"age":'), s(eid % 80)))
+    )
+    mk_doc = F.concat(
+        F.lit('{"email":"u'), uid, F.lit('@example.com","firstName":"fn'),
+        s(eid % 100), F.lit('"'), age, F.lit("}"),
+    )
+    mk = PU.marketo_csv_rows(
+        e.select(eid.alias("job_id"), day, mk_doc.alias("payload")),
+        [{"from": "email", "to": "email"},
+         {"from": "firstName", "to": "firstName"},
+         {"from": "age", "to": "age"}],
+        group_cols=("upload_day",),
+    ).select(
+        F.lit("marketo").alias("provider"), F.lit("").alias("action"),
+        F.col("job_id"), F.col("csv_line"),
+        (~F.col("accepted")).alias("failed"), F.col("data_hash").alias("hash"),
+    )
+
+    # ---- bing-ads audience: action split + member explode
+    act = F.when(eid % 10 == 7, F.lit("Bogus")).otherwise(
+        F.when(eid % 3 == 0, "Add").when(eid % 3 == 1, "Remove").otherwise("Replace")
+    )
+    h1 = F.md5(F.concat(F.lit("u"), uid))
+    members = F.when(
+        eid % 2 == 0,
+        F.concat(F.lit('[{"email":"e","hashedEmail":"'), h1, F.lit('"}]')),
+    ).otherwise(
+        F.concat(
+            F.lit('[{"email":"e","hashedEmail":"'), h1,
+            F.lit('"},{"email":"e","hashedEmail":"'), h1, F.lit('b"}]'),
+        )
+    )
+    aud_doc = F.concat(
+        F.lit('{"message":{"Action":"'), act, F.lit('","List":'), members,
+        F.lit("}}"),
+    )
+    aud = PU.bingads_audience_rows(
+        e.select(eid.alias("job_id"), day, aud_doc.alias("payload")),
+        "aud-1", group_cols=("upload_day",),
+    ).select(
+        F.lit("bingads_audience").alias("provider"), F.col("action"),
+        F.col("job_id"), F.col("csv_line"),
+        (F.col("error").isNotNull() | ~F.col("accepted")).alias("failed"),
+        F.lit(None).cast("string").alias("hash"),
+    )
+
+    # ---- bing-ads offline conversions: validation ladder + hashing
+    off_act = (
+        F.when(eid % 3 == 0, "insert").when(eid % 3 == 1, "update").otherwise("delete")
+    )
+    conv_t = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    adj_t = F.date_format(
+        F.col("ts") + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    )
+    ck_part = F.when(eid % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(',"microsoftClickId":"ck'), s(eid), F.lit('"'))
+    )
+    em_part = F.when(eid % 10 == 0,
+        F.concat(F.lit(',"email":"u'), uid, F.lit('@example.com"')),
+    ).otherwise(F.lit(""))
+    adj_part = F.when(
+        (off_act != "insert") & (eid % 13 != 0),
+        F.concat(F.lit(',"adjustedConversionTime":"'), adj_t, F.lit('"')),
+    ).otherwise(F.lit(""))
+    off_doc = F.concat(
+        F.lit('{"action":"'), off_act,
+        F.lit('","fields":{"conversionName":"Order Completed","conversionTime":"'),
+        conv_t,
+        F.lit('","conversionCurrencyCode":"USD","conversionValue":"12.5"'),
+        ck_part, em_part, adj_part, F.lit("}}"),
+    )
+    off = PU.bingads_offline_rows(
+        e.select(eid.alias("job_id"), day, off_doc.alias("payload")),
+        is_hash_required=True, group_cols=("upload_day",),
+    ).select(
+        F.lit("bingads_offline").alias("provider"), F.col("action"),
+        F.col("job_id"), F.col("csv_line"),
+        (F.col("error").isNotNull() | ~F.col("accepted")).alias("failed"),
+        F.lit(None).cast("string").alias("hash"),
+    )
+
+    # ---- lytics: trait-mapped CSV off message.properties
+    ly_doc = F.concat(
+        F.lit('{"message":{"properties":{"email":"u'), uid,
+        F.lit('@e.io","k":'), F.get_json_object("props", "$.k"), F.lit("}}}"),
+    )
+    ly = PU.lytics_csv_rows(
+        e.select(eid.alias("job_id"), day, ly_doc.alias("payload")),
+        [{"rudderProperty": "email", "lyticsProperty": "email_addr"},
+         {"rudderProperty": "k", "lyticsProperty": "kcol"},
+         {"rudderProperty": "gone", "lyticsProperty": "gone"}],
+        group_cols=("upload_day",),
+    ).select(
+        F.lit("lytics").alias("provider"), F.lit("").alias("action"),
+        F.col("job_id"), F.col("csv_line"),
+        (~F.col("accepted")).alias("failed"),
+        F.lit(None).cast("string").alias("hash"),
+    )
+
+    allp = mk.unionByName(aud).unionByName(off).unionByName(ly)
+    return (
+        allp.groupBy("provider", "action")
+        .agg(
+            F.countDistinct("job_id").alias("n_jobs"),
+            F.count("csv_line").alias("n_rows"),
+            F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
+            F.min("csv_line").alias("min_line"),
+            F.max("csv_line").alias("max_line"),
+            F.min("hash").alias("min_hash"),
+            F.max("hash").alias("max_hash"),
+        )
+        .orderBy("provider", "action")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q99 upload admission fold — the async managers' shared accept-or-skip
+# byte-cap scan (marketo utils.go:216-231 `continue`; bing-ads/lytics
+# populateZipFile else-branch): a REJECTED job does not advance the
+# running file size, so later smaller jobs still fit — a sequential fold,
+# not a prefix cumsum. Spark runs it as one bounded applyInPandas per
+# upload group (group = day here, capped by the batcher upstream); the
+# DuckDB oracle replays the exact loop as a recursive CTE. This is the
+# driver-checked twin of the hypothesis differential tests in
+# tests/test_provider_uploads.py.
+@register(
+    "q99_upload_admission",
+    """
+    WITH RECURSIVE jobs AS (
+      SELECT event_id AS job_id, CAST(ts AS DATE) AS upload_day,
+             octet_length(encode(
+               '{"message": {"p":"' ||
+               repeat('x', CASE WHEN event_id % 4 = 0 THEN 400 ELSE 40 END)
+               || '"}, "metadata": {"job_id": ' || CAST(event_id AS VARCHAR)
+               || '}}'
+             )) AS line_bytes
+      FROM events WHERE event_id % 20 = 0
+    ),
+    seq AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY upload_day ORDER BY job_id) AS rn
+      FROM jobs
+    ),
+    fold AS (
+      SELECT upload_day, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS total,
+             FALSE AS accepted
+      FROM (SELECT DISTINCT upload_day FROM seq)
+      UNION ALL
+      SELECT s.upload_day, s.rn,
+             CASE WHEN f.total + s.line_bytes < 1500
+                  THEN f.total + s.line_bytes ELSE f.total END,
+             f.total + s.line_bytes < 1500
+      FROM fold f JOIN seq s
+        ON s.upload_day = f.upload_day AND s.rn = f.rn + 1
+    )
+    SELECT upload_day,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+           CAST(max(total) AS BIGINT) AS accepted_bytes
+    FROM fold WHERE rn > 0
+    GROUP BY upload_day ORDER BY upload_day
+    """,
+    doc=(
+        "The shared bulk-upload admission fold (accept-or-skip byte cap) "
+        "as a driver-checked relation: per upload group, jobs accepted "
+        "while the running accepted-byte total stays under the cap; "
+        "rejected jobs do not advance it. Oracle replays the loop as a "
+        "recursive CTE. Ref: marketo-bulk-upload/utils.go:216-231, "
+        "bing-ads audience/util.go:106-127, lytics utils.go:20-26"
+    ),
+    tags=("rudder", "router"),
+)
+def q99(spark, sf):
+    from rudder_server_spark.operators.provider_uploads import sequential_accept
+
+    e = load_table(spark, sf, "events").where(F.col("event_id") % 20 == 0)
+    pad = F.when(F.col("event_id") % 4 == 0, 400).otherwise(40)
+    line = F.concat(
+        F.lit('{"message": {"p":"'),
+        F.repeat(F.lit("x"), pad),
+        F.lit('"}, "metadata": {"job_id": '),
+        F.col("event_id").cast("string"),
+        F.lit("}}"),
+    )
+    jobs = e.select(
+        F.col("event_id").alias("job_id"),
+        F.to_date("ts").alias("upload_day"),
+        F.octet_length(line).alias("line_bytes"),
+    )
+    folded = sequential_accept(
+        jobs, "line_bytes", byte_cap=1500,
+        order_cols=("job_id",), group_cols=("upload_day",), inclusive=False,
+    )
+    return (
+        folded.groupBy("upload_day")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0)).alias("n_accepted"),
+            F.sum(F.when(F.col("accepted"), F.col("line_bytes")).otherwise(0)).alias(
+                "accepted_bytes"
+            ),
+        )
+        .orderBy("upload_day")
+    )
