@@ -3605,3 +3605,195 @@ def q99(spark, sf):
         )
         .orderBy("upload_day")
     )
+
+
+# --------------------------------------------------------------------------
+# Q100 snowpipe-streaming lifecycle — router/batchrouter/
+# asyncdestinationmanager/snowpipestreaming/: per-table event grouping with
+# max-insert-request-size splitting (included/overflowed/oversized —
+# snowpipestreaming.go:394-430), channel insert descriptors with
+# offset = latest job id (:436-515), the two pre-insert duplicate probes
+# (:517-581), the poll-time committed/inserted offset verdict (:790-831)
+# and per-job finalization with lost-range semantics (:1110-1163). The
+# channel statuses are synthesized per table to hit every verdict branch
+# (imported / failed-with-range / in-progress / missing / unexpected).
+# Spark plan: ONE window exchange on the table key for the split, then
+# bounded-dimension broadcasts for everything downstream.
+@register(
+    "q100_snowpipe_streaming",
+    """
+    WITH ev AS (
+      SELECT event_id AS job_id,
+             CASE event_type WHEN 'purchase' THEN 'TRACKS'
+                             WHEN 'click' THEN 'PAGES'
+                             WHEN 'view' THEN 'SCREENS'
+                             WHEN 'signup' THEN 'IDENTIFIES'
+                             ELSE 'USERS' END AS tbl,
+             'id-' || CAST(event_id % 20 AS VARCHAR) AS id,
+             octet_length(encode(
+               '{"ID":"id-' || CAST(event_id % 20 AS VARCHAR)
+               || '","EVENT":"' || event_type || '"'
+               || CASE WHEN event_id % 97 = 0
+                       THEN ',"P":"' || repeat('x', 6000) || '"'
+                       ELSE '' END || '}'
+             )) AS sz
+      FROM events
+    ),
+    no AS (
+      SELECT *,
+             2 + sum(sz) OVER w + (row_number() OVER w - 1) AS cum
+      FROM ev WHERE sz <= 5000
+      WINDOW w AS (PARTITION BY tbl ORDER BY job_id ROWS UNBOUNDED PRECEDING)
+    ),
+    split AS (
+      SELECT job_id, tbl, id, sz,
+             CASE WHEN cum <= 5000 THEN 'included' ELSE 'overflowed' END AS disposition
+      FROM no
+      UNION ALL
+      SELECT job_id, tbl, id, sz, 'oversized' FROM ev WHERE sz > 5000
+    ),
+    inc AS (SELECT * FROM split WHERE disposition = 'included'),
+    infos AS (
+      SELECT tbl, max(job_id) AS off, count(*) AS cnt FROM inc GROUP BY tbl
+    ),
+    st AS (
+      SELECT tbl,
+             CASE tbl WHEN 'TRACKS' THEN off
+                      WHEN 'PAGES' THEN off // 2
+                      WHEN 'SCREENS' THEN off // 2
+                      WHEN 'USERS' THEN off + 3 END AS committed,
+             CASE tbl WHEN 'TRACKS' THEN off
+                      WHEN 'PAGES' THEN off - 1
+                      WHEN 'SCREENS' THEN off + 5
+                      WHEN 'USERS' THEN off + 3 END AS inserted
+      FROM infos WHERE tbl <> 'IDENTIFIES'
+    ),
+    verd AS (
+      SELECT i.tbl, i.off, i.cnt, s.committed,
+             CASE WHEN s.committed IS NULL THEN 'in_progress'
+                  WHEN s.committed = i.off THEN 'imported'
+                  WHEN s.inserted < i.off THEN 'failed'
+                  WHEN s.inserted > s.committed THEN 'in_progress'
+                  ELSE 'failed' END AS verdict,
+             CASE WHEN s.inserted < i.off THEN s.committed + 1 END AS fs,
+             CASE WHEN s.inserted < i.off THEN i.off END AS fe
+      FROM infos i LEFT JOIN st s USING (tbl)
+    ),
+    fin AS (
+      SELECT inc.tbl,
+             CASE WHEN v.verdict = 'in_progress' THEN 'importing'
+                  WHEN v.verdict = 'imported' THEN 'succeeded'
+                  WHEN v.fs IS NULL THEN 'failed'
+                  WHEN inc.job_id BETWEEN v.fs AND v.fe THEN 'failed'
+                  ELSE 'succeeded' END AS state
+      FROM inc JOIN verd v USING (tbl)
+    ),
+    dispo AS (
+      SELECT tbl,
+             CAST(sum(CASE WHEN disposition = 'included' THEN 1 ELSE 0 END) AS BIGINT) AS n_included,
+             CAST(sum(CASE WHEN disposition = 'overflowed' THEN 1 ELSE 0 END) AS BIGINT) AS n_overflowed,
+             CAST(sum(CASE WHEN disposition = 'oversized' THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized
+      FROM split GROUP BY tbl
+    ),
+    dups AS (
+      SELECT inc.tbl,
+             CASE WHEN inc.tbl = 'USERS' THEN 0
+                  ELSE count(inc.id) - count(DISTINCT inc.id) END AS dup_in_batch,
+             CAST(sum(CASE WHEN inc.tbl <> 'USERS' AND v.committed IS NOT NULL
+                            AND inc.job_id <= v.committed
+                           THEN 1 ELSE 0 END) AS BIGINT) AS dup_due_to_offset
+      FROM inc JOIN verd v USING (tbl) GROUP BY inc.tbl
+    ),
+    states AS (
+      SELECT tbl,
+             CAST(sum(CASE WHEN state = 'succeeded' THEN 1 ELSE 0 END) AS BIGINT) AS n_succeeded,
+             CAST(sum(CASE WHEN state = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+             CAST(sum(CASE WHEN state = 'importing' THEN 1 ELSE 0 END) AS BIGINT) AS n_importing
+      FROM fin GROUP BY tbl
+    )
+    SELECT d.tbl AS "table", d.n_included, d.n_overflowed, d.n_oversized,
+           CAST(v.off AS BIGINT) AS chan_offset, v.verdict,
+           CAST(u.dup_in_batch AS BIGINT) AS dup_in_batch, u.dup_due_to_offset,
+           s.n_succeeded, s.n_failed, s.n_importing
+    FROM dispo d
+    JOIN verd v ON v.tbl = d.tbl
+    JOIN dups u ON u.tbl = d.tbl
+    JOIN states s ON s.tbl = d.tbl
+    ORDER BY d.tbl
+    """,
+    doc=(
+        "Snowpipe-streaming insert lifecycle: per-table max-insert-size "
+        "split (window cumsum — the reference's break is prefix-monotone), "
+        "channel offsets, duplicate probes (batch + committed-offset), "
+        "poll verdicts over committed/inserted offsets, per-job "
+        "finalization with lost-range semantics. Ref: snowpipestreaming."
+        "go:394-430,436-515,517-581,790-831,1110-1163"
+    ),
+    tags=("rudder", "router"),
+)
+def q100(spark, sf):
+    from rudder_server_spark.operators import snowpipe as SP
+
+    e = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    tbl = (
+        F.when(F.col("event_type") == "purchase", "TRACKS")
+        .when(F.col("event_type") == "click", "PAGES")
+        .when(F.col("event_type") == "view", "SCREENS")
+        .when(F.col("event_type") == "signup", "IDENTIFIES")
+        .otherwise("USERS")
+    )
+    rid = F.concat(F.lit("id-"), (eid % 20).cast("string"))
+    data = F.concat(
+        F.lit('{"ID":"'), rid, F.lit('","EVENT":"'), F.col("event_type"),
+        F.lit('"'),
+        F.when(
+            eid % 97 == 0,
+            F.concat(F.lit(',"P":"'), F.repeat(F.lit("x"), 6000), F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    events = e.select(
+        eid.alias("job_id"), tbl.alias("table"), rid.alias("id"),
+        F.octet_length(data).alias("data_bytes"),
+    )
+    split = SP.split_insert_requests(events, 5000)
+    inc = split.where(F.col("disposition") == "included")
+    infos = SP.upload_infos(inc)
+    statuses = infos.where(F.col("table") != "IDENTIFIES").select(
+        "channel_id",
+        F.when(F.col("table") == "TRACKS", F.col("offset"))
+        .when(F.col("table").isin("PAGES", "SCREENS"), (F.col("offset") / 2).cast("long"))
+        .otherwise(F.col("offset") + 3)
+        .alias("committed_offset"),
+        F.when(F.col("table") == "TRACKS", F.col("offset"))
+        .when(F.col("table") == "PAGES", F.col("offset") - 1)
+        .when(F.col("table") == "SCREENS", F.col("offset") + 5)
+        .otherwise(F.col("offset") + 3)
+        .alias("latest_inserted_offset"),
+        F.lit(True).alias("valid"), F.lit(True).alias("success"),
+    )
+    verdicts = SP.poll_import_status(infos, statuses)
+    fin = SP.finalize_snowpipe_jobs(inc.select("table", "job_id"), verdicts)
+    dispo = split.groupBy("table").agg(
+        F.sum(F.when(F.col("disposition") == "included", 1).otherwise(0)).alias("n_included"),
+        F.sum(F.when(F.col("disposition") == "overflowed", 1).otherwise(0)).alias("n_overflowed"),
+        F.sum(F.when(F.col("disposition") == "oversized", 1).otherwise(0)).alias("n_oversized"),
+    )
+    dups = SP.duplicate_stats(inc, statuses)
+    states = fin.groupBy("table").agg(
+        F.sum(F.when(F.col("final_state") == "succeeded", 1).otherwise(0)).alias("n_succeeded"),
+        F.sum(F.when(F.col("final_state") == "failed", 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("final_state") == "importing", 1).otherwise(0)).alias("n_importing"),
+    )
+    return (
+        dispo.join(verdicts.select("table", F.col("offset").alias("chan_offset"), "verdict"), "table")
+        .join(dups, "table")
+        .join(states, "table")
+        .select(
+            "table", "n_included", "n_overflowed", "n_oversized",
+            "chan_offset", "verdict", "dup_in_batch", "dup_due_to_offset",
+            "n_succeeded", "n_failed", "n_importing",
+        )
+        .orderBy("table")
+    )
