@@ -3797,3 +3797,111 @@ def q100(spark, sf):
         )
         .orderBy("table")
     )
+
+
+# --------------------------------------------------------------------------
+# Q101 batch-router circuit breaker — router/batchrouter/circuitbreaker/
+# circuitbreaker.go:44-90 (sony/gobreaker: MaxRequests=1, Interval=0,
+# ReadyToTrip = consecutive failures >= N) + worker.go:54-59 (Work()
+# skips the partition while open). Deterministic batch replay: per
+# (destination partition, day) breaker instance over time-ordered upload
+# ticks — the Nth consecutive failure opens, ticks inside the timeout are
+# skipped WITHOUT recording outcomes, the first tick past the timeout is
+# the half-open probe (success closes, failure re-opens). The fold runs
+# as bounded applyInPandas per breaker; the oracle replays the same state
+# machine as a recursive CTE. The admitted relation is the pre-filter the
+# q37 throttled pickup / q38 backoff ladder composes behind.
+@register(
+    "q101_circuit_breaker",
+    """
+    WITH RECURSIVE base AS (
+      SELECT 'dst-' || CAST(event_id % 4 AS VARCHAR) AS part,
+             CAST(ts AS DATE) AS bday, ts,
+             event_type IN ('purchase', 'signup', 'view') AS ok
+      FROM events WHERE event_id % 10 = 0
+    ),
+    ticks AS (
+      SELECT *, row_number() OVER (PARTITION BY part, bday ORDER BY ts) AS rn
+      FROM base
+    ),
+    fold AS (
+      SELECT part, bday, CAST(0 AS BIGINT) AS rn, 0 AS consec,
+             FALSE AS is_open, TIMESTAMP '1970-01-01' AS open_until,
+             FALSE AS admitted, CAST(NULL AS VARCHAR) AS state_before,
+             FALSE AS tripped
+      FROM (SELECT DISTINCT part, bday FROM ticks)
+      UNION ALL
+      SELECT s.part, s.bday, s.rn,
+             CASE WHEN s.skip THEN s.pconsec
+                  WHEN s.ok THEN 0
+                  WHEN s.probe THEN s.pconsec
+                  ELSE s.pconsec + 1 END,
+             CASE WHEN s.skip THEN TRUE
+                  WHEN s.ok THEN FALSE
+                  WHEN s.probe THEN TRUE
+                  ELSE s.pconsec + 1 >= 2 END,
+             CASE WHEN s.skip THEN s.puntil
+                  WHEN s.ok THEN TIMESTAMP '1970-01-01'
+                  WHEN s.probe THEN s.ts + INTERVAL 1800 SECOND
+                  WHEN s.pconsec + 1 >= 2 THEN s.ts + INTERVAL 1800 SECOND
+                  ELSE s.puntil END,
+             NOT s.skip,
+             CASE WHEN s.skip THEN 'open'
+                  WHEN s.probe THEN 'half_open'
+                  ELSE 'closed' END,
+             CASE WHEN s.skip OR s.ok THEN FALSE
+                  WHEN s.probe THEN TRUE
+                  ELSE s.pconsec + 1 >= 2 END
+      FROM (
+        SELECT t.part, t.bday, t.rn, t.ts, t.ok,
+               f.consec AS pconsec, f.open_until AS puntil,
+               (f.is_open AND t.ts < f.open_until) AS skip,
+               (f.is_open AND t.ts >= f.open_until) AS probe
+        FROM fold f
+        JOIN ticks t ON t.part = f.part AND t.bday = f.bday AND t.rn = f.rn + 1
+      ) s
+    )
+    SELECT part, bday,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN tripped THEN 1 ELSE 0 END) AS BIGINT) AS n_tripped,
+           CAST(sum(CASE WHEN state_before = 'half_open' THEN 1 ELSE 0 END) AS BIGINT) AS n_probes
+    FROM fold WHERE rn > 0
+    GROUP BY part, bday ORDER BY part, bday
+    """,
+    doc=(
+        "Circuit-breaker admission replay per (destination, day): "
+        "consecutive-failure open, timeout skip window (no outcomes "
+        "recorded while open), half-open single-probe admission. Oracle "
+        "replays the state machine as a recursive CTE. Ref: "
+        "circuitbreaker.go:44-90, worker.go:54-59, partition_worker.go:"
+        "192-231"
+    ),
+    tags=("rudder", "router"),
+)
+def q101(spark, sf):
+    from rudder_server_spark.operators.circuitbreaker import circuit_breaker_replay
+
+    e = load_table(spark, sf, "events").where(F.col("event_id") % 10 == 0)
+    ticks = e.select(
+        F.concat(F.lit("dst-"), (F.col("event_id") % 4).cast("string")).alias("part"),
+        F.to_date("ts").alias("bday"),
+        F.col("ts"),
+        F.col("event_type").isin("purchase", "signup", "view").alias("ok"),
+    )
+    replayed = circuit_breaker_replay(
+        ticks, consecutive_failures=2, timeout_s=1800.0,
+        partition_cols=("part", "bday"),
+    )
+    return (
+        replayed.groupBy("part", "bday")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
+            F.sum(F.when(F.col("tripped"), 1).otherwise(0)).alias("n_tripped"),
+            F.sum(F.when(F.col("state_before") == "half_open", 1).otherwise(0)).alias(
+                "n_probes"
+            ),
+        )
+        .orderBy("part", "bday")
+    )
