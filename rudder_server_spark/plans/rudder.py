@@ -1693,9 +1693,11 @@ def q89(spark, sf):
              CAST(SUM(CASE WHEN COALESCE(msgid, uid) <> '' THEN 1 ELSE 0 END) AS BIGINT)
       FROM p GROUP BY etype
       UNION ALL
+      -- payload omitted for page/extract in the shared routed document:
+      -- the Invalid-payload cohort every payload reader shares
       SELECT 'lambda', etype,
-             CAST(SUM(CASE WHEN etype <> 'page' THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(SUM(CASE WHEN etype = 'page' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype NOT IN ('page', 'extract') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype IN ('page', 'extract') THEN 1 ELSE 0 END) AS BIGINT),
              CAST(0 AS BIGINT)
       FROM p GROUP BY etype
     ) ORDER BY manager, event_type
@@ -1703,9 +1705,10 @@ def q89(spark, sf):
     doc=(
         "Kinesis/Lambda/EventBridge Produce-contract audit: per-manager "
         "resolved vs 400-failed counts (+ kinesis partition-key coverage: "
-        "messageId-else-userId precedence) over the routed event stream. "
-        "Ref: kinesismanager.go:57-112, lambdamanager.go:46-87, "
-        "eventbridgemanager.go:46-99"
+        "messageId-else-userId precedence) over ONE shared routed "
+        "document (routed_stream_document, persisted — one scan feeds "
+        "all manager branches). Ref: kinesismanager.go:57-112, "
+        "lambdamanager.go:46-87, eventbridgemanager.go:46-99"
     ),
     tags=("rudder", "sinks"),
 )
@@ -1714,57 +1717,30 @@ def q91(spark, sf):
         eventbridge_shape,
         kinesis_shape,
         lambda_shape,
-        wrap_stream_event,
+        routed_stream_document,
     )
 
     src = _load(spark, sf)
-    p = F.col("payload")
-    etype = F.get_json_object(p, "$.type")
-
-    def _js(c):
-        arr = F.to_json(F.array(c))
-        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+    # ONE synthesized document + ONE scan: the audit branches below all
+    # read this persisted frame (plan-pinned in test_plan_quality)
+    docs = routed_stream_document(src).select("event_type", "json_data").persist()
 
     def audit(name, shaped, keyed=None):
         ok = F.col("error").isNull()
         keyed = keyed if keyed is not None else F.lit(False)
-        return shaped.groupBy(etype.alias("event_type")).agg(
+        return shaped.groupBy("event_type").agg(
             F.sum(F.when(ok, 1).otherwise(0)).alias("resolved"),
             F.sum(F.when(ok, 0).otherwise(1)).alias("failed"),
             F.sum(F.when(keyed, 1).otherwise(0)).alias("keyed"),
         ).select(F.lit(name).alias("manager"), "*")
 
-    kin = kinesis_shape(
-        wrap_stream_event(src), {"stream": "evt-stream", "useMessageID": True}
-    )
     kin_a = audit(
-        "kinesis", kin,
+        "kinesis",
+        kinesis_shape(docs, {"stream": "evt-stream", "useMessageID": True}),
         keyed=F.col("partition_key").isNotNull() & (F.col("partition_key") != ""),
     )
-
-    # lambda jsonData: {"payload": <event json>}, blanked for 'page' to
-    # exercise the Invalid-payload gate deterministically
-    lam_doc = F.concat(
-        F.lit('{"payload":'),
-        _js(F.when(etype == "page", F.lit("")).otherwise(p)),
-        F.lit("}"),
-    )
-    lam = lambda_shape(src.withColumn("json_data", lam_doc), {"lambda": "fn-events"})
-    lam_a = audit("lambda", lam)
-
-    # eventbridge entry: detail = the event, detailType = its type, source =
-    # its event name — types without an event name fail the Source gate
-    ename = F.get_json_object(p, "$.event")
-    eb_doc = F.concat(
-        F.lit('{"detail":'), _js(p),
-        F.lit(',"detailType":'), _js(etype),
-        F.when(
-            ename.isNotNull(), F.concat(F.lit(',"source":'), _js(ename))
-        ).otherwise(F.lit("")),
-        F.lit("}"),
-    )
-    eb = eventbridge_shape(src.withColumn("json_data", eb_doc))
-    eb_a = audit("eventbridge", eb)
+    lam_a = audit("lambda", lambda_shape(docs, {"lambda": "fn-events"}))
+    eb_a = audit("eventbridge", eventbridge_shape(docs))
 
     return (
         eb_a.unionByName(kin_a).unionByName(lam_a)
@@ -1873,10 +1849,11 @@ def q92(spark, sf):
              CAST(SUM(CASE WHEN ename IS NOT NULL AND ename <> '' THEN 0 ELSE 1 END) AS BIGINT) AS failed
       FROM p GROUP BY etype
       UNION ALL
-      -- wunderkind: payload blanked for 'alias' to exercise Invalid payload
+      -- wunderkind: payload omitted for page/extract in the shared routed
+      -- document (the Invalid-payload cohort all payload readers share)
       SELECT 'wunderkind', etype,
-             CAST(SUM(CASE WHEN etype <> 'alias' THEN 1 ELSE 0 END) AS BIGINT),
-             CAST(SUM(CASE WHEN etype = 'alias' THEN 1 ELSE 0 END) AS BIGINT)
+             CAST(SUM(CASE WHEN etype NOT IN ('page', 'extract') THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN etype IN ('page', 'extract') THEN 1 ELSE 0 END) AS BIGINT)
       FROM p GROUP BY etype
       UNION ALL
       -- personalize: merge -> PutUsers with payload, extract -> PutItems
@@ -1914,78 +1891,28 @@ def q96(spark, sf):
         firehose_shape,
         gcf_shape,
         personalize_shape,
+        routed_stream_document,
         wunderkind_shape,
     )
 
     src = _load(spark, sf)
-    p = F.col("payload")
-    etype = F.get_json_object(p, "$.type")
-    ename = F.get_json_object(p, "$.event")
+    # the SAME shared routed document as q91/q97 — one scan + one doc
+    # build, persisted, five audit branches off it
+    docs = routed_stream_document(src).select("event_type", "json_data").persist()
 
-    def _js(c):
-        arr = F.to_json(F.array(c))
-        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
-
-    def audit(name, shaped, weight=None):
+    def audit(name, shaped):
         ok = F.col("error").isNull()
-        w = weight if weight is not None else F.lit(1)
-        return shaped.groupBy(etype.alias("event_type")).agg(
-            F.sum(F.when(ok, w).otherwise(0)).cast("long").alias("resolved"),
+        return shaped.groupBy("event_type").agg(
+            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("resolved"),
             F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("failed"),
         ).select(F.lit(name).alias("manager"), "*")
 
-    fh_doc = F.concat(
-        F.lit('{"message":'), p,
-        F.when(
-            ename.isNotNull(),
-            F.concat(F.lit(',"deliveryStreamMapTo":'), _js(ename)),
-        ).otherwise(F.lit("")),
-        F.lit("}"),
-    )
-    fh = audit("firehose", firehose_shape(src.withColumn("json_data", fh_doc)))
-
-    wk_doc = F.concat(
-        F.lit('{"payload":'),
-        _js(F.when(etype == "alias", F.lit("")).otherwise(p)),
-        F.lit("}"),
-    )
-    wk = audit(
-        "wunderkind",
-        wunderkind_shape(
-            src.withColumn("json_data", wk_doc), {"WUNDERKIND_LAMBDA": "wk-fn"}
-        ),
-    )
-
-    pz_doc = (
-        F.when(
-            etype == "merge",
-            F.concat(F.lit('{"choice":"PutUsers","payload":'), _js(p), F.lit("}")),
-        )
-        .when(etype == "extract", F.lit('{"choice":"PutItems"}'))
-        .otherwise(p)
-    )
-    pz = audit("personalize", personalize_shape(src.withColumn("json_data", pz_doc)))
-
-    bq_props = F.when(
-        etype == "track", F.concat(F.lit("["), p, F.lit(","), p, F.lit("]"))
-    ).otherwise(p)
-    bq_doc = F.concat(
-        F.when(etype == "page", F.lit('{"tableId":"t",')).otherwise(
-            F.lit('{"datasetId":"d","tableId":"t",')
-        ),
-        F.lit('"properties":'),
-        bq_props,
-        F.lit("}"),
-    )
-    bq_shaped = bqstream_shape(src.withColumn("json_data", bq_doc))
-    bq = audit("bqstream", bq_shaped)
-
-    gcf = audit(
-        "gcf",
-        gcf_shape(
-            src.withColumn("json_data", p), {"googleCloudFunctionUrl": "https://fn"}
-        ),
-    )
+    fh = audit("firehose", firehose_shape(docs))
+    wk = audit("wunderkind", wunderkind_shape(docs, {"WUNDERKIND_LAMBDA": "wk-fn"}))
+    pz = audit("personalize", personalize_shape(docs))
+    # bqstream explodes records — resolved counts rows post-explode
+    bq = audit("bqstream", bqstream_shape(docs))
+    gcf = audit("gcf", gcf_shape(docs, {"googleCloudFunctionUrl": "https://fn"}))
 
     return (
         bq.unionByName(fh).unionByName(gcf).unionByName(pz).unionByName(wk)
@@ -2035,28 +1962,16 @@ def q96(spark, sf):
     tags=("rudder", "sinks"),
 )
 def q97(spark, sf):
-    from rudder_server_spark.sources.streammanager import googlesheets_shape
+    from rudder_server_spark.sources.streammanager import (
+        googlesheets_shape,
+        routed_stream_document,
+    )
 
     src = _load(spark, sf)
-    p = F.col("payload")
-    etype = F.get_json_object(p, "$.type")
-
-    def _js(c):
-        arr = F.to_json(F.array(c))
-        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
-
-    doc = F.concat(
-        F.lit('{"message":{"0":{"attributeKey":"messageId","attributeValue":'),
-        _js(F.get_json_object(p, "$.messageId")),
-        F.lit('},"1":{"attributeKey":"event","attributeValue":'),
-        _js(F.get_json_object(p, "$.event")),
-        F.lit('},"2":{"attributeKey":"price","attributeValue":'),
-        F.coalesce(F.get_json_object(p, "$.properties.price"), F.lit("null")),
-        F.lit("}}}"),
-    )
-    shaped = googlesheets_shape(
-        src.where(etype == "track").withColumn("json_data", doc)
-    )
+    # the shared routed document carries the positioned sheet rows under
+    # ``batch`` for track events — same doc subtree as q91/q96
+    docs = routed_stream_document(src).select("event_type", "json_data")
+    shaped = googlesheets_shape(docs.where(F.col("event_type") == "track"))
     return (
         shaped.groupBy("position", "attribute_key")
         .agg(

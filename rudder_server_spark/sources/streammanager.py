@@ -61,6 +61,96 @@ def wrap_stream_event(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def routed_stream_document(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Synthesize the routed transformer-output document ONCE for every
+    json_data-consuming stream manager, so a combined shape audit fans 9
+    managers off a single scan + doc build instead of re-deriving a
+    per-manager document 9 times. One superset jsonData per event — each
+    manager reads only its own keys (the contracts are disjoint):
+
+    - ``message`` + ``userId``   — kinesis (kinesismanager.go:57-112) and
+      firehose's record body; userId falls back to anonymousId;
+    - ``payload``                — lambda / wunderkind / personalize's
+      known-choice request (string-encoded event,
+      lambdamanager_utils.go:12-14); OMITTED for 'page' and 'extract'
+      events — the deterministic Invalid-payload cohort shared by all
+      payload readers;
+    - ``detail``/``detailType``/``source`` — eventbridge; source only
+      when the event has a name (the Source gate cohort);
+    - ``deliveryStreamMapTo``    — firehose stream routing, same
+      name-present gate;
+    - ``choice``                 — personalize: merge → PutUsers,
+      extract → PutItems (which then hits the missing-payload 400);
+    - ``datasetId``/``tableId``/``properties`` — bqstream; datasetId
+      omitted for 'page' (gate cohort), track carries a TWO-record array
+      (exercises the record explode);
+    - ``batch``                  — google sheets positioned rows
+      ({"0": messageId, "1": event, "2": price}) for track events;
+    - gcf posts the whole document.
+
+    Returns the input plus the single ``json_data`` column (sources
+    already carry ``event_type`` — the fixture column equals the
+    payload's ``$.type``). Audits should ``.persist()`` the result before
+    fanning out — union branches then read the in-memory relation instead
+    of re-scanning (the plan pin in tests/test_plan_quality.py asserts
+    one parquet scan under the whole combined audit).
+    """
+    p = F.col(payload_col)
+    etype = F.get_json_object(p, "$.type")
+    ename = _nonempty(F.get_json_object(p, "$.event"))
+    uid = F.coalesce(
+        _nonempty(F.get_json_object(p, "$.userId")),
+        F.get_json_object(p, "$.anonymousId"),
+        F.lit(""),
+    )
+
+    def js(c: Column) -> Column:
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    positioned = F.concat(
+        F.lit('{"0":{"attributeKey":"messageId","attributeValue":'),
+        js(F.get_json_object(p, "$.messageId")),
+        F.lit('},"1":{"attributeKey":"event","attributeValue":'),
+        js(F.get_json_object(p, "$.event")),
+        F.lit('},"2":{"attributeKey":"price","attributeValue":'),
+        F.coalesce(F.get_json_object(p, "$.properties.price"), F.lit("null")),
+        F.lit("}}"),
+    )
+    doc = F.concat(
+        F.lit('{"message":'), p,
+        F.lit(',"userId":'), js(uid),
+        F.lit(',"detail":'), p,
+        F.lit(',"detailType":'), js(etype),
+        F.when(
+            ename.isNotNull(),
+            F.concat(
+                F.lit(',"source":'), js(ename),
+                F.lit(',"deliveryStreamMapTo":'), js(ename),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            ~etype.isin("page", "extract"),
+            F.concat(F.lit(',"payload":'), js(p)),
+        ).otherwise(F.lit("")),
+        F.when(etype == "merge", F.lit(',"choice":"PutUsers"'))
+        .when(etype == "extract", F.lit(',"choice":"PutItems"'))
+        .otherwise(F.lit("")),
+        F.when(etype != "page", F.lit(',"datasetId":"d"')).otherwise(F.lit("")),
+        F.lit(',"tableId":"t"'),
+        F.lit(',"properties":'),
+        F.when(
+            etype == "track", F.concat(F.lit("["), p, F.lit(","), p, F.lit("]"))
+        ).otherwise(p),
+        F.when(
+            etype == "track",
+            F.concat(F.lit(',"batch":[{"message":'), positioned, F.lit("}]")),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    return df.withColumn("json_data", doc)
+
+
 def kinesis_shape(
     df: DataFrame,
     dest_config: dict | None = None,

@@ -835,3 +835,27 @@ def test_ivf_assign_codegen_boundary(spark):
     cents2 = cents + [[rng.uniform(-1, 1) for _ in range(dim)]]
     past = ivf_assign(e, cents2)
     assert "ArrowEvalPython" in past._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stream_audit_single_scan_shared_doc(spark):
+    """q91/q96 fan their manager audits off ONE persisted routed document
+    (routed_stream_document): the executed tree must read the corpus
+    through InMemoryTableScans backed by a SINGLE parquet scan — one
+    numbered 'Scan parquet' total, one InMemoryTableScan per audit
+    branch. Loses the r6 shape where every manager branch re-scanned and
+    re-built its own document."""
+    import re
+    from collections import Counter
+
+    for name, branches in (("q91_stream_shapes", 3), ("q96_stream_shapes2", 5)):
+        df = REG[name].spark_fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        ops = Counter(
+            m.strip() for m in re.findall(r"^\(\d+\) ([A-Za-z ]+)", plan, re.M)
+        )
+        assert ops["Scan parquet"] == 1, (name, ops)
+        assert ops["InMemoryTableScan"] == branches, (name, ops)
