@@ -175,6 +175,175 @@ register_webhook_adapter("data_envelope", _envelope_adapter)
 register_webhook_adapter("form", _form_adapter)
 
 
+# ---------------------------------------------------------------------------
+# Real vendor payload shapes. The reference routes these through per-source
+# remote transformations (gateway/webhook/webhookTransformer.go:35-60 — the
+# transformer service owns the vendor mapping); here each vendor mapping is
+# a native codegen'd projection over the documented public webhook format.
+
+
+def _shopify_order_adapter(df: DataFrame) -> DataFrame:
+    """Shopify ``orders/create`` webhook → one 'Order Created' track event:
+    user from ``customer.id`` (anonymous from ``cart_token``), revenue /
+    currency / order_id from the order envelope, ``line_items`` carried as
+    a typed products array. Timestamps from the order's ``created_at``
+    (ISO-8601 with offset)."""
+    b = F.col("body")
+    ts = F.coalesce(F.to_timestamp(F.get_json_object(b, "$.created_at")), F.col("received_at"))
+    products = F.transform(
+        F.from_json(
+            F.get_json_object(b, "$.line_items"),
+            "array<struct<product_id string, sku string, title string,"
+            " price string, quantity int>>",
+        ),
+        lambda li: F.struct(
+            li.getField("product_id").alias("product_id"),
+            li.getField("sku").alias("sku"),
+            li.getField("title").alias("name"),
+            li.getField("price").cast("double").alias("price"),
+            li.getField("quantity").alias("quantity"),
+        ),
+    )
+    return df.select(
+        F.expr("uuid()").alias("message_id"),
+        F.get_json_object(b, "$.customer.id").alias("user_id"),
+        F.get_json_object(b, "$.cart_token").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.lit("Order Created").alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                F.lit("Order Created").alias("event"),
+                F.struct(
+                    F.get_json_object(b, "$.id").alias("order_id"),
+                    F.get_json_object(b, "$.total_price").cast("double").alias("revenue"),
+                    F.get_json_object(b, "$.currency").alias("currency"),
+                    products.alias("products"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _stripe_event_adapter(df: DataFrame) -> DataFrame:
+    """Stripe event envelope (``{id, type, created, data: {object}}``) →
+    one track event named by ``type``; user from the object's
+    ``customer``, amounts in minor units converted to major. The envelope
+    ``id`` IS the message id — Stripe redelivers with the same id, so the
+    exact-dedup filter (F1) upstream makes redelivery idempotent."""
+    b = F.col("body")
+    obj = lambda p: F.get_json_object(b, f"$.data.object.{p}")  # noqa: E731
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(F.get_json_object(b, "$.created"))),
+        F.col("received_at"),
+    )
+    return df.select(
+        F.get_json_object(b, "$.id").alias("message_id"),
+        obj("customer").alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(F.get_json_object(b, "$.type"), F.lit("stripe_event")).alias(
+            "event_name"
+        ),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                F.get_json_object(b, "$.type").alias("event"),
+                F.struct(
+                    obj("id").alias("charge_id"),
+                    (obj("amount").cast("double") / 100.0).alias("amount"),
+                    obj("currency").alias("currency"),
+                    obj("status").alias("status"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _github_push_adapter(df: DataFrame) -> DataFrame:
+    """GitHub push webhook → one 'Commit Pushed' event PER COMMIT (the
+    S2 one-payload→N-events UDTF shape, as a pure explode): user from
+    ``pusher.name``, repo/ref/sha/message as properties, event time from
+    each commit's ``timestamp``."""
+    b = F.col("body")
+    commits = F.from_json(
+        F.get_json_object(b, "$.commits"),
+        "array<struct<id string, message string, timestamp string,"
+        " author struct<name string, email string>>>",
+    )
+    rows = df.select(
+        F.col("received_at"),
+        F.get_json_object(b, "$.repository.full_name").alias("_repo"),
+        F.get_json_object(b, "$.ref").alias("_ref"),
+        F.get_json_object(b, "$.pusher.name").alias("_pusher"),
+        F.explode(commits).alias("_c"),
+    )
+    ts = F.coalesce(F.to_timestamp(F.col("_c.timestamp")), F.col("received_at"))
+    return rows.select(
+        F.col("_c.id").alias("message_id"),  # commit sha: natural dedup key
+        F.col("_pusher").alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.lit("Commit Pushed").alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                F.lit("Commit Pushed").alias("event"),
+                F.struct(
+                    F.col("_repo").alias("repository"),
+                    F.col("_ref").alias("ref"),
+                    F.col("_c.id").alias("sha"),
+                    F.col("_c.message").alias("message"),
+                    F.col("_c.author.email").alias("author_email"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _mailchimp_subscribe_adapter(df: DataFrame) -> DataFrame:
+    """Mailchimp list webhook (form-encoded ``type=subscribe&
+    data[email]=...&data[list_id]=...``) → an identify-shaped event keyed
+    by the subscriber email; str_to_map parsing, no JSON anywhere."""
+    kv = F.str_to_map(F.col("body"), F.lit("&"), F.lit("="))
+    email = kv.getItem("data[email]")
+    return df.select(
+        F.expr("uuid()").alias("message_id"),
+        email.alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("identify").alias("event_type"),
+        F.coalesce(kv.getItem("type"), F.lit("subscribe")).alias("event_name"),
+        F.col("received_at"),
+        F.col("received_at").alias("sent_at"),
+        F.col("received_at").alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("identify").alias("type"),
+                F.struct(
+                    email.alias("email"),
+                    kv.getItem("data[list_id]").alias("list_id"),
+                    kv.getItem("data[merges][FNAME]").alias("first_name"),
+                ).alias("traits"),
+            )
+        ).alias("payload"),
+    )
+
+
+register_webhook_adapter("shopify_order", _shopify_order_adapter)
+register_webhook_adapter("stripe_event", _stripe_event_adapter)
+register_webhook_adapter("github_push", _github_push_adapter)
+register_webhook_adapter("mailchimp_subscribe", _mailchimp_subscribe_adapter)
+
+
 def verify_webhook_signatures(
     df: DataFrame,
     secrets: dict[str, str],

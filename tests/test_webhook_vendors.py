@@ -1,0 +1,124 @@
+"""Golden tests for the real-vendor webhook adapters (S2): Shopify order,
+Stripe event envelope, GitHub push (one event per commit), Mailchimp
+form-encoded subscribe. Payloads follow the vendors' documented public
+webhook formats; the reference maps these in its remote transformer
+(gateway/webhook/webhookTransformer.go:35-60) — here each is a codegen'd
+projection."""
+
+import datetime as dt
+import json
+
+from rudder_server_spark.sources.webhook import adapt_webhook
+
+RCV = dt.datetime(2024, 2, 1, 10, 30, 0)
+
+
+def _raw(spark, body):
+    return spark.createDataFrame([(body, RCV)], "body string, received_at timestamp")
+
+
+SHOPIFY_ORDER = {
+    "id": 820982911946154500,
+    "cart_token": "cart-abc",
+    "created_at": "2024-01-15T09:30:00+00:00",
+    "currency": "USD",
+    "total_price": "403.00",
+    "customer": {"id": 115310627314723950, "email": "john@example.com"},
+    "line_items": [
+        {"product_id": "632910392", "sku": "IPOD-342", "title": "IPod Nano",
+         "price": "199.00", "quantity": 1},
+        {"product_id": "921728736", "sku": "IPOD-343", "title": "IPod Touch",
+         "price": "102.00", "quantity": 2},
+    ],
+}
+
+
+def test_shopify_order_golden(spark):
+    out = adapt_webhook(_raw(spark, json.dumps(SHOPIFY_ORDER)), "shopify_order")
+    r = out.head()
+    assert r["event_type"] == "track" and r["event_name"] == "Order Created"
+    assert r["user_id"] == "115310627314723950"
+    assert r["anonymous_id"] == "cart-abc"
+    assert r["sent_at"] == dt.datetime(2024, 1, 15, 9, 30, 0)
+    p = json.loads(r["payload"])
+    assert p["properties"]["order_id"] == "820982911946154500"
+    assert p["properties"]["revenue"] == 403.0
+    assert p["properties"]["currency"] == "USD"
+    prods = p["properties"]["products"]
+    assert [x["sku"] for x in prods] == ["IPOD-342", "IPOD-343"]
+    assert prods[0]["price"] == 199.0 and prods[1]["quantity"] == 2
+
+
+STRIPE_EVENT = {
+    "id": "evt_1NG8Du2eZvKYlo2CUI79vXWy",
+    "object": "event",
+    "type": "charge.succeeded",
+    "created": 1705311000,  # 2024-01-15T09:30:00Z
+    "data": {
+        "object": {
+            "id": "ch_3NG8Du2eZvKYlo2C1B8z0QpQ",
+            "amount": 2000,
+            "currency": "usd",
+            "customer": "cus_9s6XKzkNRiz8i3",
+            "status": "succeeded",
+        }
+    },
+}
+
+
+def test_stripe_event_golden(spark):
+    out = adapt_webhook(_raw(spark, json.dumps(STRIPE_EVENT)), "stripe_event")
+    r = out.head()
+    # envelope id is the message id — F1 exact dedup makes Stripe's
+    # at-least-once redelivery idempotent
+    assert r["message_id"] == "evt_1NG8Du2eZvKYlo2CUI79vXWy"
+    assert r["user_id"] == "cus_9s6XKzkNRiz8i3"
+    assert r["event_name"] == "charge.succeeded"
+    assert r["sent_at"] == dt.datetime(2024, 1, 15, 9, 30, 0)
+    p = json.loads(r["payload"])
+    assert p["properties"]["amount"] == 20.0  # minor → major units
+    assert p["properties"]["currency"] == "usd"
+    assert p["properties"]["status"] == "succeeded"
+
+
+GITHUB_PUSH = {
+    "ref": "refs/heads/main",
+    "repository": {"full_name": "octocat/Hello-World"},
+    "pusher": {"name": "octocat"},
+    "commits": [
+        {"id": "abc123", "message": "fix bug",
+         "timestamp": "2024-01-15T09:30:00Z",
+         "author": {"name": "Octo Cat", "email": "octo@github.com"}},
+        {"id": "def456", "message": "add feature",
+         "timestamp": "2024-01-15T09:31:00Z",
+         "author": {"name": "Octo Cat", "email": "octo@github.com"}},
+    ],
+}
+
+
+def test_github_push_explodes_per_commit(spark):
+    out = adapt_webhook(_raw(spark, json.dumps(GITHUB_PUSH)), "github_push")
+    rows = out.orderBy("message_id").collect()
+    assert [r["message_id"] for r in rows] == ["abc123", "def456"]
+    assert all(r["user_id"] == "octocat" for r in rows)
+    assert rows[1]["sent_at"] == dt.datetime(2024, 1, 15, 9, 31, 0)
+    p = json.loads(rows[0]["payload"])
+    assert p["properties"]["repository"] == "octocat/Hello-World"
+    assert p["properties"]["ref"] == "refs/heads/main"
+    assert p["properties"]["sha"] == "abc123"
+    assert p["properties"]["author_email"] == "octo@github.com"
+
+
+def test_mailchimp_subscribe_golden(spark):
+    body = ("type=subscribe&fired_at=2024-01-15 09:30:00"
+            "&data[email]=api@mailchimp.com&data[list_id]=a6b5da1054"
+            "&data[merges][FNAME]=Api")
+    out = adapt_webhook(_raw(spark, body), "mailchimp_subscribe")
+    r = out.head()
+    assert r["event_type"] == "identify"
+    assert r["event_name"] == "subscribe"
+    assert r["user_id"] == "api@mailchimp.com"
+    p = json.loads(r["payload"])
+    assert p["traits"]["email"] == "api@mailchimp.com"
+    assert p["traits"]["list_id"] == "a6b5da1054"
+    assert p["traits"]["first_name"] == "Api"
