@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # headline queries: one per operator family (joins/windows/aggs/dedup/
-# identity/flatten/similarity/text) — the set the 2× gate is judged on
+# identity/flatten/similarity/text) — the set the 2× gate is judged on.
+# THIS LIST IS THE ROSTER-V1 CONTRACT (r4/r5): the gate denominator. New
+# operators are never added here (that would silently move the gate);
+# they join ROSTER_V2_EXTRA below, reported separately against their own
+# regenerated baseline.
 BENCH_QUERIES = [
     "q1_flatten_infer",
     "q2_latest_status",
@@ -54,6 +58,30 @@ BENCH_QUERIES = [
     "t55_dup_clusters",
     "t56_knn_classify",
     "q79_retention",
+]
+
+# roster v2 (round 7): everything rounds 5-7 added that the v1 contract
+# omits — async bulk lifecycle, the 13 stream-manager shape audits, redis
+# KV replay, warehouse archiver, live-events debugger, suppression fold,
+# provider upload shapes, snowpipe, circuit breaker, and the two
+# dedup-removal passes. Reported as a SEPARATE section (warm timings +
+# ratio vs bench/baseline_v2_sf*.json); the committed 2x gate stays
+# defined on v1 until the driver says otherwise.
+ROSTER_V2_EXTRA = [
+    "q84_async_destinations",
+    "q91_stream_shapes",
+    "q92_redis_kv_state",
+    "q93_wh_archive",
+    "q94_live_events",
+    "q95_suppression_fold",
+    "q96_stream_shapes2",
+    "q97_sheets_rows",
+    "q98_provider_upload_shapes",
+    "q99_upload_admission",
+    "q100_snowpipe_streaming",
+    "q101_circuit_breaker",
+    "t65_strip_passages",
+    "t66_strip_contamination",
 ]
 # t27_semdedup (k-means) is deliberately NOT in the roster: it has no SQL
 # oracle, so it would inflate warm_total with no matching baseline entry —
@@ -165,7 +193,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + ROSTER_V2_EXTRA:
         if name not in reg:
             continue
         timings[name] = run_once(name)
@@ -232,46 +260,78 @@ def main() -> None:
     # floor-adjusted ratio vs the committed DuckDB-warm baseline: subtract
     # the scheduling floor from each warm timing (clamped at 0) so the ratio
     # reflects COMPUTE, comparable round over round
+    # v1 / v2 split: the GATE numbers (warm_total, floor_adjusted_*) are
+    # computed over the v1 contract names only — adding roster-v2 queries
+    # must never move the gate denominator
+    v1_names = [n for n in warm if n in BENCH_QUERIES]
+    v2_names = [n for n in warm if n in ROSTER_V2_EXTRA]
+
     floor_adjusted = None
     floor_adjusted_total_ratio = None
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench",
-                             f"baseline_sf{SF_DIR.rstrip('/').rsplit('sf', 1)[-1]}.json")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench")
+    sf_tag = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    base_path = os.path.join(bench_dir, f"baseline_sf{sf_tag}.json")
     if os.path.exists(base_path):
         with open(base_path) as fh:
             base = json.load(fh)["queries"]
         floor_adjusted = {
             name: round(max(warm[name] - floor, 0.0) / base[name], 2)
-            for name in warm
+            for name in v1_names
             if name in base and base[name] > 0
         }
         # roster-level compute ratio: the same floor subtraction applied to
         # the TOTAL, the number comparable across hosts/rounds (the raw
         # total swings with local-mode scheduling + VM noise; see
         # BASELINE.md structural-floor notes)
-        shared = [n for n in warm if n in base]
+        shared = [n for n in v1_names if n in base]
         floor_adjusted_total_ratio = round(
             sum(max(warm[n] - floor, 0.0) for n in shared)
             / sum(base[n] for n in shared),
             3,
         )
 
+    # roster-v2 section vs its own regenerated baseline (informational —
+    # not the gate)
+    v2_report = None
+    base2_path = os.path.join(bench_dir, f"baseline_v2_sf{sf_tag}.json")
+    if v2_names:
+        v2_report = {
+            "queries": {n: warm[n] for n in v2_names},
+            "warm_total": round(sum(warm[n] for n in v2_names), 3),
+        }
+        if os.path.exists(base2_path):
+            with open(base2_path) as fh:
+                base2 = json.load(fh)["queries"]
+            shared2 = [n for n in v2_names if n in base2 and base2[n] > 0]
+            v2_report["floor_adjusted_ratio"] = {
+                n: round(max(warm[n] - floor, 0.0) / base2[n], 2) for n in shared2
+            }
+            v2_report["floor_adjusted_total_ratio"] = round(
+                sum(max(warm[n] - floor, 0.0) for n in shared2)
+                / sum(base2[n] for n in shared2),
+                3,
+            )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    total = round(sum(timings.values()), 3)
+    # continuity: value/queries/warm/warm_total stay the v1-roster numbers
+    # the r1-r6 BENCH artifacts carry; v2 rides in its own section
+    total = round(sum(timings[n] for n in v1_names), 3)
     print(
         json.dumps(
             {
                 "metric": "declared_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                "queries": {n: timings[n] for n in v1_names},
+                "warm": {n: warm[n] for n in v1_names},
+                "warm_total": round(sum(warm[n] for n in v1_names), 3),
                 "warm_p50": warm_p50,
                 "warm_runs": {name: len(s) for name, s in samples.items()},
                 "build_sec": build_sec,
                 "floor_sec": floor,
                 "floor_adjusted_ratio": floor_adjusted,
                 "floor_adjusted_total_ratio": floor_adjusted_total_ratio,
+                "v2": v2_report,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -114,6 +114,8 @@ def sequential_accept(
     base_bytes: int = 0,
     inclusive: bool = True,
     out_col: str = "accepted",
+    skip_col: str | None = None,
+    subgroup_cols: tuple = (),
 ) -> DataFrame:
     """The managers' accept-or-skip admission fold, one group = one upload
     file: scan rows in staged order; accept a row only while the running
@@ -128,6 +130,17 @@ def sequential_accept(
     ``currentSize+rowSize > maxSizeWithBuffer → skip``);
     ``inclusive=False`` accepts while ``total + size < cap`` (bing-ads /
     lytics ``newFileSize < fileSizeLimit``).
+
+    ``skip_col`` (boolean) marks rows the manager never offers to the file
+    (e.g. validation failures routed to the failed set BEFORE writing):
+    they come back ``accepted=False`` and do not advance the totals —
+    letting callers run ONE fold over the full frame instead of a
+    filter + fold + union re-computation of the upstream projection.
+
+    ``subgroup_cols`` fold independent sub-files (e.g. bing-ads' per-ACTION
+    files) INSIDE one pandas group: same semantics as putting them in
+    ``group_cols``, but one Arrow exchange instead of |subgroups|× — the
+    per-group pandas setup cost (~15-20 ms) dominates small audit groups.
 
     Scale: groups are single upload files, bounded by the batcher's
     ``max_events_per_file`` — the Arrow-batched pandas fold is O(group)
@@ -148,18 +161,29 @@ def sequential_accept(
     base = int(base_bytes)
     incl = bool(inclusive)
     out_name = str(out_col)
+    skip_name = None if skip_col is None else str(skip_col)
+    subs = [str(c) for c in subgroup_cols]
 
     def fold(pdf):
         # self-contained: workers may not have the repo on sys.path
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
-        total, n, flags = base, 0, []
-        for sz in pdf[size_name]:
+        state: dict = {}
+        flags = []
+        skips = pdf[skip_name] if skip_name else None
+        keys = (
+            list(zip(*[pdf[c] for c in subs])) if subs else [()] * len(pdf)
+        )
+        for i, sz in enumerate(pdf[size_name]):
+            if skips is not None and bool(skips.iloc[i]):
+                flags.append(False)
+                continue
+            total, n = state.get(keys[i], (base, 0))
             new = total + int(sz)
             ok = (new <= cap if incl else new < cap) and (
                 ccap is None or n < ccap
             )
             if ok:
-                total, n = new, n + 1
+                state[keys[i]] = (new, n + 1)
             flags.append(ok)
         pdf[out_name] = flags
         return pdf
@@ -295,37 +319,45 @@ def bingads_audience_rows(
             F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
         )
     )
+    valid_action = F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS)
     base = jobs.select(
         "*",
         action.alias("action"),
         F.octet_length(staged).alias("line_bytes"),
     )
-    valid = base.where(F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS))
-    invalid = base.where(
-        ~F.coalesce(F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS), F.lit(False))
-    )
+    # one fold over everything: invalid-action rows ride through as skips
     folded = sequential_accept(
-        valid,
+        base.withColumn("_skip", ~F.coalesce(valid_action, F.lit(False))),
         size_col="line_bytes",
         byte_cap=file_size_limit,
         order_cols=(job_id_col,),
-        group_cols=tuple(group_cols) + ("action",),
+        group_cols=tuple(group_cols),
+        subgroup_cols=("action",),
         count_cap=events_limit,
         inclusive=False,
+        skip_col="_skip",
     )
     users = F.from_json(
         F.get_json_object(p, "$.message.List"),
         "array<struct<email string, hashedEmail string>>",
     )
-    exploded = (
-        folded.where(F.col("accepted"))
-        .select("*", F.explode_outer(users).alias("_u"))
-        .withColumn(
+    # accepted jobs explode to member rows; rejected/invalid jobs keep one
+    # NULL-member row with their error (kept-with-status, no union)
+    exploded = folded.select(
+        "*",
+        F.explode_outer(F.when(F.col("accepted"), users)).alias("_u"),
+    )
+    member = F.col("_u").isNotNull()
+    return (
+        exploded.withColumn(
             "client_id",
-            F.concat(
-                F.col(job_id_col).cast("string"),
-                F.lit(CLIENT_ID_SEPARATOR),
-                F.col("_u.hashedEmail"),
+            F.when(
+                member,
+                F.concat(
+                    F.col(job_id_col).cast("string"),
+                    F.lit(CLIENT_ID_SEPARATOR),
+                    F.coalesce(F.col("_u.hashedEmail"), F.lit("")),
+                ),
             ),
         )
         .withColumn(
@@ -333,7 +365,7 @@ def bingads_audience_rows(
             # an accepted job with an empty List stays accepted but writes
             # no member rows (the reference's inner loop just doesn't run)
             F.when(
-                F.col("_u").isNotNull(),
+                member,
                 go_csv_line(
                     [F.lit("Customer List Item"), F.lit(""), F.lit(""),
                      F.lit(audience_id),
@@ -344,22 +376,14 @@ def bingads_audience_rows(
                 ),
             ),
         )
-        .withColumn("error", F.lit(None).cast("string"))
-        .drop("_u")
+        .withColumn(
+            "error",
+            F.when(F.col("_skip"), F.lit("invalid action")).when(
+                ~F.col("accepted"), F.lit("file size/event limit reached")
+            ),
+        )
+        .drop("_u", "_skip")
     )
-    rejected = (
-        folded.where(~F.col("accepted"))
-        .withColumn("client_id", F.lit(None).cast("string"))
-        .withColumn("csv_line", F.lit(None).cast("string"))
-        .withColumn("error", F.lit("file size/event limit reached"))
-    )
-    errored = (
-        invalid.withColumn("accepted", F.lit(False))
-        .withColumn("client_id", F.lit(None).cast("string"))
-        .withColumn("csv_line", F.lit(None).cast("string"))
-        .withColumn("error", F.lit("invalid action"))
-    )
-    return exploded.unionByName(rejected).unionByName(errored)
 
 
 _OFFLINE_TIME_FIELDS = ("conversionTime", "adjustedConversionTime")
@@ -411,31 +435,66 @@ def bingads_offline_rows(
     action = F.get_json_object(p, "$.action")
     fields_v = F.from_json(F.get_json_object(p, "$.fields"), "map<string,variant>")
 
-    def v(k: str) -> Column:
-        return F.try_element_at(fields_v, F.lit(k))
+    # Materialize each known field's JSON text and string value ONCE in a
+    # single projection — the error ladder and three row shapes then read
+    # plain columns. Building them as per-call expression trees instead
+    # (~20 variant-op subtrees per row) measured ~17x slower at sf0.01
+    # because the trees re-evaluate past the fold's Arrow boundary where
+    # common-subexpression elimination can't see across.
+    keys = (
+        "conversionName", "conversionTime", "adjustedConversionTime",
+        "conversionValue", "microsoftClickId", "email", "phone",
+        "conversionCurrencyCode", "externalAttributionCredit",
+        "externalAttributionModel",
+    )
 
-    def present(k: str) -> Column:
-        return F.coalesce(F.map_contains_key(fields_v, F.lit(k)), F.lit(False))
+    def _raw(k: str) -> Column:
+        return F.to_json(F.try_element_at(fields_v, F.lit(k)))
+
+    def _sv(k: str) -> Column:
+        # the post-lo.MapValues stringification: nil → "", string as-is,
+        # everything else via its JSON text
+        r = F.col(f"_raw_{k}")
+        return (
+            F.when(r.isNull() | (r == "null"), F.lit(""))
+            .when(
+                r.startswith('"'),
+                F.variant_get(F.try_element_at(fields_v, F.lit(k)), "$", "string"),
+            )
+            .otherwise(r)
+        )
+
+    staged = F.to_json(
+        F.struct(
+            F.struct(
+                F.get_json_object(p, "$.fields").alias("fields"),
+                action.alias("action"),
+            ).alias("message"),
+            F.struct(F.col(job_id_col).alias("jobId")).alias("metadata"),
+        )
+    )
+    parsed = jobs.select(
+        "*",
+        action.alias("action"),
+        F.octet_length(staged).alias("line_bytes"),
+        *[_raw(k).alias(f"_raw_{k}") for k in keys],
+    ).select("*", *[_sv(k).alias(f"_s_{k}") for k in keys])
 
     def raw(k: str) -> Column:
-        return F.to_json(v(k))
+        return F.col(f"_raw_{k}")
+
+    def sval(k: str) -> Column:
+        return F.col(f"_s_{k}")
+
+    def present(k: str) -> Column:
+        return raw(k).isNotNull()
 
     def is_nonempty_string(k: str) -> Column:
         return present(k) & raw(k).startswith('"') & (raw(k) != '""')
 
-    def sval(k: str) -> Column:
-        # the post-lo.MapValues stringification: nil → "", string as-is,
-        # everything else via its JSON text
-        r = raw(k)
-        return (
-            F.when(~present(k) | (r == "null"), F.lit(""))
-            .when(r.startswith('"'), F.variant_get(v(k), "$", "string"))
-            .otherwise(r)
-        )
-
-    conv_time = _offline_parse_time(F.variant_get(v("conversionTime"), "$", "string"))
+    conv_time = _offline_parse_time(F.when(raw("conversionTime").startswith('"'), sval("conversionTime")))
     adj_time = _offline_parse_time(
-        F.variant_get(v("adjustedConversionTime"), "$", "string")
+        F.when(raw("adjustedConversionTime").startswith('"'), sval("adjustedConversionTime"))
     )
     # enhanced-conversion gate (bulk_uploader.go:78-104): clickId must be
     # non-null non-empty; email/phone need only be present with any value
@@ -448,21 +507,21 @@ def bingads_offline_rows(
     enhanced = clickid_ok | email_ok | phone_ok
 
     err = (
-        F.when(~action.isin(*BINGADS_OFFLINE_ACTIONS), F.lit("invalid action"))
+        F.when(~F.col("action").isin(*BINGADS_OFFLINE_ACTIONS), F.lit("invalid action"))
         .when(~is_nonempty_string("conversionName"), F.lit("conversionName field invalid"))
         .when(~is_nonempty_string("conversionTime"), F.lit("conversionTime field invalid"))
         .when(conv_time.isNull(), F.lit("conversionTime format invalid"))
         .when(
-            (action != "insert") & present("adjustedConversionTime") & adj_time.isNull(),
+            (F.col("action") != "insert") & present("adjustedConversionTime") & adj_time.isNull(),
             F.lit("adjustedConversionTime format invalid"),
         )
         .when(~enhanced, F.lit("missing required field: microsoftClickId (or provide a hashed email/phone for enhanced conversions)"))
         .when(
-            (action != "insert") & ~(present("adjustedConversionTime") & (adj_time.isNotNull())),
+            (F.col("action") != "insert") & ~(present("adjustedConversionTime") & (adj_time.isNotNull())),
             F.lit("adjustedConversionTime field invalid"),
         )
         .when(
-            (action == "update") & ~is_nonempty_string("conversionValue"),
+            (F.col("action") == "update") & ~is_nonempty_string("conversionValue"),
             F.lit("conversionValue field invalid"),
         )
     )
@@ -497,44 +556,33 @@ def bingads_offline_rows(
          sval("microsoftClickId"), email, phone,
          F.coalesce(adj_time, F.lit(""))]
     )
-    staged = F.to_json(
-        F.struct(
-            F.struct(
-                F.get_json_object(p, "$.fields").alias("fields"),
-                action.alias("action"),
-            ).alias("message"),
-            F.struct(F.col(job_id_col).alias("jobId")).alias("metadata"),
-        )
-    )
-    base = jobs.select(
+    # csv_line computed BEFORE the fold (same codegen stage as the error
+    # ladder, shared subexpressions); the fold only appends `accepted`.
+    # ONE fold over the whole frame — error rows ride through as skips
+    # (they never reach the file and never advance its size), so the heavy
+    # projection runs once instead of once per union branch.
+    base = parsed.select(
         "*",
-        action.alias("action"),
         err.alias("error"),
-        F.octet_length(staged).alias("line_bytes"),
-    )
-    valid = base.where(F.col("error").isNull())
+        F.when(F.col("action") == "insert", insert_row)
+        .when(F.col("action") == "update", update_row)
+        .otherwise(delete_row)
+        .alias("_line"),
+    ).drop(*[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
     folded = sequential_accept(
-        valid,
+        base.withColumn("_skip", F.col("error").isNotNull()),
         size_col="line_bytes",
         byte_cap=file_size_limit,
         order_cols=(job_id_col,),
-        group_cols=tuple(group_cols) + ("action",),
+        group_cols=tuple(group_cols),
+        subgroup_cols=("action",),
         count_cap=events_limit,
         inclusive=False,
+        skip_col="_skip",
     )
-    shaped = folded.withColumn(
-        "csv_line",
-        F.when(
-            ~F.col("accepted"), F.lit(None).cast("string")
-        )
-        .when(F.col("action") == "insert", insert_row)
-        .when(F.col("action") == "update", update_row)
-        .otherwise(delete_row),
-    )
-    errored = base.where(F.col("error").isNotNull()).withColumn(
-        "accepted", F.lit(False)
-    ).withColumn("csv_line", F.lit(None).cast("string"))
-    return shaped.unionByName(errored)
+    return folded.withColumn(
+        "csv_line", F.when(F.col("accepted"), F.col("_line"))
+    ).drop("_line", "_skip")
 
 
 def bingads_offline_template(action: str) -> list[str]:

@@ -3905,3 +3905,383 @@ def q101(spark, sf):
         )
         .orderBy("part", "bday")
     )
+
+
+
+# --------------------------------------------------------------------------
+# Q102 provider upload shapes, part 2 — eloqua, salesforce bulk, sftp,
+# yandex metrica (router/batchrouter/asyncdestinationmanager/): with q98
+# (marketo, bing-ads x2, lytics), q100 (snowpipe) and q103 (klaviyo) every
+# provider in the async tree has an oracle-checked shape. Per (provider,
+# day-group): row / skipped counts and min/max of the EXACT CSV lines —
+# pinning header derivation (first-event keys for eloqua/sftp, sorted
+# union for salesforce, id-priority column for yandex incl. the
+# first-id-invalid whole-group abort), FormatCSVValue vs fmt-%v cell
+# semantics, and the sha256 upsert-key correlation hash.
+@register(
+    "q102_provider_upload_shapes2",
+    """
+    WITH base AS (
+      SELECT event_id AS eid, user_id AS uid, CAST(ts AS DATE) AS bday,
+             event_type AS et
+      FROM events
+    ),
+    eloqua AS (
+      SELECT 'eloqua' AS provider, bday,
+             CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_out,
+             min(line) AS min_line, max(line) AS max_line,
+             CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
+      FROM (
+        SELECT bday,
+               'u' || CAST(uid AS VARCHAR) || '@example.com,'
+               || CASE WHEN eid % 3 <> 0 THEN 'q' || CAST(eid % 5 AS VARCHAR) ELSE '' END
+               || ','
+               || CASE WHEN eid % 7 = 0 THEN '' ELSE 'n' END AS line
+        FROM base
+      ) GROUP BY bday
+    ),
+    sf_hdr AS (
+      -- sorted union of per-row key sets: Email,Amount always; Tags when
+      -- eid%4=0; Plan when eid%5=0 — any day at sf>=0.01 sees all four
+      SELECT bday,
+             list_sort(list_distinct(flatten(list(keys)))) AS headers
+      FROM (
+        SELECT bday,
+               ['Email', 'Amount']
+               || CASE WHEN eid % 4 = 0 THEN ['Tags'] ELSE [] END
+               || CASE WHEN eid % 5 = 0 THEN ['Plan'] ELSE [] END AS keys
+        FROM base
+      ) GROUP BY bday
+    ),
+    sf_rows AS (
+      SELECT b.bday,
+             array_to_string(list_transform(h.headers, k ->
+               CASE k
+                 WHEN 'Email' THEN 'u' || CAST(b.uid AS VARCHAR) || '@example.com'
+                 WHEN 'Amount' THEN CAST(b.eid % 100 AS VARCHAR)
+                 WHEN 'Tags' THEN CASE WHEN b.eid % 4 = 0
+                   THEN '"[""' || b.et || '""]"' ELSE '' END
+                 WHEN 'Plan' THEN CASE WHEN b.eid % 5 = 0 THEN 'pro' ELSE '' END
+               END), ',') AS line,
+             sha256('u' || CAST(b.uid AS VARCHAR) || '@example.com') AS h
+      FROM base b JOIN sf_hdr h USING (bday)
+    ),
+    salesforce AS (
+      SELECT 'salesforce' AS provider, bday,
+             CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             min(line), max(line), min(h), max(h)
+      FROM sf_rows GROUP BY bday
+    ),
+    sftp AS (
+      -- score key present with JSON null when eid%6=0 → Go %v "<nil>"
+      SELECT 'sftp' AS provider, bday,
+             CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
+             min(line), max(line),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM (
+        SELECT bday,
+               'u' || CAST(uid AS VARCHAR) || '@example.com,'
+               || CASE WHEN eid % 6 = 0 THEN '<nil>' ELSE CAST(eid % 50 AS VARCHAR) END
+               || ',' || CASE eid % 3 WHEN 0 THEN 'insert'
+                                      WHEN 1 THEN 'update' ELSE 'delete' END AS line
+        FROM base
+      ) GROUP BY bday
+    ),
+    ym AS (
+      SELECT bday, eid,
+             eid = (min(eid) OVER (PARTITION BY bday)) AS is_first,
+             CASE WHEN eid % 11 = 0 THEN NULL  -- non-string id → ID() error
+                  ELSE CASE eid % 3 WHEN 0 THEN 'c-' WHEN 1 THEN 'y-' ELSE 'us-' END
+                       || CAST(eid AS VARCHAR) END AS rid,
+             CASE WHEN eid % 2 = 0 THEN 'g-default' ELSE 't' || CAST(eid % 9 AS VARCHAR) END AS target,
+             CAST(eid % 97 AS VARCHAR)
+             || CASE eid % 4 WHEN 0 THEN '' WHEN 1 THEN '.25'
+                             WHEN 2 THEN '.5' ELSE '.75' END AS price
+      FROM base
+    ),
+    ym_groups AS (
+      -- a day whose FIRST message has the invalid id aborts whole
+      -- (ymMsgsBody[0].ID() error)
+      SELECT bday, bool_or(is_first AND rid IS NULL) AS group_failed
+      FROM ym GROUP BY bday
+    ),
+    yandex AS (
+      SELECT 'yandex' AS provider, m.bday,
+             CAST(sum(CASE WHEN NOT g.group_failed AND m.rid IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN g.group_failed OR m.rid IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT),
+             min(CASE WHEN NOT g.group_failed THEN m.line END),
+             max(CASE WHEN NOT g.group_failed THEN m.line END),
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM (
+        SELECT bday, rid,
+               CASE WHEN rid IS NOT NULL THEN
+                 rid || ',' || target || ',2024-01-01T00:00:00,' || price || ',RUB'
+               END AS line
+        FROM ym
+      ) m JOIN ym_groups g USING (bday)
+      GROUP BY m.bday
+    )
+    SELECT provider, bday, n_rows, n_out, min_line, max_line, min_hash, max_hash
+    FROM (
+      SELECT * FROM eloqua UNION ALL SELECT * FROM salesforce
+      UNION ALL SELECT * FROM sftp UNION ALL SELECT * FROM yandex
+    ) ORDER BY provider, bday
+    """,
+    doc=(
+        "Async-provider bulk-file shapes, part 2: eloqua first-event CSV "
+        "with string-only values, salesforce sorted-union header + "
+        "FormatCSVValue + sha256 upsert-key hash, sftp fields+action CSV "
+        "with Go %v nil cells, yandex id-priority CSV with non-string-id "
+        "row skips and the first-id-invalid group abort. Ref: eloqua/"
+        "utils.go:24-131, salesforce-bulk-upload/utils.go:25-152, "
+        "sftp/utils.go:47-199, yandexmetrica/yandexmetrica.go:40-205"
+    ),
+    tags=("rudder", "router"),
+)
+def q102(spark, sf):
+    from rudder_server_spark.operators import provider_uploads2 as P2
+
+    e = load_table(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id").cast("string")
+    day = F.to_date("ts").alias("bday")
+    s = lambda c: c.cast("string")  # noqa: E731
+    email = F.concat(F.lit("u"), uid, F.lit("@example.com"))
+    nulls = (F.lit(None).cast("string").alias("min_hash"),
+             F.lit(None).cast("string").alias("max_hash"))
+
+    # ---- eloqua: track/orders docs with a FIXED key set, so every
+    # group's first-event header is (email, qty, note); qty carries a
+    # non-string for eid%3=0 and note the literal "null" for eid%7=0 —
+    # both must render "" (string-only cell semantics)
+    elq_doc = F.concat(
+        F.lit('{"message":{"type":"track","customObjectId":"orders",'
+              '"identifierFieldName":"email","data":{"email":"'),
+        email,
+        F.lit('","qty":'),
+        F.when(eid % 3 != 0, F.concat(F.lit('"q'), s(eid % 5), F.lit('"')))
+        .otherwise(s(eid % 5)),
+        F.lit(',"note":'),
+        F.when(eid % 7 == 0, F.lit('"null"')).otherwise(F.lit('"n"')),
+        F.lit("}}}"),
+    )
+    elq = P2.eloqua_csv_rows(
+        e.select(eid.alias("job_id"), day, elq_doc.alias("payload")),
+        group_cols=("bday",),
+    )
+    elq_a = elq.groupBy("bday").agg(
+        F.count("*").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_out"),
+        F.min("csv_line").alias("min_line"),
+        F.max("csv_line").alias("max_line"),
+    ).select(F.lit("eloqua").alias("provider"), "*", *nulls)
+
+    # ---- salesforce: varying key sets → sorted-union header per day
+    sf_doc = F.concat(
+        F.lit('{"message":{"Email":"'), email, F.lit('","Amount":'), s(eid % 100),
+        F.when(eid % 4 == 0,
+               F.concat(F.lit(',"Tags":["'), F.col("event_type"), F.lit('"]'))
+               ).otherwise(F.lit("")),
+        F.when(eid % 5 == 0, F.lit(',"Plan":"pro"')).otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    sfr = P2.salesforce_csv_rows(
+        e.select(eid.alias("job_id"), day, sf_doc.alias("payload")),
+        external_id_field="Email", group_cols=("bday",),
+    )
+    sf_a = sfr.groupBy("bday").agg(
+        F.count("*").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_out"),
+        F.min("csv_line").alias("min_line"),
+        F.max("csv_line").alias("max_line"),
+        F.min("external_id_hash").alias("min_hash"),
+        F.max("external_id_hash").alias("max_hash"),
+    ).select(F.lit("salesforce").alias("provider"), "*")
+
+    # ---- sftp: fields (email, score) + action; score key PRESENT with
+    # JSON null for eid%6=0 so the header is stable per group and the
+    # cell renders Go's "%v" of nil ("<nil>")
+    sftp_doc = F.concat(
+        F.lit('{"message":{"action":"'),
+        F.when(eid % 3 == 0, "insert").when(eid % 3 == 1, "update").otherwise("delete"),
+        F.lit('","fields":{"email":"'), email, F.lit('","score":'),
+        F.when(eid % 6 == 0, F.lit("null")).otherwise(s(eid % 50)),
+        F.lit("}}}"),
+    )
+    sfp = P2.sftp_csv_rows(
+        e.select(eid.alias("job_id"), day, sftp_doc.alias("payload")),
+        group_cols=("bday",),
+    )
+    sfp_a = sfp.groupBy("bday").agg(
+        F.count("*").alias("n_rows"),
+        F.lit(0).cast("long").alias("n_out"),
+        F.min("csv_line").alias("min_line"),
+        F.max("csv_line").alias("max_line"),
+    ).select(F.lit("sftp").alias("provider"), "*", *nulls)
+
+    # ---- yandex: id field rotates by eid%3; eid%11=0 carries a NUMERIC
+    # id (getID error) — mid-group it skips the row, on the group's FIRST
+    # row it aborts the whole day (oracle mirrors via min-eid)
+    ym_id = F.concat(
+        F.when(eid % 3 == 0, "c-").when(eid % 3 == 1, "y-").otherwise("us-"), s(eid)
+    )
+    id_field = (
+        F.when(eid % 3 == 0, "ClientId").when(eid % 3 == 1, "Yclid").otherwise("UserId")
+    )
+    id_member = F.concat(
+        F.lit('"'), id_field, F.lit('":'),
+        F.when(eid % 11 == 0, s(eid)).otherwise(F.concat(F.lit('"'), ym_id, F.lit('"'))),
+    )
+    ym_doc = F.concat(
+        F.lit('{"message":{'), id_member,
+        F.lit(',"Target":'),
+        F.when(eid % 2 == 0, F.lit('""')).otherwise(
+            F.concat(F.lit('"t'), s(eid % 9), F.lit('"'))
+        ),
+        F.lit(',"DateTime":"2024-01-01T00:00:00","Price":'),
+        F.concat(
+            s(eid % 97),
+            F.when(eid % 4 == 0, "").when(eid % 4 == 1, ".25")
+            .when(eid % 4 == 2, ".5").otherwise(".75"),
+        ),
+        F.lit(',"Currency":"RUB"}}'),
+    )
+    ym = P2.yandex_csv_rows(
+        e.select(eid.alias("job_id"), day, ym_doc.alias("payload")),
+        goal_id="g-default", group_cols=("bday",),
+    )
+    failed = F.col("group_error").isNotNull()
+    ym_a = ym.groupBy("bday").agg(
+        F.sum(F.when(~failed & ~F.col("skipped"), 1).otherwise(0)).alias("n_rows"),
+        F.sum(F.when(failed | F.col("skipped"), 1).otherwise(0)).alias("n_out"),
+        F.min(F.when(~failed, F.col("csv_line"))).alias("min_line"),
+        F.max(F.when(~failed, F.col("csv_line"))).alias("max_line"),
+    ).select(F.lit("yandex").alias("provider"), "*", *nulls)
+
+    return (
+        elq_a.unionByName(sf_a).unionByName(sfp_a).unionByName(ym_a)
+        .orderBy("provider", "bday")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q103 klaviyo profile chunking — klaviyobulkupload.go:83-117
+# chunkBySizeAndElements: profiles segmented into import jobs by
+# cumulative marshalled bytes (+1 comma each) and element count — chunk
+# boundaries depend on prior boundaries, so this is the third genuine
+# fold in the async tree (with q99's admission cap and q101's breaker).
+# Per (day): chunk count, profile count, the largest chunk's bytes and
+# elements, and the total payload-envelope length (createFinalPayload
+# wrapping pinned byte-exactly). Oracle replays the segmentation as a
+# recursive CTE on an event slice.
+@register(
+    "q103_klaviyo_chunks",
+    """
+    WITH RECURSIVE profiles AS (
+      SELECT event_id AS job_id, CAST(ts AS DATE) AS bday,
+             '{"type":"profile","attributes":{"email":"u'
+             || CAST(user_id AS VARCHAR) || '@example.com"'
+             || CASE WHEN event_id % 9 = 0
+                     THEN ',"properties":{"pad":"' || repeat('x', 120) || '"}'
+                     ELSE '' END
+             || '}}' AS profile_json
+      FROM events WHERE event_id % 20 = 0
+    ),
+    seq AS (
+      SELECT *, octet_length(encode(profile_json)) + 1 AS psize,
+             row_number() OVER (PARTITION BY bday ORDER BY job_id) AS rn
+      FROM profiles
+    ),
+    fold AS (
+      SELECT bday, CAST(0 AS BIGINT) AS rn, 0 AS chunk_idx,
+             CAST(0 AS BIGINT) AS csize, 0 AS ccount, CAST(NULL AS BIGINT) AS psize
+      FROM (SELECT DISTINCT bday FROM seq)
+      UNION ALL
+      SELECT t.bday, t.rn,
+             CASE WHEN (f.csize + t.psize >= 300 OR f.ccount = 4) AND f.ccount > 0
+                  THEN f.chunk_idx + 1 ELSE f.chunk_idx END,
+             CASE WHEN (f.csize + t.psize >= 300 OR f.ccount = 4) AND f.ccount > 0
+                  THEN t.psize ELSE f.csize + t.psize END,
+             CASE WHEN (f.csize + t.psize >= 300 OR f.ccount = 4) AND f.ccount > 0
+                  THEN 1 ELSE f.ccount + 1 END,
+             t.psize
+      FROM fold f JOIN seq t ON t.bday = f.bday AND t.rn = f.rn + 1
+    ),
+    chunks AS (
+      -- createFinalPayload (no list id): 76-byte prefix
+      -- '{"data":{"type":"profile-bulk-import-job","attributes":
+      -- {"profiles":{"data":[' + profiles joined with ',' + 5-byte
+      -- ']}}}}'; psize counts each profile +1 comma, so joined bytes =
+      -- sum(psize) - n + (n - 1)
+      SELECT f.bday, f.chunk_idx,
+             count(*) AS n_profiles,
+             sum(f.psize) AS chunk_bytes,
+             76 + (sum(f.psize) - count(*)) + (count(*) - 1) + 5 AS payload_bytes
+      FROM fold f WHERE f.rn > 0
+      GROUP BY f.bday, f.chunk_idx
+    )
+    SELECT bday,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_profiles) AS BIGINT) AS n_profiles,
+           CAST(max(chunk_bytes) AS BIGINT) AS max_chunk_bytes,
+           CAST(max(n_profiles) AS BIGINT) AS max_chunk_elements,
+           CAST(sum(payload_bytes) AS BIGINT) AS payload_bytes
+    FROM chunks GROUP BY bday ORDER BY bday
+    """,
+    doc=(
+        "Klaviyo bulk-import chunking: profiles segmented by cumulative "
+        "marshalled size (+1 comma) and element count into import jobs, "
+        "each wrapped in the profile-bulk-import-job envelope (byte-exact "
+        "payload length pinned). Oracle replays the segmentation fold as "
+        "a recursive CTE. Ref: klaviyobulkupload.go:37-117"
+    ),
+    tags=("rudder", "router"),
+)
+def q103(spark, sf):
+    from rudder_server_spark.operators.provider_uploads2 import (
+        klaviyo_chunks,
+        klaviyo_payloads,
+    )
+
+    e = load_table(spark, sf, "events").where(F.col("event_id") % 20 == 0)
+    profile = F.concat(
+        F.lit('{"type":"profile","attributes":{"email":"u'),
+        F.col("user_id").cast("string"),
+        F.lit('@example.com"'),
+        F.when(
+            F.col("event_id") % 9 == 0,
+            F.concat(F.lit(',"properties":{"pad":"'), F.repeat(F.lit("x"), 120),
+                     F.lit('"}')),
+        ).otherwise(F.lit("")),
+        F.lit("}}"),
+    )
+    profiles = e.select(
+        F.col("event_id").alias("job_id"),
+        F.to_date("ts").alias("bday"),
+        profile.alias("profile_json"),
+    )
+    chunked = klaviyo_chunks(
+        profiles, max_bytes=300, max_elements=4, group_cols=("bday",)
+    )
+    pays = klaviyo_payloads(chunked, group_cols=("bday",))
+    chunk_stats = chunked.groupBy("bday", "chunk_index").agg(
+        F.count("*").alias("n_profiles"),
+        F.sum(F.octet_length("profile_json") + F.lit(1)).alias("chunk_bytes"),
+    )
+    return (
+        chunk_stats.join(
+            pays.select("bday", "chunk_index",
+                        F.octet_length("payload").alias("payload_bytes")),
+            ["bday", "chunk_index"],
+        )
+        .groupBy("bday")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_profiles").alias("n_profiles"),
+            F.max("chunk_bytes").alias("max_chunk_bytes"),
+            F.max("n_profiles").alias("max_chunk_elements"),
+            F.sum("payload_bytes").alias("payload_bytes"),
+        )
+        .orderBy("bday")
+    )
