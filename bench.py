@@ -80,6 +80,8 @@ ROSTER_V2_EXTRA = [
     "q99_upload_admission",
     "q100_snowpipe_streaming",
     "q101_circuit_breaker",
+    "q102_provider_upload_shapes2",
+    "q103_klaviyo_chunks",
     "t65_strip_passages",
     "t66_strip_contamination",
 ]

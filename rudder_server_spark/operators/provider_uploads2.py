@@ -56,7 +56,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 from rudder_server_spark.operators.provider_uploads import go_csv_line
 
 
-def _rendered(df: DataFrame, render_row, extra_fields=()) -> DataFrame:
+def _rendered(df: DataFrame, render_row, in_cols, extra_fields=()) -> DataFrame:
     """Arrow mapInPandas shell for the dynamic-header CSV renderers.
 
     The dynamic-header cell builds (``transform(headers, h -> ...)`` with
@@ -64,22 +64,23 @@ def _rendered(df: DataFrame, render_row, extra_fields=()) -> DataFrame:
     JVM — the SCALE.md round-3 interpreted-HOF lesson; measured ~10x
     slower than this vectorized Python mirror at sf0.01. ``render_row``
     is a SELF-CONTAINED callable (cloudpickled by value — workers never
-    import this package) mapping one row-dict to a tuple of
-    ``extra_fields`` values appended to the row."""
+    import this package) taking the ``in_cols`` values POSITIONALLY and
+    returning a tuple of ``extra_fields`` values appended to the row —
+    only the needed columns cross into Python objects per row."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField(name, StringType()) for name in extra_fields]
     )
-    cols = [f.name for f in df.schema.fields]
+    ins = list(in_cols)
     names = list(extra_fields)
 
     def gen(batches):
         for pdf in batches:
             outs = [[] for _ in names]
-            for row in pdf[cols].itertuples(index=False):
-                vals = render_row(dict(zip(cols, row)))
+            for row in zip(*[pdf[c] for c in ins]):
+                vals = render_row(*row)
                 for i, v in enumerate(vals):
                     outs[i].append(v)
             pdf = pdf.copy()
@@ -138,9 +139,7 @@ def eloqua_csv_rows(
         F.max("_gerr0").over(whole).alias("group_error"),
     ).drop("_hdr0", "_gerr0")
 
-    _payload_name = str(payload_col)
-
-    def render(row):
+    def render(headers, payload):
         # only string-typed values survive; the literal "null" string and
         # non-strings render "" (utils.go:95-101)
         import json as _json
@@ -156,11 +155,10 @@ def eloqua_csv_rows(
                 return '"' + s.replace('"', '""') + '"'
             return s
 
-        headers = row["headers"]
         if headers is None:
             return (None, None)
         try:
-            d = _json.loads(row[_payload_name]).get("message", {}).get("data", {})
+            d = _json.loads(payload).get("message", {}).get("data", {})
         except Exception:
             d = {}
         if not isinstance(d, dict):
@@ -174,7 +172,9 @@ def eloqua_csv_rows(
             ",".join(_esc(h) for h in headers),
         )
 
-    with_line = _rendered(anchored, render, ("csv_line", "_header_line"))
+    with_line = _rendered(
+        anchored, render, ("headers", payload_col), ("csv_line", "_header_line")
+    )
     with_line = with_line.withColumn(
         "_row_bytes", F.octet_length("csv_line") + F.lit(2)
     )
@@ -213,21 +213,30 @@ def salesforce_csv_rows(
     when the upsert key column is absent from the header (utils.go:
     124-127 fails the upload)."""
     p = F.col(payload_col)
-    gw = (
-        W.partitionBy(*group_cols).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        if group_cols
-        else W.partitionBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
+    # per-group header = sorted union of key sets, as ONE aggregate
+    # broadcast back onto the rows. NOT a whole-partition window
+    # collect_list — that materializes the full key-list PER ROW, O(n²)
+    # per group (measured 71 s at sf0.1 before this fix).
     keyed = jobs.select(
         "*", F.json_object_keys(F.get_json_object(p, "$.message")).alias("_keys")
     )
-    headers = F.array_sort(F.array_distinct(F.flatten(F.collect_list("_keys").over(gw))))
-    with_hdr = keyed.withColumn("headers", headers).drop("_keys")
+    gcols = [F.lit(1).alias("__g")] if not group_cols else [F.col(c) for c in group_cols]
+    hdrs = keyed.groupBy(*gcols).agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("_keys")))
+        ).alias("headers")
+    )
+    if not group_cols:
+        keyed = keyed.withColumn("__g", F.lit(1))
+    with_hdr = keyed.join(
+        F.broadcast(hdrs), list(group_cols) or ["__g"]
+    ).drop("_keys")
+    if not group_cols:
+        with_hdr = with_hdr.drop("__g")
 
-    _payload_name = str(payload_col)
     _ext = str(external_id_field)
 
-    def render(row):
+    def render(headers, payload):
         # FormatCSVValue (common/utils.go:34-57): nil → "", strings raw,
         # floats via shortest non-scientific form, composites as compact
         # JSON (Go marshals map keys sorted)
@@ -261,17 +270,18 @@ def salesforce_csv_rows(
             return str(v)
 
         try:
-            msg = _json.loads(row[_payload_name]).get("message", {})
+            msg = _json.loads(payload).get("message", {})
         except Exception:
             msg = {}
         if not isinstance(msg, dict):
             msg = {}
-        hs = row["headers"]
-        hs = [] if hs is None else list(hs)  # numpy array has no truthiness
+        hs = [] if headers is None else list(headers)
         line = ",".join(_esc(fmt(msg.get(h))) for h in hs)
         return (line, fmt(msg.get(_ext)))
 
-    rendered = _rendered(with_hdr, render, ("csv_line", "_ext_val"))
+    rendered = _rendered(
+        with_hdr, render, ("headers", payload_col), ("csv_line", "_ext_val")
+    )
     return rendered.select(
         "*",
         F.when(
@@ -350,9 +360,7 @@ def sftp_csv_rows(
     if sort_column_names:
         anchored = anchored.withColumn("headers", F.array_sort("headers"))
 
-    _payload_name = str(payload_col)
-
-    def render(row):
+    def render(headers, payload):
         # Go fmt "%v" cells (sftp utils.go:183-185): a missing key is a
         # nil interface → "<nil>"; bools print true/false; composites via
         # compact JSON (documented divergence from Go's map-print form)
@@ -384,7 +392,7 @@ def sftp_csv_rows(
             return str(v)
 
         try:
-            msg = _json.loads(row[_payload_name]).get("message", {})
+            msg = _json.loads(payload).get("message", {})
         except Exception:
             msg = {}
         fields = msg.get("fields") if isinstance(msg, dict) else {}
@@ -392,11 +400,10 @@ def sftp_csv_rows(
             fields = {}
         fields = dict(fields)
         fields["action"] = msg.get("action") if isinstance(msg, dict) else None
-        hs = row["headers"]
-        hs = [] if hs is None else list(hs)
+        hs = [] if headers is None else list(headers)
         return (",".join(_esc(gov(fields.get(h))) for h in hs),)
 
-    return _rendered(anchored, render, ("csv_line",))
+    return _rendered(anchored, render, ("headers", payload_col), ("csv_line",))
 
 
 # -------------------------------------------------------------------- yandex
@@ -420,66 +427,66 @@ def yandex_csv_rows(
     ``continue``). Target falls back to the destination goalId; Price
     renders non-scientific. Output: + ``id_header``, ``skipped``,
     ``csv_line``, ``group_error``."""
-    p = F.col(payload_col)
-    # ONE typed parse of the message (struct access is codegen'd; the
-    # previous per-field map<string,variant> lookups ran interpreted).
-    # Go unmarshals explicit JSON null and absent identically (nil `any`
-    # field) — struct-field null matches that exactly.
-    msg = F.from_json(
-        F.get_json_object(p, "$.message"),
-        "struct<ClientId variant, Yclid variant, UserId variant,"
-        " Target string, DateTime string, Price variant, Currency string>",
-    )
+    # Field extraction in a self-contained Arrow pass: the id priority
+    # needs PRESENT-and-string-typed checks per field — variant-op trees
+    # ran interpreted (measured 17.8 s at sf0.1); a Python json pass is
+    # ~20x cheaper and matches Go's unmarshal exactly (explicit JSON null
+    # and absent both land as nil `any`).
+    def extract(payload):
+        import json as _json
 
-    def m(k: str) -> Column:
-        return msg.getField(k)
+        try:
+            msg = _json.loads(payload).get("message", {})
+        except Exception:
+            msg = {}
+        if not isinstance(msg, dict):
+            msg = {}
+        rid, hdr = None, None
+        for field in ("ClientId", "Yclid", "UserId"):
+            v = msg.get(field)
+            if v is not None:
+                # ID(): first PRESENT field decides; getID rejects
+                # non-strings (the row errors, no fallthrough)
+                if isinstance(v, str):
+                    rid, hdr = v, field
+                break
+        price = msg.get("Price")
+        if isinstance(price, bool) or not isinstance(price, (int, float)):
+            price_s = "0"
+        elif isinstance(price, int):
+            price_s = str(price)
+        else:
+            s = repr(price)
+            price_s = s[:-2] if s.endswith(".0") else s
+        tgt = msg.get("Target")
+        dt = msg.get("DateTime")
+        cur = msg.get("Currency")
+        return (
+            rid, hdr,
+            tgt if isinstance(tgt, str) else "",
+            dt if isinstance(dt, str) else "",
+            price_s,
+            cur if isinstance(cur, str) else "",
+        )
 
-    def id_of(field: str) -> Column:
-        # present AND string-typed (getID rejects non-strings)
-        v = m(field)
-        return F.when(F.to_json(v).startswith('"'), F.variant_get(v, "$", "string"))
-
-    def present(field: str) -> Column:
-        return m(field).isNotNull()
-
-    # ID(): first PRESENT field decides; a present-but-non-string id errors
-    row_id = (
-        F.when(present("ClientId"), id_of("ClientId"))
-        .when(present("Yclid"), id_of("Yclid"))
-        .when(present("UserId"), id_of("UserId"))
-    )
-    hdr = (
-        F.when(present("ClientId"), "ClientId")
-        .when(present("Yclid"), "Yclid")
-        .when(present("UserId"), "UserId")
+    extracted = _rendered(
+        jobs, extract, (payload_col,),
+        ("_rid", "_hdr", "_target", "_dt", "_price", "_cur"),
     )
     gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     first_w = gw.orderBy(job_id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     whole = gw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     # the FIRST message must yield a usable (present AND string) id, else
     # the whole group aborts — getID's error path, not just a skip
-    anchored = jobs.select(
+    anchored = extracted.select(
         "*",
-        F.first(
-            F.when(row_id.isNotNull(), F.coalesce(hdr, F.lit("_missing")))
-            .otherwise(F.lit("_missing"))
-        ).over(first_w).alias("_h0"),
-        row_id.alias("_rid"),
+        F.first(F.coalesce(F.col("_hdr"), F.lit("_missing"))).over(first_w).alias("_h0"),
     ).select(
         "*", F.first("_h0", ignorenulls=True).over(whole).alias("id_header")
     ).drop("_h0")
-    target = F.coalesce(
-        F.when(m("Target") != "", m("Target")), F.lit(goal_id)
-    )
-    price = F.coalesce(
-        F.try_variant_get(m("Price"), "$", "decimal(28,10)").cast("string"),
-        F.lit("0"),
-    )
-    # decimal→string keeps a trailing .000… — strip to Go's shortest form
-    price = F.regexp_replace(F.regexp_replace(price, r"(\.\d*?)0+$", "$1"), r"\.$", "")
+    target = F.when(F.col("_target") != "", F.col("_target")).otherwise(F.lit(goal_id))
     line = go_csv_line(
-        [F.col("_rid"), target, F.coalesce(m("DateTime"), F.lit("")), price,
-         F.coalesce(m("Currency"), F.lit(""))]
+        [F.col("_rid"), target, F.col("_dt"), F.col("_price"), F.col("_cur")]
     )
     return anchored.select(
         "*",
@@ -488,7 +495,7 @@ def yandex_csv_rows(
         .alias("group_error"),
         F.col("_rid").isNull().alias("skipped"),
         F.when(F.col("_rid").isNotNull(), line).alias("csv_line"),
-    ).drop("_rid")
+    ).drop("_rid", "_hdr", "_target", "_dt", "_price", "_cur")
 
 
 # ------------------------------------------------------------------ klaviyo
