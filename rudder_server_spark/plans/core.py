@@ -4285,3 +4285,316 @@ def q103(spark, sf):
         )
         .orderBy("bday")
     )
+
+
+# --------------------------------------------------------------------------
+# Q104 BQSTREAM_ALL_EVENTS async destination — router/batchrouter/
+# asyncdestinationmanager/bqstreamallevents/: the Storage-Write-API
+# warehouse streamer. Events synthesized per (upload day, table): stamped
+# uuid_ts/loaded_at only where declared (events.go:74-84), greedy
+# flush-then-append chunking under maxChunkBytes (:88-126, replayed in the
+# oracle as a recursive CTE like q103), first-seen-wins event schema +
+# new-column reconcile (:128-138, schemautils.go:14-25), the
+# HandleSchemaChange coercion matrix with discards routing (:152-199,
+# worker.go:638-696), per-chunk duplicate-id counts with users excluded
+# (:201-219), sorted-column encode with datetime→epoch-micros
+# (encode.go:41-57,158-177), and per-chunk job verdicts with
+# first-error-code abort triage (bqstreamallevents.go:219-257,452-493).
+# One audit row per table pins every branch at value level: the byte-exact
+# max encoded row, the exact discard line, coercion sums, chunk/dup
+# counts, and the succeeded/failed/aborted split under an injected
+# append-error seam.
+@register(
+    "q104_bqstream_all_events",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, event_type AS tbl, CAST(ts AS DATE) AS uday,
+             date_trunc('second', ts) AS recv_ts,
+             100000 + event_id % 100000 AS rev,
+             'id-' || CAST(event_id % 7 AS VARCHAR) AS idv,
+             strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.000Z' AS recv,
+             event_id % 2 = 0 AS badv,
+             event_id % 900 AS cnt_i,
+             event_id % 5 AS tagk,
+             'p-' || CAST(user_id % 50 AS VARCHAR) AS planv
+      FROM events
+    ),
+    lines AS (
+      SELECT *,
+             octet_length(encode(
+               '{"message":{"metadata":{"table":"' || tbl || '","columns":{'
+               || '"id":"string","received_at":"datetime"'
+               || CASE WHEN tbl <> 'error' THEN ',"uuid_ts":"datetime"' ELSE '' END
+               || CASE tbl
+                    WHEN 'purchase' THEN ',"revenue":"int","plan":"string","tags":"json"'
+                    WHEN 'click'    THEN ',"revenue":"int","bad":"boolean"'
+                    WHEN 'view'     THEN ',"count":"float"'
+                    WHEN 'signup'   THEN ',"label":"int","loaded_at":"datetime"'
+                    ELSE ',"revenue":"int"' END
+               || '}},"data":{'
+               || '"id":"' || idv || '","received_at":"' || recv || '"'
+               || CASE tbl
+                    WHEN 'purchase' THEN ',"revenue":' || CAST(rev AS VARCHAR)
+                         || ',"plan":"' || planv || '","tags":[' || CAST(tagk AS VARCHAR) || ',"x"]'
+                    WHEN 'click'    THEN ',"revenue":' || CAST(rev AS VARCHAR)
+                         || ',"bad":' || CASE WHEN badv THEN 'true' ELSE 'false' END
+                    WHEN 'view'     THEN ',"count":' || CAST(cnt_i AS VARCHAR) || '.5'
+                    WHEN 'signup'   THEN ',"label":' || CAST(rev AS VARCHAR)
+                    ELSE ',"revenue":' || CAST(rev AS VARCHAR) END
+               || '}},"metadata":{"job_id":' || CAST(event_id AS VARCHAR) || '}}'
+             ))
+             + CASE WHEN tbl = 'error' THEN 0
+                    WHEN tbl = 'signup' THEN 48 ELSE 24 END AS sz
+      FROM ev
+    ),
+    seq AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY uday, tbl ORDER BY event_id) AS rn
+        FROM lines
+      ) WHERE rn <= 40
+    ),
+    fold AS (
+      SELECT uday, tbl, CAST(0 AS BIGINT) AS rn, 0 AS chunk_idx,
+             CAST(0 AS BIGINT) AS csize, CAST(NULL AS BIGINT) AS event_id
+      FROM (SELECT DISTINCT uday, tbl FROM seq)
+      UNION ALL
+      SELECT t.uday, t.tbl, t.rn,
+             CASE WHEN f.csize + t.sz > 1200 AND f.csize > 0
+                  THEN f.chunk_idx + 1 ELSE f.chunk_idx END,
+             CASE WHEN f.csize + t.sz > 1200 AND f.csize > 0
+                  THEN t.sz ELSE f.csize + t.sz END,
+             t.event_id
+      FROM fold f
+      JOIN seq t ON t.uday = f.uday AND t.tbl = f.tbl AND t.rn = f.rn + 1
+    ),
+    chunked AS (
+      SELECT s.*, f.chunk_idx FROM seq s
+      JOIN fold f ON f.uday = s.uday AND f.tbl = s.tbl AND f.rn = s.rn
+    ),
+    encoded AS (
+      SELECT *,
+        CASE tbl
+          WHEN 'purchase' THEN
+            'id="' || idv || '";plan="' || planv || '";received_at='
+            || CAST(epoch_us(recv_ts) AS VARCHAR) || ';revenue='
+            || CAST(rev AS VARCHAR) || '.0;tags="[' || CAST(tagk AS VARCHAR)
+            || ',\\"x\\"]";uuid_ts=1706659200000000'
+          WHEN 'click' THEN
+            'id="' || idv || '";received_at=' || CAST(epoch_us(recv_ts) AS VARCHAR)
+            || ';revenue=' || CAST(rev AS VARCHAR) || '.0;uuid_ts=1706659200000000'
+          WHEN 'view' THEN
+            'count=' || CAST(cnt_i AS VARCHAR) || ';id="' || idv
+            || '";received_at=' || CAST(epoch_us(recv_ts) AS VARCHAR)
+            || ';uuid_ts=1706659200000000'
+          WHEN 'signup' THEN
+            'id="' || idv || '";label="' || CAST(rev AS VARCHAR)
+            || '";loaded_at=1706659200000000;received_at='
+            || CAST(epoch_us(recv_ts) AS VARCHAR) || ';uuid_ts=1706659200000000'
+          ELSE
+            'id="' || idv || '";received_at=' || CAST(epoch_us(recv_ts) AS VARCHAR)
+            || ';revenue=' || CAST(rev AS VARCHAR) || '.0' END AS enc_fields
+      FROM chunked
+    ),
+    dups AS (
+      SELECT tbl, SUM(cnt - dct) AS dup_ids FROM (
+        SELECT tbl, uday, chunk_idx, count(*) AS cnt,
+               count(DISTINCT idv) AS dct
+        FROM chunked WHERE tbl <> 'users' GROUP BY tbl, uday, chunk_idx
+      ) GROUP BY tbl
+    ),
+    verdicts AS (
+      SELECT tbl,
+        SUM(CASE WHEN (tbl = 'click' AND chunk_idx = 0)
+                   OR (tbl = 'view' AND chunk_idx = 1) THEN 0 ELSE 1 END) AS n_succeeded,
+        SUM(CASE WHEN tbl = 'view' AND chunk_idx = 1 THEN 1 ELSE 0 END) AS n_failed,
+        SUM(CASE WHEN tbl = 'click' AND chunk_idx = 0 THEN 1 ELSE 0 END) AS n_aborted
+      FROM chunked GROUP BY tbl
+    )
+    SELECT c.tbl AS tbl,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT c.uday || '#' || CAST(c.chunk_idx AS VARCHAR)) AS BIGINT) AS n_chunks,
+           CAST(max(d.dup_ids) AS BIGINT) AS dup_ids,
+           CAST(CASE c.tbl WHEN 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS n_added_columns,
+           CAST(CASE c.tbl WHEN 'click' THEN count(*) ELSE 0 END AS BIGINT) AS n_discards,
+           CASE c.tbl WHEN 'click' THEN max(
+             'bad|' || CASE WHEN c.badv THEN 'true' ELSE 'false' END
+             || '|incompatible schema conversion from int to boolean|' || c.idv
+           ) END AS max_discard,
+           CAST(ROUND(CAST(sum(CASE WHEN c.tbl IN ('purchase','click','error')
+                               THEN c.rev END) AS DECIMAL(18,6)), 6) AS DOUBLE) AS rev_sum,
+           CAST(sum(CASE WHEN c.tbl = 'view' THEN c.cnt_i END) AS BIGINT) AS count_sum,
+           max(c.enc_fields) AS enc_max,
+           CAST(max(v.n_succeeded) AS BIGINT) AS n_succeeded,
+           CAST(max(v.n_failed) AS BIGINT) AS n_failed,
+           CAST(max(v.n_aborted) AS BIGINT) AS n_aborted
+    FROM encoded c
+    JOIN dups d ON d.tbl = c.tbl
+    JOIN verdicts v ON v.tbl = c.tbl
+    GROUP BY c.tbl
+    ORDER BY c.tbl
+    """,
+    doc=(
+        "BQSTREAM_ALL_EVENTS lifecycle audit: stamp → greedy chunk (fold "
+        "replayed as recursive CTE) → schema reconcile → HandleSchemaChange "
+        "coercion + discards → sorted-column encode with epoch-micros "
+        "datetimes → per-chunk duplicate ids → per-chunk verdicts with "
+        "first-error abort triage. Ref: bqstreamallevents/events.go, "
+        "encode.go, schemautils.go, bqstreamallevents.go"
+    ),
+    tags=("rudder", "router"),
+)
+def q104(spark, sf):
+    from rudder_server_spark.operators import bqstream_events as B
+
+    TS = "2024-01-31T00:00:00.000Z"
+    e = load_table(spark, sf, "events")
+    t = F.col("event_type")
+    rev = (F.lit(100000) + F.col("event_id") % 100000).cast("long").cast("string")
+    idv = F.concat(F.lit("id-"), (F.col("event_id") % 7).cast("string"))
+    recv = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit(".000Z"))
+    badv = F.when(F.col("event_id") % 2 == 0, "true").otherwise("false")
+    cnt_i = (F.col("event_id") % 900).cast("string")
+    tagk = (F.col("event_id") % 5).cast("string")
+    planv = F.concat(F.lit("p-"), (F.col("user_id") % 50).cast("string"))
+
+    cols_json = F.concat(
+        F.lit('{"id":"string","received_at":"datetime"'),
+        F.when(t != "error", F.lit(',"uuid_ts":"datetime"')).otherwise(F.lit("")),
+        F.when(t == "purchase", F.lit(',"revenue":"int","plan":"string","tags":"json"'))
+        .when(t == "click", F.lit(',"revenue":"int","bad":"boolean"'))
+        .when(t == "view", F.lit(',"count":"float"'))
+        .when(t == "signup", F.lit(',"label":"int","loaded_at":"datetime"'))
+        .otherwise(F.lit(',"revenue":"int"')),
+        F.lit("}"),
+    )
+    data_json = F.concat(
+        F.lit('"id":"'), idv, F.lit('","received_at":"'), recv, F.lit('"'),
+        F.when(
+            t == "purchase",
+            F.concat(F.lit(',"revenue":'), rev, F.lit(',"plan":"'), planv,
+                     F.lit('","tags":['), tagk, F.lit(',"x"]')),
+        )
+        .when(t == "click", F.concat(F.lit(',"revenue":'), rev, F.lit(',"bad":'), badv))
+        .when(t == "view", F.concat(F.lit(',"count":'), cnt_i, F.lit(".5")))
+        .when(t == "signup", F.concat(F.lit(',"label":'), rev))
+        .otherwise(F.concat(F.lit(',"revenue":'), rev)),
+    )
+    line = F.concat(
+        F.lit('{"message":{"metadata":{"table":"'), t, F.lit('","columns":'),
+        cols_json, F.lit('},"data":{'), data_json,
+        F.lit('}},"metadata":{"job_id":'), F.col("event_id").cast("string"),
+        F.lit("}}"),
+    )
+    # one async upload file per (day, table), capped at the first 40
+    # staged events — the batcher's maxEventsInABatch grain; the cap also
+    # bounds the oracle's recursive-fold depth
+    picked = e.withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy(F.to_date("ts"), t).orderBy("event_id")
+        ),
+    ).where(F.col("__rn") <= 40)
+    src = picked.select(line.alias("line"), F.to_date("ts").alias("uday"))
+
+    stamped = B.stamp_bq_events(B.parse_bq_lines(src), TS)
+    # the Arrow fold feeds seven audit branches (coerce, encode, dups,
+    # verdicts, seam, per-table counts) — persist the bounded post-fold
+    # relation so the fold runs once, not per branch (q91/q96 convention)
+    chunked = B.chunk_bq_events(
+        stamped.select(
+            "uday", "table", "job_id", "columns", "data",
+            "message_data_byte_size",
+        ),
+        max_chunk_bytes=1200,
+        group_cols=("uday", "table"),
+    ).persist()
+
+    es = B.bq_event_schemas(stamped, group_cols=("table",))
+    wh_rows = []
+    for tbl in ("purchase", "click", "view", "signup", "error"):
+        wh_rows += [(tbl, "id", "string"), (tbl, "received_at", "datetime"),
+                    (tbl, "uuid_ts", "datetime")]
+    wh_rows += [
+        ("purchase", "revenue", "float"), ("purchase", "tags", "json"),
+        ("click", "revenue", "float"), ("click", "bad", "int"),
+        ("view", "count", "int"),
+        ("signup", "label", "string"), ("signup", "loaded_at", "datetime"),
+        ("error", "revenue", "float"),
+    ]
+    wh = spark.createDataFrame(
+        wh_rows, "table string, column_name string, column_type string"
+    )
+    actions, merged = B.reconcile_bq_schema(es, wh)
+    vals, disc = B.coerce_bq_events(chunked, merged, TS)
+    vals = vals.persist()  # feeds encode + the two coercion-sum branches
+    enc = B.bq_encode_rows(
+        vals, merged, group_cols=("table", "uday", "chunk_idx", "job_id")
+    )
+
+    # injectable Storage-Write seam: click's first chunk of every upload
+    # dies terminal, view's second chunk dies retryable
+    seam = chunked.select("uday", "table", "chunk_idx").distinct().withColumn(
+        "error_code",
+        F.when((F.col("table") == "click") & (F.col("chunk_idx") == 0),
+               "Unauthenticated")
+        .when((F.col("table") == "view") & (F.col("chunk_idx") == 1), "Internal"),
+    )
+    verdicts = B.finalize_bq_jobs(chunked, seam, group_cols=("uday", "table"))
+
+    per_table = chunked.groupBy("table").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(
+            F.concat(F.col("uday").cast("string"), F.lit("#"),
+                     F.col("chunk_idx").cast("string"))
+        ).alias("n_chunks"),
+    )
+    dups = B.bq_duplicate_id_stats(
+        chunked, group_cols=("table", "uday")
+    ).groupBy("table").agg(F.sum("duplicate_ids").alias("dup_ids"))
+    adds = actions.where(F.col("action") == "add_column").groupBy("table").agg(
+        F.count("*").alias("n_added_columns")
+    )
+    discs = disc.groupBy(F.col("table_name").alias("table")).agg(
+        F.count("*").alias("n_discards"),
+        F.max(
+            F.concat_ws("|", "column_name", "column_value", "reason", "row_id")
+        ).alias("max_discard"),
+    )
+    revs = vals.where(F.col("column_name") == "revenue").groupBy("table").agg(
+        F.round(
+            F.sum(F.col("value_json").cast("double").cast("decimal(18,6)")), 6
+        ).cast("decimal(18,6)").alias("rev_sum")
+    )
+    cnts = vals.where(
+        (F.col("column_name") == "count") & (F.col("table") == "view")
+    ).groupBy("table").agg(
+        F.sum(F.col("value_json").cast("long")).alias("count_sum")
+    )
+    encm = enc.groupBy("table").agg(
+        F.max(F.array_join("encoded_fields", ";")).alias("enc_max")
+    )
+    verd = verdicts.groupBy("table").agg(
+        F.sum(F.when(F.col("job_state") == "succeeded", 1).otherwise(0)).alias("n_succeeded"),
+        F.sum(F.when(F.col("job_state") == "failed", 1).otherwise(0)).alias("n_failed"),
+        F.sum(F.when(F.col("job_state") == "aborted", 1).otherwise(0)).alias("n_aborted"),
+    )
+
+    out = (
+        per_table.join(dups, "table", "left")
+        .join(adds, "table", "left")
+        .join(discs, "table", "left")
+        .join(revs, "table", "left")
+        .join(cnts, "table", "left")
+        .join(encm, "table", "left")
+        .join(verd, "table", "left")
+    )
+    return out.select(
+        F.col("table").alias("tbl"),
+        "n_events", "n_chunks",
+        F.coalesce("dup_ids", F.lit(0)).alias("dup_ids"),
+        F.coalesce("n_added_columns", F.lit(0)).alias("n_added_columns"),
+        F.coalesce("n_discards", F.lit(0)).alias("n_discards"),
+        "max_discard",
+        F.col("rev_sum").cast("double").alias("rev_sum"),
+        "count_sum", "enc_max", "n_succeeded", "n_failed", "n_aborted",
+    ).orderBy("tbl")
