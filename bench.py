@@ -105,6 +105,17 @@ ROSTER_V2_EXTRA = [
 
 
 def main() -> None:
+    # v1 / v2 session isolation (r7 verdict #1): the driver's r7 bench
+    # interleaved the 16 heavy ROSTER_V2_EXTRA audit queries into the SAME
+    # JVM/session as the v1 gate sweeps, and the v1 floor-adjusted total
+    # jumped 1.554x -> 2.421x with no v1 code change — GC/heap/codegen-cache
+    # pressure from the ~1 GB-string audit plans contaminating v1 minima.
+    # Fix: the gate roster runs alone in THIS process; the v2 roster runs in
+    # a CHILD process with its own JVM, and its JSON section is merged in.
+    roster = "all"
+    if len(sys.argv) >= 3 and sys.argv[1] == "--roster":
+        roster = sys.argv[2]
+
     from rudder_server_spark.plans.registry import load_all
     from rudder_server_spark.session import get_spark
 
@@ -193,9 +204,15 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
+    roster_names = {
+        "v1": BENCH_QUERIES,
+        "v2": ROSTER_V2_EXTRA,
+        "all": BENCH_QUERIES,  # v2 runs in the child process
+    }[roster]
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES + ROSTER_V2_EXTRA:
+    for name in roster_names:
         if name not in reg:
             continue
         timings[name] = run_once(name)
@@ -286,20 +303,22 @@ def main() -> None:
         # total swings with local-mode scheduling + VM noise; see
         # BASELINE.md structural-floor notes)
         shared = [n for n in v1_names if n in base]
-        floor_adjusted_total_ratio = round(
-            sum(max(warm[n] - floor, 0.0) for n in shared)
-            / sum(base[n] for n in shared),
-            3,
-        )
+        if shared:
+            floor_adjusted_total_ratio = round(
+                sum(max(warm[n] - floor, 0.0) for n in shared)
+                / sum(base[n] for n in shared),
+                3,
+            )
 
     # roster-v2 section vs its own regenerated baseline (informational —
-    # not the gate)
+    # not the gate); in "--roster v2" child mode this IS the output
     v2_report = None
     base2_path = os.path.join(bench_dir, f"baseline_v2_sf{sf_tag}.json")
     if v2_names:
         v2_report = {
             "queries": {n: warm[n] for n in v2_names},
             "warm_total": round(sum(warm[n] for n in v2_names), 3),
+            "floor_sec": floor,
         }
         if os.path.exists(base2_path):
             with open(base2_path) as fh:
@@ -313,6 +332,31 @@ def main() -> None:
                 / sum(base2[n] for n in shared2),
                 3,
             )
+
+    if roster == "v2":
+        # child mode: emit the v2 section alone; the parent merges it
+        print(json.dumps({"v2_report": v2_report}))
+        return
+
+    if roster == "all":
+        # v2 in its own JVM/session so its heap/codegen pressure cannot
+        # touch the v1 gate numbers above
+        import subprocess
+
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--roster", "v2"],
+            capture_output=True,
+            text=True,
+        )
+        v2_report = None
+        for ln in reversed(child.stdout.strip().splitlines()):
+            try:
+                v2_report = json.loads(ln).get("v2_report")
+                break
+            except (json.JSONDecodeError, AttributeError):
+                continue
+        if v2_report is None:
+            v2_report = {"error": child.stderr[-500:] if child.stderr else "no output"}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # continuity: value/queries/warm/warm_total stay the v1-roster numbers

@@ -254,12 +254,19 @@ def _go_v(value_json: Column) -> Column:
     is_arr = value_json.startswith("[")
     unquoted = F.try_parse_json(value_json).cast("string")
     num_trimmed = F.regexp_replace(value_json, r"^(-?\d+)\.0+$", r"$1")
+    # nil elements print "<nil>" like any other Go %v nil — array_join
+    # would silently DROP null elements, so coalesce each one first
     arr = F.concat(
         F.lit("["),
         F.array_join(
             F.transform(
                 F.from_json(value_json, "array<variant>"),
-                lambda v: _go_v_scalar(F.to_json(v)),
+                lambda v: F.coalesce(
+                    F.when(F.to_json(v) == "null", F.lit("<nil>")).otherwise(
+                        _go_v_scalar(F.to_json(v))
+                    ),
+                    F.lit("<nil>"),
+                ),
             ),
             " ",
         ),
@@ -330,7 +337,11 @@ def coerce_bq_events(
             *passthrough,
             F.col("data").alias("__data"),
             F.col("columns").alias("__cols"),
-            F.explode(
+            # explode_OUTER: an event declaring no columns and carrying no
+            # data still yields one (null-column) row, so encodeRows parity
+            # holds — the reference emits an EMPTY proto row that counts
+            # toward the chunk's appended rows (events.go encodeRows)
+            F.explode_outer(
                 F.array_union(
                     F.coalesce(
                         F.map_keys("columns"), F.array().cast("array<string>")
@@ -446,11 +457,23 @@ def bq_encode_rows(
     j = values.join(wh, [table_col, "column_name"], "left")
     v = F.col("value_json")
     is_dt_str = (F.col("warehouse_type") == "datetime") & v.startswith('"')
-    parsed = F.to_timestamp(F.try_parse_json(v).cast("string"))
+    s = F.try_parse_json(v).cast("string")
+    # time.Parse(RFC3339Nano) parity: Go REJECTS date-only, space-separated
+    # and offset-less datetimes that Spark's lax to_timestamp would accept
+    # (in the SESSION timezone — a silent wrong-epoch hazard). Require the
+    # full RFC3339 shape with an explicit Z/offset, so the parse is an
+    # absolute instant independent of session timezone; 7-9 digit (nano)
+    # fractions truncate to micros exactly like time.UnixMicro.
+    conform = s.rlike(
+        r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})$"
+    )
+    parsed = F.to_timestamp(F.regexp_replace(s, r"(\.\d{6})\d+", r"$1"))
     micros = (F.unix_micros(parsed)).cast("string")
-    encoded = F.when(is_dt_str, micros).otherwise(v)
-    bad = (F.col("warehouse_type").isNull() & v.isNotNull() & (v != "null")) | (
-        is_dt_str & parsed.isNull()
+    encoded = F.when(is_dt_str & conform, micros).otherwise(v)
+    bad = F.coalesce(
+        (F.col("warehouse_type").isNull() & v.isNotNull() & (v != "null"))
+        | (is_dt_str & (~conform | parsed.isNull())),
+        F.lit(False),
     )
     fields = j.select(
         *group_cols,
@@ -458,24 +481,31 @@ def bq_encode_rows(
         encoded.alias("encoded_json"),
         bad.alias("field_error"),
     )
+    # the sort key is the COLUMN NAME alone (sort.Strings over names,
+    # encode.go toBigQuerySchema) — sorting the rendered 'name=value'
+    # strings diverges when one name prefixes another and the next char
+    # sorts below '=' (0x3D), e.g. 'address1' vs 'address'. No pre-groupBy
+    # filter: an event whose fields are all null still emits an (empty)
+    # encoded row, matching the reference's appended-row accounting.
     return (
-        fields.where(
-            F.col("field_error")
-            | (F.col("encoded_json").isNotNull() & (F.col("encoded_json") != "null"))
-        )
-        .groupBy(*group_cols)
+        fields.groupBy(*group_cols)
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        ~F.col("field_error"),
-                        F.concat(
-                            F.col("column_name"), F.lit("="), F.col("encoded_json")
-                        ),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("field_error")
+                            & F.col("encoded_json").isNotNull()
+                            & (F.col("encoded_json") != "null"),
+                            F.struct(F.col("column_name"), F.col("encoded_json")),
+                        )
                     )
-                )
+                ),
+                lambda fld: F.concat(
+                    fld["column_name"], F.lit("="), fld["encoded_json"]
+                ),
             ).alias("encoded_fields"),
-            F.max("field_error").alias("encode_error"),
+            F.coalesce(F.max("field_error"), F.lit(False)).alias("encode_error"),
         )
     )
 
@@ -490,10 +520,24 @@ def bq_duplicate_id_stats(
     appeared earlier in the same chunk. Count = n_with_id − distinct ids,
     per (table, chunk), summed per table for the stat."""
     table = F.col(group_cols[0] if group_cols else "table")
+    vid = F.col("data")[F.lit(ID_COLUMN)]
+    ty = F.schema_of_variant(vid)
+    # Go unmarshals every JSON number as float64, so ids 1 and 1.0 are the
+    # SAME key in its duplicate map — compare numeric variants by their
+    # double value, not their JSON text. A present-but-null id is still a
+    # key in Go's map (nil counts toward duplicates): coalesce to the
+    # literal 'null' so count_distinct doesn't silently drop it.
+    is_num = ty.isin(
+        "BIGINT", "DOUBLE", "FLOAT", "INT", "SMALLINT", "TINYINT"
+    ) | ty.startswith("DECIMAL")
+    norm = F.coalesce(
+        F.when(is_num, vid.cast("double").cast("string")).otherwise(F.to_json(vid)),
+        F.lit("null"),
+    )
     with_id = df.where(
         F.map_contains_key(F.col("data"), F.lit(ID_COLUMN))
         & (table != USERS_TABLE)
-    ).withColumn("__id", F.to_json(F.col("data")[F.lit(ID_COLUMN)]))
+    ).withColumn("__id", norm)
     per_chunk = with_id.groupBy(*group_cols, chunk_col).agg(
         (F.count("*") - F.count_distinct("__id")).alias("duplicate_ids")
     )

@@ -147,6 +147,13 @@ def sequential_accept(
     and group size is capped by construction; only group COUNT grows with
     the corpus. Rows arrive unsorted within the group; the fold sorts the
     bounded group, not the corpus.
+
+    Plan shape (r8): the fold itself only runs for (group, subgroup)
+    slices that actually OVERFLOW a cap. A pre-aggregation computes each
+    slice's offered total/count; slices that fit accept every offered row
+    — decided by one join + codegen predicate, with no Arrow exchange and
+    no Python. Real pipelines size upload groups to fit, so at 100 TB the
+    sequential fold runs on the rare overflowing file, not the corpus.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -166,19 +173,50 @@ def sequential_accept(
 
     def fold(pdf):
         # self-contained: workers may not have the repo on sys.path
+        import numpy as np
+
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_name].to_numpy()
+        skips = pdf[skip_name].to_numpy(dtype=bool) if skip_name else None
+        offered = ~skips if skips is not None else np.ones(len(pdf), bool)
+
+        # vectorized fast path — the overwhelmingly common case: when every
+        # offered (sub)file's TOTAL fits under both caps, order is
+        # irrelevant and every offered row is accepted. Real upload groups
+        # are sized by the batcher to fit, so the Python state loop below
+        # is the exception (a file actually overflowing), not the rule.
+        def fits(total, n):
+            return (total + base <= cap if incl else total + base < cap) and (
+                ccap is None or n <= ccap
+            )
+
+        if subs:
+            sub_df = pdf.loc[offered, subs]
+            sums = sizes[offered] if len(sub_df) else sizes[:0]
+            grouped_tot = (
+                sub_df.assign(__sz=sums).groupby(subs, sort=False)["__sz"]
+            )
+            all_fit = all(
+                fits(t, n)
+                for t, n in zip(grouped_tot.sum(), grouped_tot.count())
+            )
+        else:
+            all_fit = fits(int(sizes[offered].sum()), int(offered.sum()))
+        if all_fit:
+            pdf[out_name] = offered
+            return pdf
+
         state: dict = {}
         flags = []
-        skips = pdf[skip_name] if skip_name else None
         keys = (
             list(zip(*[pdf[c] for c in subs])) if subs else [()] * len(pdf)
         )
-        for i, sz in enumerate(pdf[size_name]):
-            if skips is not None and bool(skips.iloc[i]):
+        for i in range(len(pdf)):
+            if not offered[i]:
                 flags.append(False)
                 continue
             total, n = state.get(keys[i], (base, 0))
-            new = total + int(sz)
+            new = total + int(sizes[i])
             ok = (new <= cap if incl else new < cap) and (
                 ccap is None or n < ccap
             )
@@ -188,14 +226,40 @@ def sequential_accept(
         pdf[out_name] = flags
         return pdf
 
-    if group_cols:
-        grouped = df.groupBy(*[F.col(c) for c in group_cols])
+    offered_c = (
+        ~F.coalesce(F.col(skip_name), F.lit(False))
+        if skip_name
+        else F.lit(True)
+    )
+    slice_keys = list(group_cols) + subs
+    if slice_keys:
+        # fitting-slice fast path: per (group, subgroup) offered totals;
+        # a slice whose whole offered load fits accepts all offered rows
+        # (order is irrelevant when nothing overflows), deciding the
+        # common case with one join + codegen — no Arrow, no Python.
+        tot = F.sum(F.when(offered_c, F.col(size_name)).otherwise(F.lit(0)))
+        cnt = F.sum(F.when(offered_c, 1).otherwise(0))
+        fits = (
+            (tot + base <= cap) if incl else (tot + base < cap)
+        ) & (F.lit(True) if ccap is None else (cnt <= ccap))
+        stats = df.groupBy(*slice_keys).agg(fits.alias("__fits"))
+        flagged = df.join(stats, slice_keys, "left")
+        fast = flagged.where(F.col("__fits")).select(
+            *df.columns, offered_c.alias(out_name)
+        )
+        slow = flagged.where(~F.col("__fits")).select(*df.columns)
     else:
-        grouped = df.groupBy(F.lit(1).alias("__g"))
-        # note: single-group fallback is for tests / one-file calls; real
-        # pipelines pass the upload-id grain so groups stay bounded
+        # single-group fallback for tests / one-file calls; real pipelines
+        # pass the upload-id grain so groups stay bounded
+        fast = None
+        slow = df
+
+    if group_cols:
+        grouped = slow.groupBy(*[F.col(c) for c in group_cols])
+    else:
+        grouped = slow.groupBy(F.lit(1).alias("__g"))
     res = grouped.applyInPandas(fold, schema=out_schema)
-    return res
+    return res if fast is None else res.unionByName(fast)
 
 
 # ------------------------------------------------------------------ marketo

@@ -4499,7 +4499,11 @@ def q104(spark, sf):
     stamped = B.stamp_bq_events(B.parse_bq_lines(src), TS)
     # the Arrow fold feeds seven audit branches (coerce, encode, dups,
     # verdicts, seam, per-table counts) — persist the bounded post-fold
-    # relation so the fold runs once, not per branch (q91/q96 convention)
+    # relation so the fold runs once, not per branch (q91/q96 convention).
+    # coalesce(8): the post-fold relation is ≤40×(days×tables) rows, but
+    # applyInPandas leaves it on shuffle.partitions partitions (200 under
+    # the driver's vanilla session) — without the coalesce every one of
+    # the ~10 downstream branch stages schedules 200 near-empty tasks.
     chunked = B.chunk_bq_events(
         stamped.select(
             "uday", "table", "job_id", "columns", "data",
@@ -4507,9 +4511,12 @@ def q104(spark, sf):
         ),
         max_chunk_bytes=1200,
         group_cols=("uday", "table"),
-    ).persist()
+    ).coalesce(8).persist()
 
-    es = B.bq_event_schemas(stamped, group_cols=("table",))
+    # first-seen-wins over CHUNKED, not stamped: chunking drops no rows
+    # and keeps job_id order, and reading the persisted relation avoids
+    # re-running the synthesize+parse+window subtree a second time
+    es = B.bq_event_schemas(chunked, group_cols=("table",))
     wh_rows = []
     for tbl in ("purchase", "click", "view", "signup", "error"):
         wh_rows += [(tbl, "id", "string"), (tbl, "received_at", "datetime"),
@@ -4560,15 +4567,25 @@ def q104(spark, sf):
             F.concat_ws("|", "column_name", "column_value", "reason", "row_id")
         ).alias("max_discard"),
     )
-    revs = vals.where(F.col("column_name") == "revenue").groupBy("table").agg(
+    # the two coercion-sum branches share one conditional-agg pass over
+    # the persisted long relation (r7 verdict: join-of-aggregates → one
+    # groupBy where the sources coincide)
+    sums = vals.groupBy("table").agg(
         F.round(
-            F.sum(F.col("value_json").cast("double").cast("decimal(18,6)")), 6
-        ).cast("decimal(18,6)").alias("rev_sum")
-    )
-    cnts = vals.where(
-        (F.col("column_name") == "count") & (F.col("table") == "view")
-    ).groupBy("table").agg(
-        F.sum(F.col("value_json").cast("long")).alias("count_sum")
+            F.sum(
+                F.when(
+                    F.col("column_name") == "revenue",
+                    F.col("value_json").cast("double").cast("decimal(18,6)"),
+                )
+            ),
+            6,
+        ).cast("decimal(18,6)").alias("rev_sum"),
+        F.sum(
+            F.when(
+                (F.col("column_name") == "count") & (F.col("table") == "view"),
+                F.col("value_json").cast("long"),
+            )
+        ).alias("count_sum"),
     )
     encm = enc.groupBy("table").agg(
         F.max(F.array_join("encoded_fields", ";")).alias("enc_max")
@@ -4583,8 +4600,7 @@ def q104(spark, sf):
         per_table.join(dups, "table", "left")
         .join(adds, "table", "left")
         .join(discs, "table", "left")
-        .join(revs, "table", "left")
-        .join(cnts, "table", "left")
+        .join(sums, "table", "left")
         .join(encm, "table", "left")
         .join(verd, "table", "left")
     )
@@ -4598,3 +4614,116 @@ def q104(spark, sf):
         F.col("rev_sum").cast("double").alias("rev_sum"),
         "count_sum", "enc_max", "n_succeeded", "n_failed", "n_aborted",
     ).orderBy("tbl")
+
+
+# --------------------------------------------------------------------------
+# Q105 user-transformation mirroring sanity diff — processor/processor.go's
+# utMirroring sampled shadow-comparison (:3225-3400) + types.go
+# EqualDetailed (:277-312): primary vs mirror transformer responses,
+# strict-then-lax (datetime-forgiven) equality, mirror-filtered
+# short-circuit, and the per-field diff content that would be uploaded for
+# differing batches. Cohorts are synthesized per event: identical /
+# datetime-shifted (forgiven) / revenue-bumped (different, field diff
+# 'revenue') / dropped-from-mirror (length mismatch) / a mirror-filtered
+# transformation. Ref: processor/ut_mirroring_test.go shapes.
+@register(
+    "q105_ut_mirror_diff",
+    """
+    WITH ev AS (
+      SELECT 'tr-' || CAST(user_id % 4 AS VARCHAR) AS transformation_id,
+             CASE WHEN user_id % 4 = 3 THEN 'filtered'
+                  WHEN event_id % 20 = 3 THEN 'missing'
+                  WHEN event_id % 10 = 2 THEN 'different'
+                  WHEN event_id % 10 = 1 THEN 'forgiven'
+                  ELSE 'equal' END AS k
+      FROM events
+    ),
+    agg AS (
+      SELECT transformation_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN k = 'equal' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+             CAST(SUM(CASE WHEN k = 'forgiven' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+             CAST(SUM(CASE WHEN k = 'different' THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN k = 'missing' THEN 1 ELSE 0 END) AS BIGINT) AS m
+      FROM ev GROUP BY transformation_id
+    )
+    SELECT transformation_id, n_events,
+           CASE WHEN transformation_id = 'tr-3' THEN 0 ELSE e END AS n_equal_strict,
+           CASE WHEN transformation_id = 'tr-3' THEN 0 ELSE f END AS n_datetime_forgiven,
+           CASE WHEN transformation_id = 'tr-3' THEN 0 ELSE d END AS n_different,
+           CASE WHEN transformation_id = 'tr-3' THEN 0 ELSE m END AS n_missing_mirror,
+           CAST(0 AS BIGINT) AS n_missing_primary,
+           CASE WHEN transformation_id = 'tr-3' OR d = 0 THEN ''
+                ELSE 'revenue:' || CAST(d AS VARCHAR) END AS mismatch_fields,
+           CASE WHEN transformation_id = 'tr-3' THEN 'mirror_filtered'
+                WHEN d + m > 0 THEN 'different'
+                WHEN f > 0 THEN 'equal_datetime_forgiven'
+                ELSE 'equal' END AS verdict
+    FROM agg ORDER BY transformation_id
+    """,
+    doc=(
+        "UT mirroring sanity comparison: strict-then-lax (datetime-"
+        "forgiven) response equality per (transformation, message), "
+        "mirror-filtered short-circuit, missing-element length mismatch, "
+        "per-field mismatch digest for differing rows. Ref: processor/"
+        "processor.go:3225-3400, processor/types/types.go:277-312, "
+        "processor/ut_mirroring_test.go"
+    ),
+    tags=("rudder", "processor"),
+)
+def q105(spark, sf):
+    from rudder_server_spark.operators.ut_mirroring import (
+        ut_mirror_compare,
+        ut_mirror_stats,
+    )
+
+    e = load_table(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    tx = F.concat(F.lit("tr-"), (uid % 4).cast("string"))
+    msg = F.concat(F.lit("m"), eid.cast("string"))
+    rev = (F.lit(100) + eid % 50).cast("string")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
+    iso_shift = F.concat(
+        F.date_format(
+            F.col("ts") + F.expr("INTERVAL 1 HOUR"), "yyyy-MM-dd'T'HH:mm:ss"
+        ),
+        F.lit("Z"),
+    )
+    status = F.when(F.col("event_type") == "error", 400).otherwise(200)
+    err = F.when(F.col("event_type") == "error", "boom").otherwise("")
+
+    def out_doc(rev_c, iso_c):
+        return F.concat(
+            F.lit('{"messageId":"'), msg, F.lit('","revenue":'), rev_c,
+            F.lit(',"updatedAt":"'), iso_c, F.lit('"}'),
+        )
+
+    base = e.select(
+        tx.alias("transformation_id"), msg.alias("message_id"),
+        eid.alias("__eid"),
+        status.alias("status_code"), err.alias("error"),
+        out_doc(rev, iso).alias("output_json"),
+        out_doc(
+            F.when(eid % 10 == 2, (F.lit(101) + eid % 50).cast("string"))
+            .otherwise(rev),
+            F.when(eid % 10 == 1, iso_shift).otherwise(iso),
+        ).alias("__mirror_json"),
+    )
+    primary = base.select(
+        "transformation_id", "message_id", "output_json",
+        "status_code", "error",
+    )
+    mirror = base.where(F.col("__eid") % 20 != 3).select(
+        "transformation_id", "message_id",
+        F.col("__mirror_json").alias("output_json"),
+        "status_code", "error",
+    )
+    filtered = spark.createDataFrame(
+        [("tr-3",)], "transformation_id string"
+    )
+    cmp = ut_mirror_compare(primary, mirror)
+    return ut_mirror_stats(cmp, filtered=filtered).select(
+        "transformation_id", "n_events", "n_equal_strict",
+        "n_datetime_forgiven", "n_different", "n_missing_mirror",
+        "n_missing_primary", "mismatch_fields", "verdict",
+    ).orderBy("transformation_id")

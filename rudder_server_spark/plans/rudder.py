@@ -1721,9 +1721,16 @@ def q91(spark, sf):
     )
 
     src = _load(spark, sf)
-    # ONE synthesized document + ONE scan: the audit branches below all
-    # read this persisted frame (plan-pinned in test_plan_quality)
-    docs = routed_stream_document(src).select("event_type", "json_data").persist()
+    # ONE scan, persisted NARROW (event_type + payload only); the routed
+    # document is a TYPED STRUCT built lazily over the cached payload, so
+    # Catalyst's extract-over-struct simplification reduces every audit
+    # branch to just ITS OWN field expressions (r7 verdict #4: the string
+    # doc form re-parsed a multi-KB superset per path; the persisted-
+    # struct form cached 4+ payload copies — this caches ONE).
+    base = src.select("event_type", "payload").persist()
+    docs = routed_stream_document(base, as_struct=True).select(
+        "event_type", "json_data"
+    )
 
     def audit(name, shaped, keyed=None):
         ok = F.col("error").isNull()
@@ -1896,9 +1903,12 @@ def q96(spark, sf):
     )
 
     src = _load(spark, sf)
-    # the SAME shared routed document as q91/q97 — one scan + one doc
-    # build, persisted, five audit branches off it
-    docs = routed_stream_document(src).select("event_type", "json_data").persist()
+    # the SAME shared routed document as q91/q97 — one narrow persisted
+    # scan, lazy typed-struct doc (see q91), five audit branches off it
+    base = src.select("event_type", "payload").persist()
+    docs = routed_stream_document(base, as_struct=True).select(
+        "event_type", "json_data"
+    )
 
     def audit(name, shaped):
         ok = F.col("error").isNull()
@@ -1969,8 +1979,11 @@ def q97(spark, sf):
 
     src = _load(spark, sf)
     # the shared routed document carries the positioned sheet rows under
-    # ``batch`` for track events — same doc subtree as q91/q96
-    docs = routed_stream_document(src).select("event_type", "json_data")
+    # ``batch`` for track events — same typed-struct doc as q91/q96
+    # (single consumer, so no persist needed)
+    docs = routed_stream_document(src, as_struct=True).select(
+        "event_type", "json_data"
+    )
     shaped = googlesheets_shape(docs.where(F.col("event_type") == "track"))
     return (
         shaped.groupBy("position", "attribute_key")

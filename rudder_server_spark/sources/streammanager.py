@@ -36,10 +36,80 @@ Reference anchors:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StructType, VariantType
 
 
 def _nonempty(c: Column) -> Column:
     return F.when(c.isNotNull() & (c != ""), c)
+
+
+def _getter(df: DataFrame, json_data_col: str):
+    """Returns ``(get, whole)``: a path extractor over the routed document
+    plus the whole document as a JSON string. ``get_json_object`` when the
+    column is the raw string; cheap binary navigation when the caller
+    pre-parsed it to a VARIANT (``F.parse_json``). The combined shape
+    audits (q91/q96/q97) read 15+ paths out of a multi-KB document —
+    get_json_object re-parses the WHOLE string per path, so parse-once +
+    variant_get is the scale shape (one parse, many O(log n) lookups).
+    Missing paths and JSON nulls both return SQL NULL; strings come back
+    unquoted; containers as compact JSON — get_json_object parity."""
+    j = F.col(json_data_col)
+    dt = df.schema[json_data_col].dataType
+    if isinstance(dt, StructType):
+        # the typed routed document (routed_stream_document as_struct=True):
+        # top-level keys are struct fields — free columnar access, no JSON
+        # parse at all; a nested path pays ONE small get_json_object over
+        # its subtree's text. Unknown keys are NULL, like a missing key.
+        names = set(dt.fieldNames())
+
+        def get(path: str) -> Column:
+            head, _, rest = path[2:].partition(".")
+            if head not in names:
+                return F.lit(None).cast("string")
+            c = j[head]
+            return F.get_json_object(c, "$." + rest) if rest else c
+
+        return get, _struct_doc_text(j, dt)
+    if isinstance(dt, VariantType):
+        # try_variant_get(..., "string") IS get_json_object parity in one
+        # expression (measured): strings unquoted, containers as compact
+        # JSON, JSON-null AND missing paths both SQL NULL. Keeping it a
+        # single node matters — an earlier 3-branch when/to_json getter
+        # blew up whole-stage codegen (~170 s one-time janino compile on
+        # a 1 GB driver once the audits duplicated it across branches).
+        return (
+            lambda path: F.try_variant_get(j, path, "string"),
+            F.to_json(j),
+        )
+    return (lambda path: F.get_json_object(j, path)), j
+
+
+# struct fields whose text is already JSON (embedded raw when the document
+# is re-serialized); every other field is a scalar string (JSON-escaped)
+_RAW_JSON_FIELDS = frozenset({"message", "detail", "properties", "batch"})
+
+
+def _struct_doc_text(j: Column, dt) -> Column:
+    """Re-serialize the typed routed document to the exact JSON string the
+    as_struct=False path builds: fields in struct order, NULL fields
+    omitted (they were conditional keys), container fields embedded raw,
+    scalar fields JSON-escaped. Only whole-document consumers (gcf body,
+    personalize's default PutEvents request) pay this — column pruning
+    drops it everywhere else."""
+
+    def js(c: Column) -> Column:
+        arr = F.to_json(F.array(c))
+        return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
+
+    parts = []
+    for f in dt.fieldNames():
+        c = j[f]
+        rendered = c if f in _RAW_JSON_FIELDS else js(c)
+        seg = F.concat(F.lit(f',"{f}":'), rendered)
+        parts.append(F.when(c.isNotNull(), seg).otherwise(F.lit("")))
+    body = F.concat(*parts)
+    # every present field leads with ',' — drop the first one behind '{'
+    return F.concat(F.lit("{"), body.substr(F.lit(2), F.length(body)), F.lit("}"))
 
 
 def wrap_stream_event(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -61,7 +131,9 @@ def wrap_stream_event(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-def routed_stream_document(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def routed_stream_document(
+    df: DataFrame, payload_col: str = "payload", as_struct: bool = False
+) -> DataFrame:
     """Synthesize the routed transformer-output document ONCE for every
     json_data-consuming stream manager, so a combined shape audit fans 9
     managers off a single scan + doc build instead of re-deriving a
@@ -94,6 +166,17 @@ def routed_stream_document(df: DataFrame, payload_col: str = "payload") -> DataF
     fanning out — union branches then read the in-memory relation instead
     of re-scanning (the plan pin in tests/test_plan_quality.py asserts
     one parquet scan under the whole combined audit).
+
+    ``as_struct=True`` returns the SAME document as a typed struct column
+    instead of a serialized JSON string — the Spark-first representation:
+    columnar in the cache, zero parse on access (shapes read struct
+    fields through ``_getter``), nested keys pay one SMALL get_json_object
+    over their subtree instead of re-parsing the multi-KB document.
+    Absent-key cohorts (payload omitted for page/extract, datasetId for
+    page, source gated on the event name) are NULL fields — exactly what
+    ``get_json_object`` returns for a missing key, so shape semantics are
+    identical. Container-valued fields hold their JSON text; scalar
+    fields hold the unquoted value (the get_json_object convention).
     """
     p = F.col(payload_col)
     etype = F.get_json_object(p, "$.type")
@@ -117,6 +200,33 @@ def routed_stream_document(df: DataFrame, payload_col: str = "payload") -> DataF
         F.coalesce(F.get_json_object(p, "$.properties.price"), F.lit("null")),
         F.lit("}}"),
     )
+    if as_struct:
+        doc = F.struct(
+            p.alias("message"),
+            uid.alias("userId"),
+            p.alias("detail"),
+            etype.alias("detailType"),
+            ename.alias("source"),
+            ename.alias("deliveryStreamMapTo"),
+            F.when(~etype.isin("page", "extract"), p).alias("payload"),
+            F.when(etype == "merge", F.lit("PutUsers"))
+            .when(etype == "extract", F.lit("PutItems"))
+            .alias("choice"),
+            F.when(etype != "page", F.lit("d")).alias("datasetId"),
+            F.lit("t").alias("tableId"),
+            F.when(
+                etype == "track",
+                F.concat(F.lit("["), p, F.lit(","), p, F.lit("]")),
+            )
+            .otherwise(p)
+            .alias("properties"),
+            F.when(
+                etype == "track",
+                F.concat(F.lit('[{"message":'), positioned, F.lit("}]")),
+            ).alias("batch"),
+        )
+        return df.withColumn("json_data", doc)
+
     doc = F.concat(
         F.lit('{"message":'), p,
         F.lit(',"userId":'), js(uid),
@@ -165,11 +275,11 @@ def kinesis_shape(
     400 "Empty Payload" — surfaced as ``error`` instead of a sent row.
     """
     cfg = dest_config or {}
-    j = F.col(json_data_col)
-    msg = F.get_json_object(j, "$.message")
-    pk = F.get_json_object(j, "$.userId")
+    get, _ = _getter(df, json_data_col)
+    msg = get("$.message")
+    pk = get("$.userId")
     if cfg.get("useMessageID"):
-        pk = F.coalesce(_nonempty(F.get_json_object(j, "$.message.messageId")), pk)
+        pk = F.coalesce(_nonempty(get("$.message.messageId")), pk)
     stream = F.lit(cfg.get("stream")).cast("string")
     error = F.when(stream.isNull(), F.lit("stream is required for Kinesis")).when(
         _nonempty(msg).isNull(), F.lit("Empty Payload")
@@ -196,7 +306,8 @@ def lambda_shape(
     12-14); an empty payload is the reference's 400 "Invalid payload".
     """
     cfg = dest_config or {}
-    payload = F.get_json_object(F.col(json_data_col), "$.payload")
+    get, _ = _getter(df, json_data_col)
+    payload = get("$.payload")
     fn_name = F.lit(cfg.get("lambda")).cast("string")
     inv = F.lit(cfg.get("invocationType") or "Event")
     ctx = F.lit(cfg.get("clientContext") or None).cast("string")
@@ -226,14 +337,12 @@ def eventbridge_shape(
     failure per-entry (eventbridgemanager.go:85-92) — the shape rejects
     them up front as ``error`` rows.
     """
-    j = F.col(json_data_col)
-    detail = F.get_json_object(j, "$.detail")
-    detail_type = F.get_json_object(j, "$.detailType")
-    source = F.get_json_object(j, "$.source")
-    bus = F.get_json_object(j, "$.eventBusName")
-    resources = F.from_json(
-        F.get_json_object(j, "$.resources"), "array<string>"
-    )
+    get, _ = _getter(df, json_data_col)
+    detail = get("$.detail")
+    detail_type = get("$.detailType")
+    source = get("$.source")
+    bus = get("$.eventBusName")
+    resources = F.from_json(get("$.resources"), "array<string>")
     error = (
         F.when(_nonempty(detail).isNull(), F.lit("Detail is required for EventBridge"))
         .when(_nonempty(detail_type).isNull(), F.lit("DetailType is required for EventBridge"))
@@ -286,9 +395,9 @@ def firehose_shape(
     (``deliveryStreamMapTo``, firehosemanager.go:49-86); a missing message
     or missing/empty stream is the reference's 400.
     """
-    j = F.col(json_data_col)
-    msg = F.get_json_object(j, "$.message")
-    stream = F.get_json_object(j, "$.deliveryStreamMapTo")
+    get, _ = _getter(df, json_data_col)
+    msg = get("$.message")
+    stream = get("$.deliveryStreamMapTo")
     error = F.when(
         _nonempty(msg).isNull(), F.lit("message from payload not found")
     ).when(_nonempty(stream).isNull(), F.lit("Delivery Stream not found"))
@@ -312,7 +421,8 @@ def wunderkind_shape(
     always RequestResponse, and the payload contract matches lambda's.
     """
     cfg = env_config or {}
-    payload = F.get_json_object(F.col(json_data_col), "$.payload")
+    get, _ = _getter(df, json_data_col)
+    payload = get("$.payload")
     fn_name = F.lit(cfg.get("WUNDERKIND_LAMBDA")).cast("string")
     error = F.when(fn_name.isNull(), F.lit("wunderkind lambda is required")).when(
         _nonempty(payload).isNull(), F.lit("Invalid payload")
@@ -338,13 +448,14 @@ def personalize_shape(
     unmarshalled from), ``tracking_id`` (PutEvents' required id, surfaced
     for auditability), ``error``.
     """
-    j = F.col(json_data_col)
-    choice = F.get_json_object(j, "$.choice")
+    get, whole = _getter(df, json_data_col)
+    choice = get("$.choice")
+    payload = get("$.payload")
     known = choice.isin("PutEvents", "PutUsers", "PutItems")
     api = F.when(known, choice).otherwise(F.lit("PutEvents"))
-    request = F.when(known, F.get_json_object(j, "$.payload")).otherwise(j)
+    request = F.when(known, payload).otherwise(whole)
     error = F.when(
-        known & F.get_json_object(j, "$.payload").isNull(),
+        known & payload.isNull(),
         F.lit("Could not unmarshal jsonData"),
     )
     ok = error.isNull()
@@ -369,9 +480,9 @@ def bqstream_shape(
     ``dataset_id``, ``table_id``, ``record`` (JSON string), ``error``
     (key-less/record-less documents keep one NULL-record row).
     """
-    j = F.col(json_data_col)
-    ds, tbl = F.get_json_object(j, "$.datasetId"), F.get_json_object(j, "$.tableId")
-    props = F.get_json_object(j, "$.properties")
+    get, _ = _getter(df, json_data_col)
+    ds, tbl = get("$.datasetId"), get("$.tableId")
+    props = get("$.properties")
     # object → single-element array; array → per-element JSON re-marshal
     # (variant keeps arbitrary record shapes without a fixed schema)
     recs = F.when(
@@ -408,15 +519,15 @@ def googlesheets_shape(
     attributeValues keep their number type (parseTransformedData's
     gjson.Number branch), everything else lands stringified.
     """
-    j = F.col(json_data_col)
-    batch = F.get_json_object(j, "$.batch")
+    get, _ = _getter(df, json_data_col)
+    batch = get("$.batch")
     msgs = F.when(
         batch.isNotNull(),
         F.transform(
             F.from_json(batch, "array<variant>"),
             lambda v: F.to_json(F.try_variant_get(v, "$.message", "variant")),
         ),
-    ).otherwise(F.array(F.get_json_object(j, "$.message")))
+    ).otherwise(F.array(get("$.message")))
     rows = df.select(
         "*", F.posexplode_outer(msgs).alias("batch_index", "_msg")
     )
@@ -456,13 +567,14 @@ def gcf_shape(
     POST the routed document to the configured function URL. Columns:
     ``function_url``, ``body`` (binary), ``error``."""
     cfg = dest_config or {}
+    _, whole = _getter(df, json_data_col)
     url = F.lit(cfg.get("googleCloudFunctionUrl")).cast("string")
     error = F.when(url.isNull(), F.lit("googleCloudFunctionUrl is required"))
     ok = error.isNull()
     return df.select(
         "*",
         F.when(ok, url).alias("function_url"),
-        F.when(ok, F.col(json_data_col).cast("binary")).alias("body"),
+        F.when(ok, whole.cast("binary")).alias("body"),
         error.alias("error"),
     )
 

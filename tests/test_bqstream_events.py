@@ -327,3 +327,102 @@ def test_finalize_per_chunk_verdicts(spark):
     # no seam → happy path, everything acks
     happy = finalize_bq_jobs(chunked, None)
     assert {r["job_state"] for r in happy.collect()} == {"succeeded"}
+
+
+def test_encode_sort_by_name_not_rendered_string(spark):
+    # ADVICE r7: 'address1' vs 'address' — sort.Strings over NAMES puts
+    # 'address' first; sorting the rendered 'name=value' strings would
+    # compare '=' (0x3D) against '1' (0x31) and flip them
+    rows = [
+        (1, "t", {"address": "int", "address1": "int"},
+         {"address": 7, "address1": 8}),
+    ]
+    wh = [("t", "address", "int"), ("t", "address1", "int")]
+    df = stamp_bq_events(_lines(spark, rows), TS)
+    whdf = spark.createDataFrame(
+        wh, "table string, column_name string, column_type string"
+    )
+    vals, _ = coerce_bq_events(df, whdf, TS)
+    enc = bq_encode_rows(vals, whdf, group_cols=("table", "job_id")).collect()
+    assert enc[0]["encoded_fields"] == ["address=7", "address1=8"]
+
+
+def test_encode_rfc3339_strict_and_nanos(spark):
+    # time.Parse(RFC3339Nano) parity: date-only / space-separated /
+    # offset-less strings FAIL the field (Go rejects them); 9-digit nano
+    # fractions truncate to micros like time.UnixMicro
+    rows = [
+        (1, "t", {"id": "string", "d": "datetime"},
+         {"id": "a", "d": "2024-01-30"}),
+        (2, "t", {"id": "string", "d": "datetime"},
+         {"id": "b", "d": "2024-01-30 10:00:00Z"}),
+        (3, "t", {"id": "string", "d": "datetime"},
+         {"id": "c", "d": "2024-01-30T10:00:00"}),
+        (4, "t", {"id": "string", "d": "datetime"},
+         {"id": "d", "d": "2024-01-30T10:00:00.123456789Z"}),
+        (5, "t", {"id": "string", "d": "datetime"},
+         {"id": "e", "d": "2024-01-30T10:00:00+02:00"}),
+    ]
+    wh = [("t", "id", "string"), ("t", "d", "datetime")]
+    df = stamp_bq_events(_lines(spark, rows), TS)
+    whdf = spark.createDataFrame(
+        wh, "table string, column_name string, column_type string"
+    )
+    vals, _ = coerce_bq_events(df, whdf, TS)
+    enc = {
+        r["job_id"]: r
+        for r in bq_encode_rows(vals, whdf, group_cols=("table", "job_id")).collect()
+    }
+    assert enc[1]["encode_error"] and enc[2]["encode_error"] and enc[3]["encode_error"]
+    assert not enc[4]["encode_error"]
+    assert "d=1706608800123456" in enc[4]["encoded_fields"]
+    assert not enc[5]["encode_error"]
+    assert "d=1706601600000000" in enc[5]["encoded_fields"]  # +02:00 honored
+
+
+def test_encode_all_null_event_emits_empty_row(spark):
+    # encodeRows still appends an EMPTY proto row for an event whose
+    # fields are all nil — the group row must exist with [] fields
+    rows = [
+        (1, "t", {"id": "string"}, {"id": None}),
+    ]
+    wh = [("t", "id", "string")]
+    df = stamp_bq_events(_lines(spark, rows), TS)
+    whdf = spark.createDataFrame(
+        wh, "table string, column_name string, column_type string"
+    )
+    vals, _ = coerce_bq_events(df, whdf, TS)
+    enc = bq_encode_rows(vals, whdf, group_cols=("table", "job_id")).collect()
+    assert len(enc) == 1
+    assert enc[0]["encoded_fields"] == [] and not enc[0]["encode_error"]
+
+
+def test_duplicate_ids_numeric_and_null_variants(spark):
+    # Go sees 1 and 1.0 as the SAME float64 key; a present-but-nil id is
+    # still a map key that counts toward duplicates
+    rows = [
+        (1, "t", {"id": "int"}, {"id": 1}),
+        (2, "t", {"id": "int"}, {"id": 1.0}),
+        (3, "t", {"id": "int"}, {"id": None}),
+        (4, "t", {"id": "int"}, {"id": None}),
+    ]
+    df = stamp_bq_events(_lines(spark, rows), TS).withColumn(
+        "chunk_idx", F.lit(0)
+    )
+    got = {r["table"]: r["duplicate_ids"] for r in bq_duplicate_id_stats(df).collect()}
+    assert got == {"t": 2}
+
+
+def test_go_v_array_keeps_nil_elements(spark):
+    # fmt %v of a slice prints '[1 <nil> 2]' — array_join must not drop
+    # the null element. Surfaces via the discard column_value.
+    rows = [
+        (1, "t", {"id": "string", "received_at": "datetime", "a": "json"},
+         {"id": "x", "received_at": "2024-01-30T10:00:00.000Z",
+          "a": [1, None, 2]}),
+    ]
+    wh = [("t", "id", "string"), ("t", "received_at", "datetime"),
+          ("t", "a", "int")]  # json -> int: incompatible, discards
+    vals, disc = _coerce(spark, rows, wh)
+    d = disc.collect()
+    assert len(d) == 1 and d[0]["column_value"] == "[1 <nil> 2]"
