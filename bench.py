@@ -348,6 +348,10 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
+        # surface the child's per-query progress lines for debuggability
+        for ln in child.stderr.splitlines():
+            if ln.startswith("# "):
+                print(f"# [v2] {ln[2:]}", file=sys.stderr, flush=True)
         v2_report = None
         for ln in reversed(child.stdout.strip().splitlines()):
             try:

@@ -102,12 +102,14 @@ def build_scaled_events(spark, k: int, sf_dir: str) -> str:
         p = F.col("payload")
         p = F.regexp_replace(p, r"(u\d+)@example\.com", rf"$1.r{r}@example.com")
         p = F.regexp_replace(p, r"(anon-\d{4})", rf"$1r{r}")
-        p = F.regexp_replace(p, r'"messageId":"msg-', f'"messageId":"msg{r}-')
+        # keep the 'msg-<digits>' shape (q69 parses the numeric suffix):
+        # replica r prefixes the digit run instead of breaking the prefix
+        p = F.regexp_replace(p, r'"messageId":"msg-', f'"messageId":"msg-{r}')
         reps.append(
             base.withColumn("payload", p)
             .withColumn(
                 "message_id",
-                F.regexp_replace("message_id", r"^msg-", f"msg{r}-"),
+                F.regexp_replace("message_id", r"^msg-", f"msg-{r}"),
             )
             .withColumn(
                 "anonymous_id",
@@ -117,19 +119,56 @@ def build_scaled_events(spark, k: int, sf_dir: str) -> str:
     from functools import reduce
 
     corpus = reduce(lambda a, b: a.unionByName(b), reps)
-    # reproduce the base fixture's layout discipline (rudder_events.py:
-    # clustered by event_type, bounded row groups): DuckDB's window/dedup
-    # oracles are strongly layout-sensitive (measured 40x on q69 between
-    # the clustered single file and a naive multi-part copy of the SAME
+    # reproduce the base fixture's layout discipline EXACTLY
+    # (rudder_events.py:159-181: single file, stable event_type cluster,
+    # 64k-row row groups): DuckDB's window/dedup oracles are strongly
+    # layout-sensitive (measured 40x on q69 between the clustered 64k-
+    # row-group single file and a 32 MB-block Spark directory of the SAME
     # rows), and the probe must not handicap the baseline side.
+    tmp = out + ".spark_tmp"
     (
         corpus.repartition(1)
         .sortWithinPartitions("event_type", "message_id")
         .write.mode("overwrite")
-        .option("parquet.block.size", 32 * 1024 * 1024)
-        .parquet(out)
+        .parquet(tmp)
     )
+    import shutil
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    tmp_file = out + ".onefile"
+    # stream row groups (the spark tmp is already globally sorted in one
+    # partition, so batch order IS the clustered order) — a to_table()
+    # materialization at 25x is tens of GB
+    writer = None
+    for batch in pads.dataset(tmp, format="parquet").to_batches(
+        batch_size=64 * 1024
+    ):
+        if batch.num_rows == 0:
+            continue
+        if writer is None:
+            writer = pq.ParquetWriter(tmp_file, batch.schema)
+        writer.write_batch(batch)
+    writer.close()
+    # rudder_events_path expects a directory OR single file — the base
+    # fixture is a single file; match it
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.replace(tmp_file, out)
+    shutil.rmtree(tmp, ignore_errors=True)
     return sf_dir
+
+
+def _duck_path(parquet_path: str) -> str:
+    """DuckDB read target: the path itself for a single-file fixture, a
+    glob for a Spark directory."""
+    return (
+        parquet_path
+        if os.path.isfile(parquet_path)
+        else os.path.join(parquet_path, "*.parquet")
+    )
 
 
 def _time_engine(spark, fn, runs: int = 3) -> float:
@@ -198,7 +237,7 @@ def probe_cc(spark, reg, ks) -> None:
     for k in ks:
         sf_dir = build_scaled_events(spark, k, f"/tmp/rss_ev_{k}x")
         scaled = rudder_events_path(sf_dir)
-        glob = os.path.join(scaled, "*.parquet")
+        glob = _duck_path(scaled)
         qd = reg["q9_identity_graph"]
         engine = _time_engine(
             spark,
@@ -331,6 +370,90 @@ def probe_floors(spark, reg, ks) -> None:
             )
 
 
+def build_scaled_embeddings(spark, k: int, out_dir: str) -> str:
+    """embeddings.parquet at k x the base: replica r > 0 offsets vec_id so
+    the query vector (vec_id=0) stays unique and the similarity
+    distribution is replicated, not densified."""
+    from pyspark.sql import functions as F
+
+    from rudder_server_spark.sources.fixtures import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(out):
+        return out_dir
+    e = load_table(spark, BASE_SF, "embeddings")
+    reps = [
+        e if r == 0 else e.withColumn("vec_id", F.col("vec_id") + F.lit(r * 10**9))
+        for r in range(k)
+    ]
+    from functools import reduce
+
+    (
+        reduce(lambda a, b: a.unionByName(b), reps)
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 32 * 1024 * 1024)
+        .parquet(out)
+    )
+    return out_dir
+
+
+def probe_floors2(spark, reg, ks) -> None:
+    """r7 verdict #7: q27 (similarity top-k) and q69 (batch pipeline)
+    regressed >2x driver-side at r7 with no code change — give them the
+    same 1-100x crossover table q3/q79 carry, so floor amortization is
+    MEASURED, not argued. q27 scales embeddings; q69 scales the
+    rudder_events fixture (shared with the q9/q16 probes)."""
+    from rudder_server_spark.sources.rudder_events import rudder_events_path
+
+    base_oracle_path = rudder_events_path("/root/testdata/sf0.01")
+    for k in ks:
+        emb_dir = build_scaled_embeddings(spark, k, f"/tmp/rss_emb_{k}x")
+        glob_emb = os.path.join(emb_dir, "embeddings.parquet", "*.parquet")
+        qd = reg["q27_similarity_topk"]
+        engine = _time_engine(
+            spark,
+            lambda: qd.spark_fn(spark, emb_dir)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        duck = _time_duck(
+            [f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{glob_emb}')"],
+            qd.oracle,
+        )
+        _emit(
+            k=k, query="q27_similarity_topk", engine_warm_sec=engine,
+            duckdb_warm_sec=duck,
+            ratio=round(engine / duck, 2) if duck else None,
+        )
+
+        if k > 25:
+            # the rudder_events fixture is 10x events rows with ~KB
+            # payloads: 25x (26M rows) is the same cap the q9 cc probe
+            # uses; 100x would be a ~50 GB single-file rewrite
+            continue
+        ev_dir = build_scaled_events(spark, k, f"/tmp/rss_ev_{k}x")
+        scaled_path = _duck_path(rudder_events_path(ev_dir))
+        qd = reg["q69_batch_pipeline"]
+        engine = _time_engine(
+            spark,
+            lambda: qd.spark_fn(spark, ev_dir)
+            .write.mode("overwrite")
+            .format("noop")
+            .save(),
+        )
+        duck = _time_duck([], qd.oracle.replace(base_oracle_path, scaled_path))
+        _emit(
+            k=k, query="q69_batch_pipeline", engine_warm_sec=engine,
+            duckdb_warm_sec=duck,
+            ratio=round(engine / duck, 2) if duck else None,
+        )
+
+
+
 def main() -> None:
     from rudder_server_spark.plans.registry import load_all
     from rudder_server_spark.session import get_spark
@@ -347,6 +470,8 @@ def main() -> None:
         probe_fanout(spark, reg, ks)
     if which in ("all", "floors"):
         probe_floors(spark, reg, ks)
+    if which in ("all", "floors2"):
+        probe_floors2(spark, reg, ks)
 
 
 if __name__ == "__main__":

@@ -3392,7 +3392,13 @@ def q95(spark, sf):
 def q98(spark, sf):
     from rudder_server_spark.operators import provider_uploads as PU
 
-    e = load_table(spark, sf, "events")
+    # ONE narrow persisted base feeds all four provider branches — the
+    # providers' synthesized docs derive from (event_id, user_id, ts,
+    # props.k) only, so four parquet scans collapse to one cached read
+    e = load_table(spark, sf, "events").select(
+        "event_id", "user_id", "ts",
+        F.get_json_object("props", "$.k").alias("__k"),
+    ).persist()
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
     day = F.to_date("ts").alias("upload_day")
     s = lambda c: c.cast("string")  # noqa: E731
@@ -3485,7 +3491,7 @@ def q98(spark, sf):
     # ---- lytics: trait-mapped CSV off message.properties
     ly_doc = F.concat(
         F.lit('{"message":{"properties":{"email":"u'), uid,
-        F.lit('@e.io","k":'), F.get_json_object("props", "$.k"), F.lit("}}}"),
+        F.lit('@e.io","k":'), F.col("__k"), F.lit("}}}"),
     )
     ly = PU.lytics_csv_rows(
         e.select(eid.alias("job_id"), day, ly_doc.alias("payload")),

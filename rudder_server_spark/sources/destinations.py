@@ -40,11 +40,199 @@ TYPE_MAPS: dict[str, dict[str, str]] = {
         "string": "string", "text": "string", "boolean": "boolean",
         "datetime": "timestamp", "json": "string", "array(boolean)": "array<boolean>",
     },
+    # clickhouse has no bool — UInt8 with 0/1 (clickhouse.go:51-63); the
+    # Nullable()/LowCardinality/SimpleAggregateFunction wrapping is
+    # per-table/column, applied by clickhouse_column_type below
+    "clickhouse": {
+        "int": "Int64", "bigint": "Int64", "float": "Float64",
+        "string": "String", "text": "String", "boolean": "UInt8",
+        "datetime": "DateTime", "json": "String",
+        "array(int)": "Array(Int64)", "array(float)": "Array(Float64)",
+        "array(string)": "Array(String)", "array(datetime)": "Array(DateTime)",
+        "array(boolean)": "Array(UInt8)",
+    },
+    # mssql.go:46-53 — including the reference's literal (and surprising)
+    # "json":"jsonb" mapping, kept verbatim for DDL parity
+    "mssql": {
+        "int": "bigint", "bigint": "bigint", "float": "decimal(28,10)",
+        "string": "nvarchar(512)", "text": "nvarchar(max)", "boolean": "bit",
+        "datetime": "datetimeoffset", "json": "jsonb", "array(boolean)": "jsonb",
+    },
+    # azure-synapse.go:48-55 — the mssql variant with plain varchar
+    "azure_synapse": {
+        "int": "bigint", "bigint": "bigint", "float": "decimal(28,10)",
+        "string": "varchar(512)", "text": "varchar(max)", "boolean": "bit",
+        "datetime": "datetimeoffset", "json": "jsonb", "array(boolean)": "jsonb",
+    },
+    # deltalake.go:58-65 (jsons land as STRING; 'date' is a first-class type)
+    "deltalake": {
+        "int": "BIGINT", "bigint": "BIGINT", "float": "DOUBLE",
+        "string": "STRING", "text": "STRING", "boolean": "BOOLEAN",
+        "datetime": "TIMESTAMP", "date": "DATE", "json": "STRING",
+        "array(boolean)": "STRING",
+    },
 }
+
+# physical → rudder, for reading back an existing warehouse schema (the
+# *DataTypesMapToRudder maps; schema fetch feeds reconcile/coerce):
+# clickhouse.go:77-117, mssql.go:55-78, azure-synapse.go:57-80,
+# deltalake.go:69-92
+FROM_PHYSICAL: dict[str, dict[str, str]] = {
+    "clickhouse": {
+        **{t: "int" for t in ("Int8", "Int16", "Int32", "Int64")},
+        **{f"Nullable({t})": "int" for t in ("Int8", "Int16", "Int32", "Int64")},
+        **{
+            f"SimpleAggregateFunction(anyLast, Nullable({t}))": "int"
+            for t in ("Int8", "Int16", "Int32", "Int64")
+        },
+        "Array(Int64)": "array(int)", "Array(Nullable(Int64))": "array(int)",
+        **{t: "float" for t in ("Float32", "Float64")},
+        **{f"Nullable({t})": "float" for t in ("Float32", "Float64")},
+        **{
+            f"SimpleAggregateFunction(anyLast, Nullable({t}))": "float"
+            for t in ("Float32", "Float64")
+        },
+        "Array(Float64)": "array(float)",
+        "Array(Nullable(Float64))": "array(float)",
+        "String": "string", "Nullable(String)": "string",
+        "SimpleAggregateFunction(anyLast, Nullable(String))": "string",
+        "LowCardinality(String)": "string",
+        "LowCardinality(Nullable(String))": "string",
+        "Array(String)": "array(string)",
+        "Array(Nullable(String))": "array(string)",
+        "DateTime": "datetime", "Nullable(DateTime)": "datetime",
+        "SimpleAggregateFunction(anyLast, Nullable(DateTime))": "datetime",
+        "Array(DateTime)": "array(datetime)",
+        "Array(Nullable(DateTime))": "array(datetime)",
+        "UInt8": "boolean", "Nullable(UInt8)": "boolean",
+        "SimpleAggregateFunction(anyLast, Nullable(UInt8))": "boolean",
+        "Array(UInt8)": "array(boolean)",
+        "Array(Nullable(UInt8))": "array(boolean)",
+    },
+    "mssql": {
+        "integer": "int", "smallint": "int", "bigint": "int", "tinyint": "int",
+        "double precision": "float", "numeric": "float", "decimal": "float",
+        "real": "float", "float": "float",
+        "text": "string", "varchar": "string", "nvarchar": "string",
+        "ntext": "string", "nchar": "string", "char": "string",
+        "datetimeoffset": "datetime", "date": "datetime",
+        "datetime2": "datetime", "timestamp with time zone": "datetime",
+        "timestamp": "datetime", "jsonb": "json", "bit": "boolean",
+    },
+    "deltalake": {
+        **{
+            t: r
+            for T, r in (
+                ("TINYINT", "int"), ("SMALLINT", "int"), ("INT", "int"),
+                ("BIGINT", "int"), ("DECIMAL", "float"), ("FLOAT", "float"),
+                ("DOUBLE", "float"), ("BOOLEAN", "boolean"),
+                ("STRING", "string"), ("DATE", "date"),
+                ("TIMESTAMP", "datetime"),
+            )
+            for t in (T, T.lower())
+        },
+    },
+}
+# azure-synapse.go:57-80 is byte-identical to the mssql reverse map
+FROM_PHYSICAL["azure_synapse"] = dict(FROM_PHYSICAL["mssql"])
 
 
 def physical_type(rudder_type: str, destination: str) -> str:
     return TYPE_MAPS[destination][rudder_type]
+
+
+def rudder_type(physical: str, destination: str) -> str | None:
+    """Reverse map for schema fetch (unknown physical types are dropped
+    from the synced schema, like the reference's ok-guarded lookups)."""
+    return FROM_PHYSICAL[destination].get(physical)
+
+
+# --------------------------------------------------------------- clickhouse
+# tables are deduped BY THE ENGINE: ReplacingMergeTree keyed on the sort
+# tuple replaces duplicate rows at merge time (clickhouse.go:916-953) — the
+# warehouse-side twin of the W2/BQ-view dedup strategies.
+
+CH_SPECIFIC_COLUMNS = {  # clickhouse.go:65-68
+    "event": "LowCardinality(String)",
+    "event_text": "LowCardinality(String)",
+}
+
+
+def clickhouse_column_type(
+    table: str, column: str, rudder: str, not_nullable: bool = False
+) -> str:
+    """getClickHouseColumnTypeForSpecificTable (clickhouse.go:384-393):
+    sort-key columns stay bare; the users table wraps every nullable type
+    in SimpleAggregateFunction(anyLast, …) so engine merges keep the last
+    non-null trait; arrays never wrap; event/event_text force
+    LowCardinality(String)."""
+    base = TYPE_MAPS["clickhouse"][rudder]
+    if "Array" in base:
+        return base
+    if not_nullable:
+        return CH_SPECIFIC_COLUMNS.get(column, base)
+    wrapped = CH_SPECIFIC_COLUMNS.get(column, f"Nullable({base})")
+    if table == "users":
+        return f"SimpleAggregateFunction(anyLast, {wrapped})"
+    return wrapped
+
+
+def clickhouse_create_table_ddl(
+    table: str,
+    schema: dict[str, str],
+    partition_type: str = "day",
+) -> str:
+    """CreateTable (clickhouse.go:918-953): ReplacingMergeTree engine,
+    sort key (received_at, id) — discards drops id (:919-921) — and
+    PARTITION BY over received_at per the configured grain
+    (partitionExpr :882-897). Sort-key columns render not-nullable."""
+    sort_keys = ["received_at", "id"]
+    if table == "rudder_discards":
+        sort_keys = ["received_at"]
+    sort_keys = [k for k in sort_keys if k in schema]
+    cols = ", ".join(
+        f'"{safe_column_name(c)}" '
+        + clickhouse_column_type(table, c, t, not_nullable=c in sort_keys)
+        for c, t in sorted(schema.items())
+    )
+    tuple_ = "(" + ",".join(f'"{k}"' for k in sort_keys) + ")"
+    part_expr = {
+        "day": "toDate(received_at)",
+        "week": "toStartOfWeek(received_at)",
+        "month": "toStartOfMonth(received_at)",
+        "quarter": "toStartOfQuarter(received_at)",
+    }[partition_type or "day"]
+    partition = (
+        f" PARTITION BY {part_expr}" if "received_at" in schema else ""
+    )
+    return (
+        f'CREATE TABLE IF NOT EXISTS "{safe_table_name(table)}" ({cols}) '
+        f"ENGINE = ReplacingMergeTree() ORDER BY {tuple_}{partition}"
+    )
+
+
+# ---------------------------------------------------------------- deltalake
+def deltalake_create_table_ddl(table: str, schema: dict[str, str]) -> str:
+    """Deltalake CreateTable (deltalake.go:511-535): USING DELTA with the
+    auto-generated ``event_date DATE GENERATED ALWAYS AS
+    (CAST(received_at AS DATE))`` partition column whenever the table
+    carries received_at — the partition-pruned load path."""
+    cols = ", ".join(
+        f"{safe_column_name(c)} {physical_type(t, 'deltalake')}"
+        for c, t in sorted(schema.items())
+    )
+    if "received_at" in schema:
+        cols += (
+            ", event_date DATE GENERATED ALWAYS AS "
+            "( CAST(received_at AS DATE) )"
+        )
+        partition = " PARTITIONED BY(event_date)"
+    else:
+        partition = ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {safe_table_name(table)} "
+        f"({cols}) USING DELTA{partition}"
+    )
 
 
 def create_table_ddl(table: str, schema: dict[str, str], destination: str) -> str:

@@ -81,3 +81,116 @@ def test_type_maps_and_ddl():
         # reserved word 'user' escapes to _user
         "ALTER TABLE tracks ADD COLUMN _user varchar(512)",
     ]
+
+
+def test_dialect_tail_type_maps():
+    # clickhouse.go:51-63 (no bool -> UInt8), mssql.go:46-53 (incl. the
+    # reference's literal "json":"jsonb"), azure-synapse.go:48-55
+    # (varchar variant), deltalake.go:58-65
+    assert physical_type("boolean", "clickhouse") == "UInt8"
+    assert physical_type("array(float)", "clickhouse") == "Array(Float64)"
+    assert physical_type("float", "mssql") == "decimal(28,10)"
+    assert physical_type("string", "mssql") == "nvarchar(512)"
+    assert physical_type("json", "mssql") == "jsonb"
+    assert physical_type("string", "azure_synapse") == "varchar(512)"
+    assert physical_type("datetime", "azure_synapse") == "datetimeoffset"
+    assert physical_type("float", "deltalake") == "DOUBLE"
+    assert physical_type("date", "deltalake") == "DATE"
+
+
+def test_dialect_reverse_maps():
+    from rudder_server_spark.sources.destinations import rudder_type
+
+    # clickhouse.go:77-117: Nullable / LowCardinality / anyLast wrappers
+    # all collapse to the rudder type; unknowns drop (None)
+    assert rudder_type("Nullable(Int64)", "clickhouse") == "int"
+    assert rudder_type(
+        "SimpleAggregateFunction(anyLast, Nullable(DateTime))", "clickhouse"
+    ) == "datetime"
+    assert rudder_type("LowCardinality(String)", "clickhouse") == "string"
+    assert rudder_type("Array(Nullable(UInt8))", "clickhouse") == "array(boolean)"
+    assert rudder_type("Decimal(38,9)", "clickhouse") is None
+    # mssql.go:55-78 == azure-synapse.go:57-80
+    assert rudder_type("datetimeoffset", "mssql") == "datetime"
+    assert rudder_type("nvarchar", "azure_synapse") == "string"
+    assert rudder_type("bit", "azure_synapse") == "boolean"
+    # deltalake.go:69-92: both cases
+    assert rudder_type("TIMESTAMP", "deltalake") == "datetime"
+    assert rudder_type("timestamp", "deltalake") == "datetime"
+    assert rudder_type("DECIMAL", "deltalake") == "float"
+
+
+def test_clickhouse_ddl():
+    from rudder_server_spark.sources.destinations import (
+        clickhouse_column_type,
+        clickhouse_create_table_ddl,
+    )
+
+    # getClickHouseColumnTypeForSpecificTable (clickhouse.go:384-393):
+    # users wraps in SimpleAggregateFunction(anyLast, Nullable(T)); sort
+    # keys stay bare; arrays never wrap; event -> LowCardinality(String)
+    assert clickhouse_column_type("tracks", "price", "float") == "Nullable(Float64)"
+    assert clickhouse_column_type("tracks", "id", "string", not_nullable=True) == "String"
+    assert clickhouse_column_type("users", "email", "string") == (
+        "SimpleAggregateFunction(anyLast, Nullable(String))"
+    )
+    assert clickhouse_column_type("tracks", "tags", "array(int)") == "Array(Int64)"
+    assert clickhouse_column_type("tracks", "event", "string") == "LowCardinality(String)"
+
+    ddl = clickhouse_create_table_ddl(
+        "tracks", {"id": "string", "received_at": "datetime", "price": "float"}
+    )
+    # ReplacingMergeTree dedup engine + (received_at, id) sort key +
+    # day partition on received_at (clickhouse.go:916-953, 882-889)
+    assert 'ENGINE = ReplacingMergeTree() ORDER BY ("received_at","id")' in ddl
+    assert "PARTITION BY toDate(received_at)" in ddl
+    assert '"id" String' in ddl and '"received_at" DateTime' in ddl
+    assert '"price" Nullable(Float64)' in ddl
+    # discards drop id from the sort key (clickhouse.go:919-921)
+    ddl2 = clickhouse_create_table_ddl(
+        "rudder_discards", {"received_at": "datetime", "row_id": "string"}
+    )
+    assert 'ORDER BY ("received_at")' in ddl2
+    # month partitioning (partitionExpr clickhouse.go:882-897)
+    ddl3 = clickhouse_create_table_ddl(
+        "tracks", {"id": "string", "received_at": "datetime"},
+        partition_type="month",
+    )
+    assert "PARTITION BY toStartOfMonth(received_at)" in ddl3
+
+
+def test_deltalake_ddl():
+    from rudder_server_spark.sources.destinations import (
+        deltalake_create_table_ddl,
+    )
+
+    ddl = deltalake_create_table_ddl(
+        "tracks", {"id": "string", "received_at": "datetime"}
+    )
+    # deltalake.go:511-535 + :561: generated event_date partition column
+    # whenever received_at exists — the partition-pruned load path
+    assert ddl.endswith("USING DELTA PARTITIONED BY(event_date)")
+    assert (
+        "event_date DATE GENERATED ALWAYS AS ( CAST(received_at AS DATE) )"
+        in ddl
+    )
+    assert "id STRING" in ddl and "received_at TIMESTAMP" in ddl
+    ddl2 = deltalake_create_table_ddl("lookup", {"k": "string"})
+    assert "PARTITIONED" not in ddl2 and ddl2.endswith("USING DELTA")
+
+
+def test_mssql_synapse_ddl():
+    ddl = create_table_ddl(
+        "tracks", {"id": "string", "price": "float"}, "mssql"
+    )
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS tracks (id nvarchar(512), price decimal(28,10))"
+    )
+    alters = migration_ddl(
+        "tracks", current={"id": "string"},
+        desired={"id": "string", "seen_at": "datetime"},
+        destination="azure_synapse",
+    )
+    assert alters == [
+        "ALTER TABLE tracks ADD COLUMN seen_at datetimeoffset"
+    ]
