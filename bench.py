@@ -340,7 +340,9 @@ def main() -> None:
 
     if roster == "all":
         # v2 in its own JVM/session so its heap/codegen pressure cannot
-        # touch the v1 gate numbers above
+        # touch the v1 gate numbers above; stop THIS session first so the
+        # parent's pre-touched heap isn't resident under the child's runs
+        spark.stop()
         import subprocess
 
         child = subprocess.run(

@@ -3319,7 +3319,7 @@ def q95(spark, sf):
       ) GROUP BY action
     ),
     off AS (
-      SELECT event_id,
+      SELECT event_id, CAST(ts AS DATE) AS uday,
              CASE event_id % 3 WHEN 0 THEN 'insert'
                                WHEN 1 THEN 'update' ELSE 'delete' END AS action,
              strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p') AS us,
@@ -3330,8 +3330,8 @@ def q95(spark, sf):
                   ELSE '' END AS em
       FROM events
     ),
-    off_lines AS (
-      SELECT event_id, action,
+    off_rendered AS (
+      SELECT event_id, uday, action,
              CASE WHEN event_id % 5 = 0 AND event_id % 10 <> 0 THEN NULL
                   WHEN action <> 'insert' AND event_id % 13 = 0 THEN NULL
                   WHEN action = 'insert' THEN
@@ -3348,6 +3348,21 @@ def q95(spark, sf):
                     || em || ',,' || us2
              END AS line
       FROM off
+    ),
+    -- eventsLimit = 1000 per (upload, action) file (offline
+    -- bulk_uploader.go:31): valid rows beyond the cap overflow (no line);
+    -- validation failures never advance the count
+    off_capped AS (
+      SELECT event_id, action,
+             CASE WHEN row_number() OVER (
+               PARTITION BY uday, action ORDER BY event_id) <= 1000
+             THEN line END AS line
+      FROM off_rendered WHERE line IS NOT NULL
+    ),
+    off_lines AS (
+      SELECT * FROM off_capped
+      UNION ALL
+      SELECT event_id, action, NULL FROM off_rendered WHERE line IS NULL
     ),
     offline AS (
       SELECT 'bingads_offline' AS provider, action,

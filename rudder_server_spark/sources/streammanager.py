@@ -179,7 +179,15 @@ def routed_stream_document(
     fields hold the unquoted value (the get_json_object convention).
     """
     p = F.col(payload_col)
-    etype = F.get_json_object(p, "$.type")
+    # the routed sources already carry event_type == payload's $.type
+    # (fixture contract, asserted above) — reading the COLUMN instead of
+    # re-parsing the payload removes one JSON parse per row from every
+    # etype-gated field (payload/choice/datasetId/properties/batch)
+    etype = (
+        F.col("event_type")
+        if "event_type" in df.columns
+        else F.get_json_object(p, "$.type")
+    )
     ename = _nonempty(F.get_json_object(p, "$.event"))
     uid = F.coalesce(
         _nonempty(F.get_json_object(p, "$.userId")),
