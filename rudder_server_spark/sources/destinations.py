@@ -262,3 +262,90 @@ def migration_ddl(
                 f"ADD COLUMN {safe_column_name(c)} {physical_type(t, destination)}"
             )
     return out
+
+
+def clickhouse_users_table_ddl(
+    schema: dict[str, str], partition_type: str = "day", cluster: str = ""
+) -> str:
+    """createUsersTable (clickhouse.go:...createUsersTable): the users
+    table uses the AggregatingMergeTree engine — its columns are
+    SimpleAggregateFunction(anyLast, …) states, so engine merges keep the
+    last non-null trait per id. Sort key (id); received_at/id render
+    not-nullable; a configured cluster wraps the engine in Replicated*
+    with ON CLUSTER (the zk path argument is deployment-generated and
+    omitted here)."""
+    sort_keys = [k for k in ("id",) if k in schema]
+    not_nullable = [k for k in ("received_at", "id") if k in schema]
+    cols = ", ".join(
+        f'"{safe_column_name(c)}" '
+        + clickhouse_column_type("users", c, t, not_nullable=c in not_nullable)
+        for c, t in sorted(schema.items())
+    )
+    tuple_ = "(" + ",".join(f'"{k}"' for k in sort_keys) + ")"
+    part_expr = {
+        "day": "toDate(received_at)",
+        "week": "toStartOfWeek(received_at)",
+        "month": "toStartOfMonth(received_at)",
+        "quarter": "toStartOfQuarter(received_at)",
+    }[partition_type or "day"]
+    partition = f" PARTITION BY {part_expr}" if "received_at" in schema else ""
+    engine = "AggregatingMergeTree"
+    cluster_clause = ""
+    if cluster.strip():
+        cluster_clause = f' ON CLUSTER "{cluster}"'
+        engine = "Replicated" + engine
+    return (
+        f'CREATE TABLE IF NOT EXISTS "users"{cluster_clause} ({cols}) '
+        f"ENGINE = {engine}() ORDER BY {tuple_}{partition}"
+    )
+
+
+# clickhouse.go datatypeDefaultValuesMap: the disableNullable mode writes
+# these in place of NULL (UInt8 booleans default 0)
+CH_DEFAULT_VALUES = {
+    "int": 0,
+    "float": 0.0,
+    "boolean": 0,
+    "datetime": "1970-01-01 00:00:00",
+}
+
+# mssql.go:40-41 — shared by azure-synapse (azure-synapse.go ProcessColumnValue)
+MSSQL_VARCHAR_DEFAULT_LENGTH = 512
+MSSQL_VARCHAR_MAX_LENGTH = -1
+
+
+def mssql_truncate_string(col, varchar_length: int = MSSQL_VARCHAR_DEFAULT_LENGTH):
+    """ProcessColumnValue's string branch (mssql.go:523-560, shared with
+    azure-synapse): strings load truncated to max(column's declared
+    varchar length, 512) unless the column is varchar(max). Returns a
+    Spark Column. The reference truncates the BYTE slice — exact for
+    ASCII; strings carrying diacritics re-encode to UCS-2 first, so only
+    half as many characters survive (str2ucs2's 2-bytes-per-char) — both
+    modelled; the UCS-2 byte layout itself is ODBC wire encoding, not
+    data."""
+    from pyspark.sql import functions as F
+
+    if varchar_length == MSSQL_VARCHAR_MAX_LENGTH:
+        return col
+    max_len = max(int(varchar_length), MSSQL_VARCHAR_DEFAULT_LENGTH)
+    is_ascii = ~col.rlike("[^\\x00-\\x7F]")
+    return F.when(is_ascii, F.substring(col, 1, max_len)).otherwise(
+        F.substring(col, 1, max_len // 2)
+    )
+
+
+def clickhouse_string_to_array(col, rudder_type: str):
+    """castStringToArray (clickhouse.go:...): load files carry array
+    values as JSON text; the loader unmarshals them into the typed slice
+    the driver binds. Spark twin: from_json to the typed array (datetimes
+    parse from their string form)."""
+    from pyspark.sql import functions as F
+
+    spark_elem = {
+        "array(int)": "bigint",
+        "array(float)": "double",
+        "array(string)": "string",
+        "array(boolean)": "boolean",
+        "array(datetime)": "timestamp",
+    }[rudder_type]
+    return F.from_json(col, f"array<{spark_elem}>")

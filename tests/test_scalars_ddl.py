@@ -194,3 +194,56 @@ def test_mssql_synapse_ddl():
     assert alters == [
         "ALTER TABLE tracks ADD COLUMN seen_at datetimeoffset"
     ]
+
+
+def test_clickhouse_users_table_and_defaults():
+    from rudder_server_spark.sources.destinations import (
+        CH_DEFAULT_VALUES,
+        clickhouse_users_table_ddl,
+    )
+
+    ddl = clickhouse_users_table_ddl(
+        {"id": "string", "received_at": "datetime", "email": "string"}
+    )
+    # users engine is AggregatingMergeTree over anyLast states; id sort key
+    assert 'ENGINE = AggregatingMergeTree() ORDER BY ("id")' in ddl
+    assert '"email" SimpleAggregateFunction(anyLast, Nullable(String))' in ddl
+    assert '"id" String' in ddl  # sort key stays bare
+    assert "PARTITION BY toDate(received_at)" in ddl
+    ddl2 = clickhouse_users_table_ddl(
+        {"id": "string", "received_at": "datetime"}, cluster="c1"
+    )
+    assert 'ON CLUSTER "c1"' in ddl2 and "ReplicatedAggregatingMergeTree" in ddl2
+    assert CH_DEFAULT_VALUES["boolean"] == 0  # UInt8 booleans
+
+
+def test_mssql_string_truncation_and_ch_arrays(spark):
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.sources.destinations import (
+        MSSQL_VARCHAR_MAX_LENGTH,
+        clickhouse_string_to_array,
+        mssql_truncate_string,
+    )
+
+    df = spark.createDataFrame(
+        [("a" * 600,), ("é" + "b" * 600,), ("short",)], "s string"
+    )
+    got = [
+        r["t"]
+        for r in df.select(
+            mssql_truncate_string(F.col("s")).alias("t")
+        ).collect()
+    ]
+    assert len(got[0]) == 512          # ASCII truncates at 512 chars
+    assert len(got[1]) == 256          # diacritics: UCS-2 bytes halve it
+    assert got[2] == "short"
+    # varchar(max) passes through untouched
+    full = df.select(
+        mssql_truncate_string(F.col("s"), MSSQL_VARCHAR_MAX_LENGTH).alias("t")
+    ).collect()
+    assert len(full[0]["t"]) == 600
+    arr = spark.createDataFrame([('[1,2,3]',)], "v string").select(
+        clickhouse_string_to_array(F.col("v"), "array(int)").alias("a")
+    ).head()["a"]
+    assert arr == [1, 2, 3]
