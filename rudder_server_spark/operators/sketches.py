@@ -110,3 +110,141 @@ class CmsHandle:
     @property
     def total(self) -> int:
         return int(self._j.totalCount())
+
+
+def activation_records(
+    jobs: DataFrame,
+    source_categories: DataFrame,
+    approx: bool = False,
+    origin_max_runes: int = 256,
+    retl_category: str = "warehouse",
+) -> tuple[DataFrame, DataFrame]:
+    """Monthly-active-records (MAR) metering — enterprise/activationrecords/
+    records_reporter.go GenerateReportsFromJobs (:135-247): one distinct-
+    fingerprint sketch per (workspace, source, destination) over reverse-ETL
+    jobs only, FAIL-CLOSED on malformed input.
+
+    Per job (jobsdb shape: job_id, workspace_id, parameters, event_payload):
+
+    - empty workspace_id → skipped (``missing_workspace``);
+    - rETL classification by the SOURCE's SourceDefinition.Category from the
+      backend config (``source_categories`` broadcast dim, case-insensitive
+      match on ``retl_category`` — :158-166), NOT the job's source_category
+      param; non-rETL majority traffic drops silently (no skip stat);
+    - empty destination_id → ``missing_destination``;
+    - missing/empty ``batch`` → ``missing_batch``; present-but-not-array →
+      ``invalid_batch``;
+    - per batch element: ``context.activation.fingerprint`` required
+      (``missing_fingerprint``), ``context.activation.origin`` required
+      (``missing_origin``).
+
+    The report grain carries the FIRST metered element's origin (the
+    accumulator captures it at creation, :204-227), truncated to 256 runes
+    (client-controlled value, belt-and-suspenders). Fingerprints count
+    distinct — ``approx=True`` uses approx_count_distinct (the HLL
+    production path; the reference's murmur64-fed go-hll); exact otherwise
+    (the oracle-checkable twin, same convention as tracked_users).
+
+    Returns ``(records, skips)``: the per-grain report relation and the
+    per-reason skip counts (the recordSkip stats). One explode + one
+    grouped aggregate; the category map is a broadcast dimension.
+    """
+    p, ep = F.col("parameters"), F.col("event_payload")
+    src = F.coalesce(F.get_json_object(p, "$.source_id"), F.lit(""))
+    dst = F.coalesce(F.get_json_object(p, "$.destination_id"), F.lit(""))
+    batch_raw = F.get_json_object(ep, "$.batch")
+    cats = F.broadcast(
+        source_categories.select(
+            F.col("source_id").alias("__src"),
+            F.lower(F.col("category")).alias("__cat"),
+        )
+    )
+    klass = (
+        jobs.select(
+            "job_id",
+            "workspace_id",
+            src.alias("__source_id"),
+            dst.alias("__destination_id"),
+            batch_raw.alias("__batch_raw"),
+        )
+        .join(cats, F.col("__source_id") == F.col("__src"), "left")
+        .withColumn(
+            "__skip",
+            F.when(
+                F.col("workspace_id").isNull() | (F.col("workspace_id") == ""),
+                "missing_workspace",
+            )
+            .when(
+                F.coalesce(F.col("__cat"), F.lit(""))
+                != retl_category.lower(),
+                "not_retl",  # silent in the reference (expected majority)
+            )
+            .when(F.col("__destination_id") == "", "missing_destination")
+            .when(
+                F.col("__batch_raw").isNull() | (F.col("__batch_raw") == ""),
+                "missing_batch",
+            )
+            .when(
+                F.from_json(F.col("__batch_raw"), "array<variant>").isNull(),
+                "invalid_batch",
+            ),
+        )
+    )
+    elems = (
+        klass.where(F.col("__skip").isNull())
+        .select(
+            "job_id", "workspace_id", "__source_id", "__destination_id",
+            F.posexplode(
+                F.from_json(F.col("__batch_raw"), "array<variant>")
+            ).alias("__idx", "__elem"),
+        )
+        .select(
+            "*",
+            F.coalesce(
+                F.try_variant_get(
+                    F.col("__elem"), "$.context.activation.fingerprint", "string"
+                ),
+                F.lit(""),
+            ).alias("__fp"),
+            F.coalesce(
+                F.try_variant_get(
+                    F.col("__elem"), "$.context.activation.origin", "string"
+                ),
+                F.lit(""),
+            ).alias("__origin"),
+        )
+        .withColumn(
+            "__eskip",
+            F.when(F.col("__fp") == "", "missing_fingerprint").when(
+                F.col("__origin") == "", "missing_origin"
+            ),
+        )
+    )
+    metered = elems.where(F.col("__eskip").isNull())
+    count_expr = (
+        F.approx_count_distinct("__fp")
+        if approx
+        else F.count_distinct("__fp")
+    )
+    records = metered.groupBy(
+        "workspace_id",
+        F.col("__source_id").alias("source_id"),
+        F.col("__destination_id").alias("destination_id"),
+    ).agg(
+        F.min_by(
+            F.substring("__origin", 1, int(origin_max_runes)),
+            F.struct("job_id", "__idx"),
+        ).alias("origin"),
+        count_expr.alias("n_fingerprints"),
+    )
+    job_skips = (
+        klass.where(F.col("__skip").isNotNull() & (F.col("__skip") != "not_retl"))
+        .groupBy(F.col("__skip").alias("reason"))
+        .agg(F.count("*").alias("n"))
+    )
+    elem_skips = (
+        elems.where(F.col("__eskip").isNotNull())
+        .groupBy(F.col("__eskip").alias("reason"))
+        .agg(F.count("*").alias("n"))
+    )
+    return records, job_skips.unionByName(elem_skips)

@@ -4748,3 +4748,123 @@ def q105(spark, sf):
         "n_datetime_forgiven", "n_different", "n_missing_mirror",
         "n_missing_primary", "mismatch_fields", "verdict",
     ).orderBy("transformation_id")
+
+
+# --------------------------------------------------------------------------
+# Q106 activation-records (MAR) metering — enterprise/activationrecords/
+# records_reporter.go GenerateReportsFromJobs: distinct activation
+# fingerprints per (workspace, source, destination) over reverse-ETL jobs
+# only, fail-closed on malformed input, first-metered-element origin with
+# 256-rune truncation. Cohorts synthesized per event pin every skip branch:
+# empty workspace, non-rETL / unknown source category (case-insensitive
+# 'warehouse' match), empty destination, missing batch, non-array batch,
+# per-element missing fingerprint / origin, and the long-origin truncation.
+@register(
+    "q106_activation_records",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 17 = 0 THEN ''
+                  ELSE 'ws-' || CAST(user_id % 3 AS VARCHAR) END AS ws,
+             'src-' || CAST(event_id % 4 AS VARCHAR) AS src,
+             CASE WHEN event_id % 13 = 0 THEN ''
+                  ELSE 'dst-' || CAST(event_id % 2 AS VARCHAR) END AS dst
+      FROM events
+    ),
+    eligible AS (
+      SELECT * FROM base
+      WHERE ws <> '' AND event_id % 4 IN (0, 2)
+        AND dst <> '' AND event_id % 19 <> 0 AND event_id % 23 <> 0
+    ),
+    elems AS (
+      SELECT event_id, user_id, ws, src, dst, 0 AS idx,
+             CASE WHEN user_id % 50 = 0 THEN repeat('o', 300)
+                  ELSE 'rudder-sources' END AS origin,
+             'fp-' || CAST(user_id % 211 AS VARCHAR) AS fp,
+             event_id % 11 = 0 AS skipped
+      FROM eligible
+      UNION ALL
+      SELECT event_id, user_id, ws, src, dst, 1, 'sdk',
+             'fp-' || CAST((user_id + 1) % 211 AS VARCHAR),
+             event_id % 7 = 0
+      FROM eligible
+    ),
+    metered AS (SELECT * FROM elems WHERE NOT skipped),
+    firsts AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY ws, src, dst ORDER BY event_id, idx) AS rn
+      FROM metered
+    )
+    SELECT m.ws AS workspace_id, m.src AS source_id, m.dst AS destination_id,
+           max(CASE WHEN f.rn = 1 THEN substr(f.origin, 1, 256) END) AS origin,
+           CAST(count(DISTINCT m.fp) AS BIGINT) AS n_fingerprints
+    FROM metered m
+    JOIN firsts f ON f.ws = m.ws AND f.src = m.src AND f.dst = m.dst
+                 AND f.rn = 1
+    GROUP BY m.ws, m.src, m.dst
+    ORDER BY workspace_id, source_id, destination_id
+    """,
+    doc=(
+        "Activation-records (MAR) metering: rETL-only classification via "
+        "the source-category dimension (case-insensitive), fail-closed "
+        "skips, per-(workspace, source, destination) distinct fingerprints "
+        "with first-metered-element origin truncated to 256 runes. Ref: "
+        "enterprise/activationrecords/records_reporter.go:135-247"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q106(spark, sf):
+    from rudder_server_spark.operators.sketches import activation_records
+
+    e = load_table(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    ws = F.when(eid % 17 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("ws-"), (uid % 3).cast("string"))
+    )
+    dst_part = F.when(eid % 13 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("dst-"), (eid % 2).cast("string"))
+    )
+    params = F.concat(
+        F.lit('{"source_id":"src-'), (eid % 4).cast("string"),
+        F.lit('","destination_id":"'), dst_part, F.lit('"}'),
+    )
+    origin1 = F.when(uid % 50 == 0, F.lit("o" * 300)).otherwise(
+        F.lit("rudder-sources")
+    )
+    elem1 = F.concat(
+        F.lit('{"context":{"activation":{'),
+        F.when(eid % 11 == 0, F.lit('"fingerprint":"fp-')).otherwise(
+            F.concat(F.lit('"origin":"'), origin1, F.lit('","fingerprint":"fp-'))
+        ),
+        (uid % 211).cast("string"), F.lit('"}}}'),
+    )
+    elem2 = F.concat(
+        F.lit('{"context":{"activation":{"origin":"sdk"'),
+        F.when(
+            eid % 7 != 0,
+            F.concat(
+                F.lit(',"fingerprint":"fp-'),
+                ((uid + 1) % 211).cast("string"), F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}}}"),
+    )
+    payload = F.when(eid % 19 == 0, F.lit("{}")).when(
+        eid % 23 == 0, F.lit('{"batch":{"x":1}}')
+    ).otherwise(
+        F.concat(F.lit('{"batch":['), elem1, F.lit(","), elem2, F.lit("]}"))
+    )
+    jobs = e.select(
+        eid.alias("job_id"), ws.alias("workspace_id"),
+        params.alias("parameters"), payload.alias("event_payload"),
+    )
+    cats = spark.createDataFrame(
+        [("src-0", "warehouse"), ("src-1", "event-stream"),
+         ("src-2", "WAREHOUSE")],
+        "source_id string, category string",
+    )
+    records, _skips = activation_records(jobs, cats)
+    return records.select(
+        "workspace_id", "source_id", "destination_id", "origin",
+        "n_fingerprints",
+    ).orderBy("workspace_id", "source_id", "destination_id")

@@ -1090,3 +1090,68 @@ def test_strip_contaminated_spans_semantics(spark):
     assert out[1]["clean_text"] == "intro words outro words"
     assert out[1]["n_removed"] == 10  # the full 10-token leaked passage
     assert out[2]["n_removed"] == 0
+
+
+def test_activation_records_skips_and_first_origin(spark):
+    # enterprise/activationrecords records_reporter.go: fail-closed skip
+    # ladder, rETL-only (EqualFold), first-metered-element origin capped
+    # at 256 runes, distinct fingerprints per grain
+    import json
+
+    from rudder_server_spark.operators.sketches import activation_records
+
+    def job(jid, ws, src, dst, batch):
+        params = json.dumps({"source_id": src, "destination_id": dst})
+        payload = (
+            json.dumps({"batch": batch}) if batch is not None else "{}"
+        )
+        return (jid, ws, params, payload)
+
+    def elem(fp=None, origin=None):
+        act = {}
+        if fp is not None:
+            act["fingerprint"] = fp
+        if origin is not None:
+            act["origin"] = origin
+        return {"context": {"activation": act}}
+
+    rows = [
+        job(1, "", "s1", "d1", [elem("f1", "o1")]),            # missing ws
+        job(2, "w", "s2", "d1", [elem("f1", "o1")]),           # non-rETL (silent)
+        job(3, "w", "s3", "d1", [elem("f1", "o1")]),           # unknown src (silent)
+        job(4, "w", "s1", "", [elem("f1", "o1")]),             # missing dest
+        job(5, "w", "s1", "d1", None),                         # missing batch
+        (6, "w", '{"source_id":"s1","destination_id":"d1"}',
+         '{"batch":{"not":"array"}}'),                         # invalid batch
+        job(7, "w", "s1", "d1",
+            [elem(None, "oX"), elem("f1", "FIRST" + "x" * 300),
+             elem("f1", None), elem("f2", "later")]),
+        job(8, "w", "s1", "d1", [elem("f2", "even-later")]),
+    ]
+    jobs = spark.createDataFrame(
+        rows,
+        "job_id long, workspace_id string, parameters string, "
+        "event_payload string",
+    )
+    cats = spark.createDataFrame(
+        [("s1", "WareHouse"), ("s2", "event-stream")],
+        "source_id string, category string",
+    )
+    records, skips = activation_records(jobs, cats)
+    recs = records.collect()
+    assert len(recs) == 1
+    r = recs[0]
+    assert (r["workspace_id"], r["source_id"], r["destination_id"]) == (
+        "w", "s1", "d1"
+    )
+    assert r["n_fingerprints"] == 2                  # f1, f2
+    assert r["origin"].startswith("FIRST") and len(r["origin"]) == 256
+    got = {s["reason"]: s["n"] for s in skips.collect()}
+    assert got == {
+        "missing_workspace": 1,
+        "missing_destination": 1,
+        "missing_batch": 1,
+        "invalid_batch": 1,
+        "missing_fingerprint": 1,
+        "missing_origin": 1,
+    }
