@@ -4868,3 +4868,157 @@ def q106(spark, sf):
         "workspace_id", "source_id", "destination_id", "origin",
         "n_fingerprints",
     ).orderBy("workspace_id", "source_id", "destination_id")
+
+
+# --------------------------------------------------------------------------
+# Q107 error-detail reporting — enterprise/reporting/error_extractor.go +
+# error_grouper.go: extract a human error message from each failed job's
+# sample response (handler ladder over response shapes), normalize it
+# (URL/IP/email/digit-token scrubbing — the regex chain verbatim),
+# truncate to 200 chars, derive the error code (statTags
+# errorCategory:errorType, else deprecation keyword detection skipped for
+# warehouse destinations), and roll counts up per (source, destination,
+# PU, event type) x (code, message). Ten response-shape cohorts pin every
+# extractor branch the deterministic subset covers (see the module
+# docstring for the Go-map-order caveat); the oracle replays the regex
+# chain in DuckDB.
+@register(
+    "q107_error_details",
+    """
+    WITH base AS (
+      SELECT event_id, user_id,
+             'src-' || CAST(event_id % 2 AS VARCHAR) AS source_id,
+             'dst-' || CAST(event_id % 2 AS VARCHAR) AS destination_id,
+             CASE WHEN user_id % 2 = 0 THEN 'router' ELSE 'batch_router' END AS pu,
+             'track' AS event_type,
+             CASE WHEN event_id % 20 = 8 THEN 'POSTGRES' ELSE 'WEBHOOK' END AS dest_type,
+             event_id % 10 AS cohort
+      FROM events
+    ),
+    extracted AS (
+      SELECT *,
+        CASE cohort
+          WHEN 0 THEN 'connection to https://api.example.com/v1 failed from 10.0.0.1 for user u'
+                      || CAST(user_id AS VARCHAR) || '@example.com id abc123'
+          WHEN 1 THEN 'rate limited by destination'
+          WHEN 2 THEN 'first line failure'
+          WHEN 3 THEN 'invalid api key provided'
+          WHEN 4 THEN 'dupone.other'
+          WHEN 5 THEN 'direct msg wins ' || repeat('word ', 60)
+          WHEN 6 THEN 'dest detail text'
+          WHEN 7 THEN 'eone.etwo'
+          WHEN 8 THEN 'this api version is deprecated please upgrade'
+          ELSE 'socket timeout'
+        END AS raw_msg,
+        CASE WHEN cohort = 9 THEN 'network:timeout'
+             WHEN cohort = 8 AND dest_type <> 'POSTGRES' THEN 'deprecation'
+             ELSE '' END AS error_code
+      FROM base
+    ),
+    cleaned AS (
+      SELECT source_id, destination_id, pu, event_type, error_code,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(raw_msg,
+               '\\b((?:https?://|www\\.)\\S+)\\b', ' ', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', ' ', 'g'),
+               '\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b', ' ', 'g'),
+               '\\b([a-zA-Z0-9-_]*\\d[a-zA-Z0-9-_]*)\\b', ' ', 'g'),
+               '\\W+', ' ', 'g'),
+               '\\s+', ' ', 'g')) AS msg
+      FROM extracted
+    ),
+    truncated AS (
+      SELECT source_id, destination_id, pu, event_type, error_code,
+             CASE WHEN length(msg) > 200 THEN substr(msg, 1, 200) || '...'
+                  ELSE msg END AS error_message
+      FROM cleaned
+    )
+    SELECT source_id, destination_id, pu, event_type, error_code,
+           error_message, CAST(count(*) AS BIGINT) AS count
+    FROM truncated
+    GROUP BY ALL
+    ORDER BY source_id, destination_id, pu, event_type, error_code,
+             error_message
+    """,
+    doc=(
+        "Error-detail reporting: sample-response message extraction "
+        "(reason/Error/response/error/warehouse-errors/msg/"
+        "destinationResponse/errors ladder), URL/IP/email/id regex "
+        "normalization, 200-char truncation, statTags-else-deprecation "
+        "error codes (warehouse skip), connection-grain rollup. Ref: "
+        "enterprise/reporting/error_extractor.go:29-444, error_grouper.go"
+    ),
+    tags=("rudder", "reporting"),
+)
+def q107(spark, sf):
+    from rudder_server_spark.operators.error_details import (
+        clean_error_message,
+        error_code,
+        extract_error_message,
+        group_error_details,
+        truncate_error_message,
+    )
+
+    e = load_table(spark, sf, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    cohort = eid % 10
+    s = lambda c: c.cast("string")  # noqa: E731
+    long_tail = "word " * 60
+    sample = (
+        F.when(
+            cohort == 0,
+            F.concat(
+                F.lit("connection to https://api.example.com/v1 failed "
+                      "from 10.0.0.1 for user u"),
+                s(uid), F.lit("@example.com id abc123"),
+            ),
+        )
+        .when(cohort == 1, F.lit('{"reason":"rate limited by destination"}'))
+        .when(cohort == 2, F.lit('{"Error":"first line failure\\nsecond line"}'))
+        .when(cohort == 3,
+              F.lit('{"response":"{\\"message\\":\\"invalid api key provided\\"}"}'))
+        .when(cohort == 4,
+              F.lit('{"internal_processing_failed":{"errors":'
+                    '["dupone","dupone","other"]}}'))
+        .when(cohort == 5,
+              F.lit('{"msg":"direct msg wins ' + long_tail + '"}'))
+        .when(cohort == 6,
+              F.lit('{"destinationResponse":{"detail":"dest detail text"}}'))
+        .when(cohort == 7, F.lit('{"errors":["eone","etwo"]}'))
+        .when(cohort == 8,
+              F.lit("this api version is deprecated please upgrade"))
+        .otherwise(F.lit('{"error":"socket timeout"}'))
+    )
+    jobs = e.select(
+        F.concat(F.lit("src-"), s(eid % 2)).alias("source_id"),
+        F.concat(F.lit("dst-"), s(eid % 2)).alias("destination_id"),
+        F.when(uid % 2 == 0, "router").otherwise("batch_router").alias("pu"),
+        F.lit("track").alias("event_type"),
+        F.when(eid % 20 == 8, "POSTGRES").otherwise("WEBHOOK").alias("dest_type"),
+        sample.alias("sample_response"),
+        F.when(cohort == 9, "network").alias("stat_category"),
+        F.when(cohort == 9, "timeout").alias("stat_type"),
+    )
+    # two-stage select: error_code's ~60 deprecation keyword probes each
+    # reference the message — materializing the extract/clean/truncate
+    # chain as a COLUMN first keeps the probes on an attribute reference
+    # (CollapseProject won't inline a non-cheap expr into 60 consumers;
+    # inlining it OOM'd analysis under the 1 GB hostile driver)
+    staged = jobs.select(
+        "source_id", "destination_id", "pu", "event_type",
+        "stat_category", "stat_type", "dest_type",
+        truncate_error_message(
+            clean_error_message(extract_error_message(F.col("sample_response")))
+        ).alias("error_message"),
+    )
+    shaped = staged.select(
+        "source_id", "destination_id", "pu", "event_type", "error_message",
+        error_code(
+            F.col("error_message"), F.col("stat_category"),
+            F.col("stat_type"), F.col("dest_type"),
+        ).alias("error_code"),
+    )
+    return group_error_details(shaped).orderBy(
+        "source_id", "destination_id", "pu", "event_type", "error_code",
+        "error_message",
+    )
