@@ -8,11 +8,20 @@ the binary payloads dominate IO: store them in their own parquet column (or
 side files with pointer columns) so queries that don't touch bytes never
 read them (column pruning).
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this container, so the
-actual byte → pixels/samples step is stubbed: `decode_stub` raises
-NotImplementedError unless `fake=True`, in which case it produces a
-deterministic fake "decode" (byte length + first-byte codepoint) with the
-same schema, partitioning, and batch shape the real decoder would use.
+Decoder status (round 8):
+
+- **REAL, zero-dependency decoders** for the uncompressed container
+  formats: `decode_wav` (stdlib `wave` + numpy — PCM samples → rate /
+  channels / duration + RMS/peak/ZCR features) and `decode_bmp` /
+  `resize_bmp` (pure-numpy 24-bit BI_RGB BMP — actual pixels, channel
+  statistics, real nearest-neighbor resize with BMP re-encode). These
+  exercise the full Spark contract (Arrow batching, one-to-one and
+  one-to-many mapInPandas, binary columns) on genuinely decoded media.
+- Compressed codecs (JPEG/PNG via PIL, video via ffmpeg) are NOT in this
+  container: `decode_media` / `resize_stub` / `frame_sample` keep the
+  same schema/partitioning/batch shape and raise NotImplementedError
+  unless `fake=True` (deterministic stand-in), flipping to the real
+  libraries when the environment provides them.
 """
 
 from __future__ import annotations
@@ -202,3 +211,244 @@ def frame_sample(
             yield _pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------- real: WAV
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_wav(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio decode — stdlib ``wave`` + numpy, no external libs:
+    PCM WAV bytes → (sample_rate, channels, samples, duration) plus a
+    4-feature vector over the first channel: [rms, peak, zero-crossing
+    rate, dc mean], all computed from the actual samples. Malformed
+    payloads yield an ``error`` row instead of failing the batch (the
+    fail-closed convention every media pipeline needs at corpus scale).
+    Partition-local mapInPandas; Arrow moves the bytes in batches."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+
+    def gen(batches):
+        import io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        dtypes = {1: _np.uint8, 2: _np.dtype("<i2"), 4: _np.dtype("<i4")}
+
+        def one(b):
+            if b is None:
+                return (None, None, None, None, None, "null payload")
+            try:
+                with _wave.open(io.BytesIO(bytes(b))) as w:
+                    rate, nch, width = (
+                        w.getframerate(), w.getnchannels(), w.getsampwidth()
+                    )
+                    n = w.getnframes()
+                    raw = w.readframes(n)
+                dt = dtypes.get(width)
+                if dt is None:
+                    return (rate, nch, n, None, None, f"sampwidth {width}")
+                a = _np.frombuffer(raw, dtype=dt).astype(_np.float64)
+                if width == 1:
+                    a -= 128.0  # 8-bit PCM is unsigned
+                ch0 = a[::nch] if nch > 1 else a
+                dur = int(round(n * 1000.0 / rate)) if rate else None
+                if len(ch0) == 0:
+                    return (rate, nch, 0, dur, [0.0, 0.0, 0.0, 0.0], None)
+                rms = float(_np.sqrt(_np.mean(ch0 * ch0)))
+                peak = float(_np.max(_np.abs(ch0)))
+                zcr = float(_np.mean(_np.signbit(ch0[:-1]) != _np.signbit(ch0[1:]))) if len(ch0) > 1 else 0.0
+                return (rate, nch, n, dur, [rms, peak, zcr, float(_np.mean(ch0))], None)
+            except Exception as e:  # malformed container
+                return (None, None, None, None, None, str(e)[:200])
+
+        for pdf in batches:
+            cols = [one(b) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "sample_rate": [c[0] for c in cols],
+                    "n_channels": [c[1] for c in cols],
+                    "n_samples": [c[2] for c in cols],
+                    "duration_ms": [c[3] for c in cols],
+                    "feature": [c[4] for c in cols],
+                    "error": [c[5] for c in cols],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------- real: BMP
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_bmp(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode — pure-numpy 24-bit uncompressed BMP: actual
+    pixels out of the binary column, per-image (width, height) and a
+    6-feature vector [mean R, mean G, mean B, std R, std G, std B].
+    Malformed/unsupported payloads become ``error`` rows."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+
+    def gen(batches):
+        import struct  # noqa: F401  (re-imported inside codec)
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _codec():
+            import struct
+
+            def decode(b):
+                if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+                    raise ValueError("not a BMP")
+                off = struct.unpack_from("<I", b, 10)[0]
+                w = struct.unpack_from("<i", b, 18)[0]
+                h = struct.unpack_from("<i", b, 22)[0]
+                bpp = struct.unpack_from("<H", b, 28)[0]
+                comp = struct.unpack_from("<I", b, 30)[0]
+                if bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP bpp={bpp} comp={comp}")
+                top_down, hh = h < 0, abs(h)
+                stride = ((w * 3 + 3) // 4) * 4
+                if len(b) < off + stride * hh:
+                    raise ValueError("truncated BMP")
+                rows = _np.frombuffer(
+                    bytes(b[off : off + stride * hh]), dtype=_np.uint8
+                ).reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)
+                if not top_down:
+                    rows = rows[::-1]
+                return rows[:, :, ::-1]
+
+            return decode
+
+        decode = _codec()
+
+        def one(b):
+            try:
+                rgb = decode(b)
+                f = rgb.reshape(-1, 3).astype(_np.float64)
+                return (
+                    int(rgb.shape[1]), int(rgb.shape[0]),
+                    list(_np.mean(f, axis=0)) + list(_np.std(f, axis=0)),
+                    None,
+                )
+            except Exception as e:
+                return (None, None, None, str(e)[:200])
+
+        for pdf in batches:
+            cols = [one(b) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": [c[0] for c in cols],
+                    "height": [c[1] for c in cols],
+                    "feature": [c[2] for c in cols],
+                    "error": [c[3] for c in cols],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=BMP_SCHEMA)
+
+
+def resize_bmp(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize — nearest-neighbor over the decoded BMP pixels
+    (numpy fancy indexing), re-encoded as BMP bytes. Same RESIZED_SCHEMA
+    contract as the PIL-gated resize_stub; decode errors null the row's
+    payload (surfaced via width/height NULLs)."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+    tw, th = int(target_w), int(target_h)
+
+    def gen(batches):
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def decode(b):
+            if b is None or len(b) < 54 or bytes(b[:2]) != b"BM":
+                raise ValueError("not a BMP")
+            off = struct.unpack_from("<I", b, 10)[0]
+            w = struct.unpack_from("<i", b, 18)[0]
+            h = struct.unpack_from("<i", b, 22)[0]
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            comp = struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                raise ValueError("unsupported BMP")
+            top_down, hh = h < 0, abs(h)
+            stride = ((w * 3 + 3) // 4) * 4
+            if len(b) < off + stride * hh:
+                raise ValueError("truncated BMP")
+            rows = _np.frombuffer(
+                bytes(b[off : off + stride * hh]), dtype=_np.uint8
+            ).reshape(hh, stride)[:, : w * 3].reshape(hh, w, 3)
+            if not top_down:
+                rows = rows[::-1]
+            return rows[:, :, ::-1]
+
+        def encode(rgb):
+            hh, w = rgb.shape[:2]
+            stride = ((w * 3 + 3) // 4) * 4
+            body = _np.zeros((hh, stride), dtype=_np.uint8)
+            body[:, : w * 3] = rgb[::-1, :, ::-1].reshape(hh, w * 3)
+            size = 54 + stride * hh
+            header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + struct.pack(
+                "<IiiHHIIiiII", 40, w, hh, 1, 24, 0, stride * hh, 2835, 2835, 0, 0
+            )
+            return header + body.tobytes()
+
+        for pdf in batches:
+            out = {"item_id": [], "width": [], "height": [], "payload": []}
+            for item_id, b in zip(pdf["item_id"], pdf["payload"]):
+                try:
+                    rgb = decode(b)
+                    ys = (_np.arange(th) * rgb.shape[0]) // th
+                    xs = (_np.arange(tw) * rgb.shape[1]) // tw
+                    resized = rgb[ys][:, xs]
+                    out["item_id"].append(item_id)
+                    out["width"].append(tw)
+                    out["height"].append(th)
+                    out["payload"].append(encode(resized))
+                except Exception:
+                    out["item_id"].append(item_id)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["payload"].append(None)
+            yield _pd.DataFrame(out)
+
+    return src.mapInPandas(gen, schema=RESIZED_SCHEMA)
