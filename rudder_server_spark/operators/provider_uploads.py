@@ -86,13 +86,20 @@ def go_csv_line_py(fields: list[str]) -> str:
 
 
 def go_csv_field(c: Column) -> Column:
-    """Column version of ``go_csv_field_py`` — pure codegen, no UDF."""
+    """Column version of ``go_csv_field_py`` — pure codegen, no UDF.
+    Literal contains/replace instead of regex: a CSV render touches ~40
+    fields per row across the three bing-ads shapes, so the two rlikes +
+    regexp_replace per field were the hottest expressions in the plan
+    (same character set as the regexes: [",\\r\\n] and ^[ \\t\\n\\x0B\\f\\r])."""
     needs = (
         (c == F.lit(r"\."))
-        | c.rlike('[",\r\n]')
-        | c.rlike(r"^\s")
+        | c.contains(",")
+        | c.contains('"')
+        | c.contains("\r")
+        | c.contains("\n")
+        | c.substr(1, 1).isin(" ", "\t", "\n", "\x0b", "\f", "\r")
     )
-    quoted = F.concat(F.lit('"'), F.regexp_replace(c, '"', '""'), F.lit('"'))
+    quoted = F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('""')), F.lit('"'))
     return F.when(c == "", c).when(needs, quoted).otherwise(c)
 
 
@@ -148,19 +155,31 @@ def sequential_accept(
     the corpus. Rows arrive unsorted within the group; the fold sorts the
     bounded group, not the corpus.
 
-    Plan shape (r8): the fold itself only runs for (group, subgroup)
-    slices that actually OVERFLOW a cap. A pre-aggregation computes each
-    slice's offered total/count; slices that fit accept every offered row
-    — decided by one join + codegen predicate, with no Arrow exchange and
-    no Python. Real pipelines size upload groups to fit, so at 100 TB the
-    sequential fold runs on the rare overflowing file, not the corpus.
+    Plan shape (r8): the WHOLE decision runs on a narrow projection —
+    (group, subgroup, order, size, skip) only — and the resulting
+    ``accepted`` flags join back to the input by (group, subgroup, order).
+    Deciding on the full frame instead re-evaluates the caller's (often
+    enormous: CSV render + validation ladder) projection once per decision
+    branch, because the fast/overflow split plus the final union each
+    re-run the un-materialized lineage (~4x measured on the bing-ads
+    audit). On the narrow frame:
+    - slice totals come from one partition window (no groupBy+join);
+    - slices that fit accept every offered row (pure codegen);
+    - slices whose BYTES fit but whose offered COUNT exceeds ``count_cap``
+      take "first count_cap offered rows in staged order" — a running
+      count over the ordered window, no Python (when no byte rejection is
+      possible the fold degenerates to a prefix);
+    - only byte-overflowing slices hit the Arrow fold, and the exchange
+      ships 5 small columns, not the caller's rendered rows.
+    Real pipelines size upload groups to fit, so at 100 TB the sequential
+    fold runs on the rare overflowing file, not the corpus.
+
+    CONTRACT: (group_cols, subgroup_cols, order_cols) must uniquely key
+    rows (every caller orders by the jobsdb job_id) — the flag join-back
+    is 1:1. Ties would make the fold order-nondeterministic anyway.
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    # copy — StructType.add would mutate the input frame's schema in place
-    out_schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, BooleanType())]
-    )
     order = [str(c) for c in order_cols]
     size_name = str(size_col)
     cap = int(byte_cap)
@@ -226,40 +245,88 @@ def sequential_accept(
         pdf[out_name] = flags
         return pdf
 
+    from pyspark.sql.window import Window
+
     offered_c = (
         ~F.coalesce(F.col(skip_name), F.lit(False))
         if skip_name
         else F.lit(True)
     )
     slice_keys = list(group_cols) + subs
-    if slice_keys:
-        # fitting-slice fast path: per (group, subgroup) offered totals;
-        # a slice whose whole offered load fits accepts all offered rows
-        # (order is irrelevant when nothing overflows), deciding the
-        # common case with one join + codegen — no Arrow, no Python.
-        tot = F.sum(F.when(offered_c, F.col(size_name)).otherwise(F.lit(0)))
-        cnt = F.sum(F.when(offered_c, 1).otherwise(0))
-        fits = (
-            (tot + base <= cap) if incl else (tot + base < cap)
-        ) & (F.lit(True) if ccap is None else (cnt <= ccap))
-        stats = df.groupBy(*slice_keys).agg(fits.alias("__fits"))
-        flagged = df.join(stats, slice_keys, "left")
-        fast = flagged.where(F.col("__fits")).select(
-            *df.columns, offered_c.alias(out_name)
-        )
-        slow = flagged.where(~F.col("__fits")).select(*df.columns)
-    else:
-        # single-group fallback for tests / one-file calls; real pipelines
-        # pass the upload-id grain so groups stay bounded
-        fast = None
-        slow = df
+    key_cols: list[str] = []
+    for c in slice_keys + order:
+        if c not in key_cols:
+            key_cols.append(c)
+    sel = list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
+    narrow = df.select(*dict.fromkeys(sel))
+    out_schema = StructType(
+        list(narrow.schema.fields) + [StructField(out_col, BooleanType())]
+    )
 
+    part = (
+        [F.col(c) for c in slice_keys] if slice_keys else [F.lit(1)]
+    )
+    w_stat = Window.partitionBy(*part)
+    w_run = (
+        Window.partitionBy(*part)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = F.sum(F.when(offered_c, F.col(size_name)).otherwise(F.lit(0))).over(
+        w_stat
+    )
+    fits_bytes = (tot + base <= cap) if incl else (tot + base < cap)
+    if ccap is None:
+        fits_cnt = F.lit(True)
+    else:
+        fits_cnt = (
+            F.sum(F.when(offered_c, 1).otherwise(0)).over(w_stat) <= ccap
+        )
+    runc = F.sum(offered_c.cast("int")).over(w_run)
+    flagged = narrow.select(
+        "*",
+        offered_c.alias("__off"),
+        fits_bytes.alias("__fb"),
+        fits_cnt.alias("__fc"),
+        runc.alias("__rc"),
+    )
+    # byte-fitting slices decide in codegen: accept all offered rows when
+    # the count fits too, else the first ccap offered rows in staged order
+    fast_flags = flagged.where(F.col("__fb")).select(
+        *key_cols,
+        (
+            F.col("__off")
+            & (F.col("__fc") | (F.col("__rc") <= F.lit(ccap or 0)))
+        ).alias(out_name),
+    )
+    slow = flagged.where(~F.col("__fb")).select(*narrow.columns)
     if group_cols:
         grouped = slow.groupBy(*[F.col(c) for c in group_cols])
     else:
         grouped = slow.groupBy(F.lit(1).alias("__g"))
-    res = grouped.applyInPandas(fold, schema=out_schema)
-    return res if fast is None else res.unionByName(fast)
+    slow_flags = grouped.applyInPandas(fold, schema=out_schema).select(
+        *key_cols, out_name
+    )
+    flags = fast_flags.unionByName(slow_flags)
+    # null-safe keys: a NULL group/order key still joins its flag back
+    # (it formed its own fold group), where a plain equi-join would drop it
+    from functools import reduce
+
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__sa_l.{k}").eqNullSafe(F.col(f"__sa_r.{k}"))
+            for k in key_cols
+        ],
+    )
+    return (
+        df.alias("__sa_l")
+        .join(flags.alias("__sa_r"), cond, "inner")
+        .select(
+            *[F.col(f"__sa_l.{c}") for c in df.columns],
+            F.col(f"__sa_r.{out_name}"),
+        )
+    )
 
 
 # ------------------------------------------------------------------ marketo
@@ -306,19 +373,27 @@ def marketo_csv_rows(
     fields_v = F.from_json(F.col(payload_col), "map<string,variant>")
 
     def val(h: str) -> Column:
-        v = F.try_element_at(fields_v, F.lit(h))
+        v = F.try_element_at(F.col("_fv"), F.lit(h))
         raw = F.to_json(v)
         return (
-            F.when(~F.coalesce(F.map_contains_key(fields_v, F.lit(h)), F.lit(False)), F.lit(""))
+            F.when(
+                ~F.coalesce(
+                    F.map_contains_key(F.col("_fv"), F.lit(h)), F.lit(False)
+                ),
+                F.lit(""),
+            )
             .when(raw == "null", F.lit("<nil>"))
             .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
             .otherwise(raw)
         )
 
+    # parse the payload map ONCE as a column (inlining fields_v re-parses
+    # it per header — see bingads_offline_rows), dropped before the fold
+    # (Arrow can't ship variant)
     vals = [val(h) for h in headers]
     line = go_csv_line(vals)
-    shaped = jobs.select(
-        "*",
+    shaped = jobs.select("*", fields_v.alias("_fv")).select(
+        *jobs.columns,
         line.alias("csv_line"),
         (F.octet_length(line) + F.lit(2)).alias("row_bytes"),
         F.sha2(F.concat_ws(",", *vals), 256).alias("data_hash"),
@@ -513,7 +588,7 @@ def bingads_offline_rows(
     )
 
     def _raw(k: str) -> Column:
-        return F.to_json(F.try_element_at(fields_v, F.lit(k)))
+        return F.to_json(F.try_element_at(F.col("_fv"), F.lit(k)))
 
     def _sv(k: str) -> Column:
         # the post-lo.MapValues stringification: nil → "", string as-is,
@@ -523,7 +598,9 @@ def bingads_offline_rows(
             F.when(r.isNull() | (r == "null"), F.lit(""))
             .when(
                 r.startswith('"'),
-                F.variant_get(F.try_element_at(fields_v, F.lit(k)), "$", "string"),
+                F.variant_get(
+                    F.try_element_at(F.col("_fv"), F.lit(k)), "$", "string"
+                ),
             )
             .otherwise(r)
         )
@@ -537,12 +614,20 @@ def bingads_offline_rows(
             F.struct(F.col(job_id_col).alias("jobId")).alias("metadata"),
         )
     )
-    parsed = jobs.select(
-        "*",
-        action.alias("action"),
-        F.octet_length(staged).alias("line_bytes"),
-        *[_raw(k).alias(f"_raw_{k}") for k in keys],
-    ).select("*", *[_sv(k).alias(f"_s_{k}") for k in keys])
+    # the variant map materializes ONCE as a column — inlining fields_v
+    # into every _raw/_sv expression re-parses the fields subtree per key
+    # (collapsed Projects defeat codegen CSE here: ~20 from_json per row
+    # in the optimized plan)
+    parsed = (
+        jobs.select(
+            "*",
+            action.alias("action"),
+            F.octet_length(staged).alias("line_bytes"),
+            fields_v.alias("_fv"),
+        )
+        .select("*", *[_raw(k).alias(f"_raw_{k}") for k in keys])
+        .select("*", *[_sv(k).alias(f"_s_{k}") for k in keys])
+    )
 
     def raw(k: str) -> Column:
         return F.col(f"_raw_{k}")
@@ -632,7 +717,7 @@ def bingads_offline_rows(
         .when(F.col("action") == "update", update_row)
         .otherwise(delete_row)
         .alias("_line"),
-    ).drop(*[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
+    ).drop("_fv", *[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
     folded = sequential_accept(
         base.withColumn("_skip", F.col("error").isNotNull()),
         size_col="line_bytes",
@@ -708,15 +793,23 @@ def lytics_csv_rows(
     )
 
     def val(rudder_prop: str) -> Column:
-        v = F.try_element_at(props, F.lit(rudder_prop))
+        v = F.try_element_at(F.col("_fv"), F.lit(rudder_prop))
         raw = F.to_json(v)
         return (
-            F.when(~F.coalesce(F.map_contains_key(props, F.lit(rudder_prop)), F.lit(False)), F.lit(""))
+            F.when(
+                ~F.coalesce(
+                    F.map_contains_key(F.col("_fv"), F.lit(rudder_prop)),
+                    F.lit(False),
+                ),
+                F.lit(""),
+            )
             .when(raw == "null", F.lit("<nil>"))
             .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
             .otherwise(raw)
         )
 
+    # one parse of message.properties as a column (see marketo/bing-ads),
+    # dropped before the fold — Arrow can't ship variant
     vals = [val(m["rudderProperty"]) for m in stream_traits_mapping]
     line = go_csv_line(vals)
     staged = F.to_json(
@@ -725,8 +818,8 @@ def lytics_csv_rows(
             F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
         )
     )
-    shaped = jobs.select(
-        "*",
+    shaped = jobs.select("*", props.alias("_fv")).select(
+        *jobs.columns,
         line.alias("csv_line"),
         F.octet_length(staged).alias("line_bytes"),
     )

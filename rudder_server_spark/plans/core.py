@@ -3409,11 +3409,20 @@ def q98(spark, sf):
 
     # ONE narrow persisted base feeds all four provider branches — the
     # providers' synthesized docs derive from (event_id, user_id, ts,
-    # props.k) only, so four parquet scans collapse to one cached read
-    e = load_table(spark, sf, "events").select(
-        "event_id", "user_id", "ts",
-        F.get_json_object("props", "$.k").alias("__k"),
-    ).persist()
+    # props.k) only, so four parquet scans collapse to one cached read.
+    # repartition: the fixture is ONE small parquet file, so under a
+    # vanilla session (128 MB split size) every per-row-heavy branch —
+    # CSV render, validation ladder, sha256 — would run as a single task
+    # while 31 cores idle; fan the cached base out to the cluster width
+    e = (
+        load_table(spark, sf, "events")
+        .select(
+            "event_id", "user_id", "ts",
+            F.get_json_object("props", "$.k").alias("__k"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
     day = F.to_date("ts").alias("upload_day")
     s = lambda c: c.cast("string")  # noqa: E731
@@ -4064,7 +4073,14 @@ def q101(spark, sf):
 def q102(spark, sf):
     from rudder_server_spark.operators import provider_uploads2 as P2
 
-    e = load_table(spark, sf, "events")
+    # single-file fixture → fan the per-row CSV/ladder work across cores
+    # (see q98); persist: five provider branches share the narrow base
+    e = (
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
     day = F.to_date("ts").alias("bday")
     s = lambda c: c.cast("string")  # noqa: E731

@@ -1727,7 +1727,11 @@ def q91(spark, sf):
     # branch to just ITS OWN field expressions (r7 verdict #4: the string
     # doc form re-parsed a multi-KB superset per path; the persisted-
     # struct form cached 4+ payload copies — this caches ONE).
-    base = src.select("event_type", "payload").persist()
+    base = (
+        src.select("event_type", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )  # single-file fixture: fan the per-row-heavy shape work across cores
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
     )
@@ -1905,7 +1909,11 @@ def q96(spark, sf):
     src = _load(spark, sf)
     # the SAME shared routed document as q91/q97 — one narrow persisted
     # scan, lazy typed-struct doc (see q91), five audit branches off it
-    base = src.select("event_type", "payload").persist()
+    base = (
+        src.select("event_type", "payload")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )  # single-file fixture: fan the per-row-heavy shape work across cores
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
     )
@@ -1980,10 +1988,12 @@ def q97(spark, sf):
     src = _load(spark, sf)
     # the shared routed document carries the positioned sheet rows under
     # ``batch`` for track events — same typed-struct doc as q91/q96
-    # (single consumer, so no persist needed)
-    docs = routed_stream_document(src, as_struct=True).select(
-        "event_type", "json_data"
-    )
+    # (single consumer, so no persist needed); repartition fans the
+    # single-file scan across cores for the explode-heavy shape
+    docs = routed_stream_document(
+        src.repartition(spark.sparkContext.defaultParallelism),
+        as_struct=True,
+    ).select("event_type", "json_data")
     shaped = googlesheets_shape(docs.where(F.col("event_type") == "track"))
     return (
         shaped.groupBy("position", "attribute_key")

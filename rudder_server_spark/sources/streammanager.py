@@ -491,26 +491,40 @@ def bqstream_shape(
     get, _ = _getter(df, json_data_col)
     ds, tbl = get("$.datasetId"), get("$.tableId")
     props = get("$.properties")
-    # object → single-element array; array → per-element JSON re-marshal
-    # (variant keeps arbitrary record shapes without a fixed schema)
-    recs = F.when(
-        F.trim(props).startswith("["),
-        F.transform(
-            F.from_json(props, "array<variant>"), lambda v: F.to_json(v)
-        ),
-    ).otherwise(F.array(props))
     error = F.when(
         _nonempty(ds).isNull() | _nonempty(tbl).isNull(),
         F.lit("datasetId and tableId are required"),
     ).when(props.isNull(), F.lit("error in unmarshalling data"))
     ok = error.isNull()
-    null_arr = F.array(F.lit(None).cast("string"))
-    return df.select(
+    arr_case = ok & F.trim(props).startswith("[")
+    # array → parse to variant elements and EXPLODE FIRST, re-marshal each
+    # element to JSON text after the explode: to_json inside a transform()
+    # lambda runs interpreted per element (~10x slower measured at sf0.1);
+    # to_json over the exploded variant column stays in codegen. Object
+    # documents keep their RAW text (one row, no re-marshal); error rows
+    # keep one NULL-record row via the single-null placeholder array.
+    null_varr = F.array(F.lit(None).cast("variant"))
+    exploded = df.select(
         "*",
+        # props carried through the generate as a NARROW string — deriving
+        # it from json_data after the explode would drag the whole routed
+        # document (every struct field materialized) through the Generate
+        F.when(ok & ~arr_case, props).alias("_props_obj"),
         F.when(ok, ds).alias("dataset_id"),
         F.when(ok, tbl).alias("table_id"),
-        F.explode_outer(F.when(ok, recs).otherwise(null_arr)).alias("record"),
+        F.explode_outer(
+            F.when(arr_case, F.from_json(props, "array<variant>")).otherwise(
+                null_varr
+            )
+        ).alias("_rec_v"),
         error.alias("error"),
+    )
+    ok_kept = F.col("error").isNull()
+    return exploded.select(
+        *[c for c in exploded.columns if c not in ("_rec_v", "_props_obj")],
+        F.when(ok_kept & F.col("_rec_v").isNotNull(), F.to_json("_rec_v"))
+        .when(ok_kept, F.col("_props_obj"))
+        .alias("record"),
     )
 
 
