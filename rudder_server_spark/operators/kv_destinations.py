@@ -80,46 +80,75 @@ def redis_kv_shape(
     # IsHSETCompatibleEvent uses gjson Exists() — presence, not non-null:
     # message.value:null must still route to HSET (extracted as "" by
     # .String()). get_json_object can't distinguish null from absent, so
-    # test key membership on the message object itself.
+    # test key membership on the message object itself (ONE parse via
+    # array_intersect instead of three array_contains probes).
     msg_keys = F.json_object_keys(g("message"))
-    present = lambda k: F.coalesce(  # noqa: E731
-        F.array_contains(msg_keys, k), F.lit(False)
+    hset_ok = (
+        F.size(
+            F.array_intersect(
+                msg_keys, F.array(F.lit("hash"), F.lit("key"), F.lit("value"))
+            )
+        )
+        == 3
     )
-    hset_ok = present("hash") & present("key") & present("value")
     # gjson .String() of an explicit null is "" (ExtractHashKeyValueFromEvent)
     gs = lambda p: F.coalesce(g(p), F.lit(""))  # noqa: E731
-    hset_rows = F.array(
-        F.struct(
-            F.lit("HSET").alias("op"),
-            gs("message.hash").alias("key"),
-            gs("message.key").alias("field"),
-            gs("message.value").alias("value"),
-        )
-    )
     # EventToKeyValue keeps only STRING field values (result[k] = v.Str —
     # gjson's .Str is "" for numbers/bools/null/containers). A plain
     # map<string,string> parse would coerce 25 → "25", so parse as
     # map<string,variant> and gate on the raw JSON token: only values
     # whose serialized form is a string literal keep their content.
+    #
+    # Everything the output needs rides INSIDE the generator's element
+    # structs; the heavy variant→string conversion happens AFTER the
+    # explode. Two failure modes bracketed this shape: to_json inside a
+    # transform() lambda runs interpreted per element (~10x, the
+    # bqstream_shape lesson), and narrow helper columns computed beside
+    # the explode get pushed ABOVE the Generate by column pruning, where
+    # they re-parse json_data once per exploded row per column (~5x,
+    # measured on this operator). A unified element struct avoids both:
+    # nothing but generator output crosses the Generate.
     fields_map = F.from_json(g("message.fields"), "map<string,variant>")
-
-    def _hmset_row(e):
-        raw = F.to_json(e.getField("value"))
-        sval = F.when(
-            raw.startswith('"'), F.variant_get(e.getField("value"), "$", "string")
-        ).otherwise(F.lit(""))
-        return F.struct(
-            F.lit("HMSET").alias("op"),
-            g("message.key").alias("key"),
-            e.getField("key").alias("field"),
-            sval.alias("value"),
+    nullv = F.lit(None).cast("variant")
+    hset_el = F.array(
+        F.struct(
+            F.lit("HSET").alias("op"),
+            gs("message.hash").alias("key"),
+            gs("message.key").alias("field"),
+            gs("message.value").alias("sval"),
+            nullv.alias("fv"),
         )
-
-    hmset_rows = F.transform(F.map_entries(fields_map), _hmset_row)
-    rows = F.when(hset_ok, hset_rows).otherwise(F.coalesce(hmset_rows, F.array()))
-    # inline_outer keeps key-less / field-less events as NULL-op rows so the
-    # error column can report them (keep-with-status, like F7)
-    shaped = df.select("*", F.inline_outer(rows))
+    )
+    mk = g("message.key")
+    hmset_els = F.transform(
+        F.map_entries(fields_map),
+        lambda e: F.struct(
+            F.lit("HMSET").alias("op"),
+            mk.alias("key"),
+            e["key"].alias("field"),
+            F.lit(None).cast("string").alias("sval"),
+            e["value"].alias("fv"),
+        ),
+    )
+    pre = df.select(
+        "*",
+        F.explode_outer(
+            F.when(hset_ok, hset_el).otherwise(hmset_els)
+        ).alias("_el"),
+    )
+    raw = F.to_json(F.col("_el.fv"))
+    sval = F.when(
+        raw.startswith('"'), F.variant_get(F.col("_el.fv"), "$", "string")
+    ).otherwise(F.lit(""))
+    shaped = pre.select(
+        *[c for c in pre.columns if c != "_el"],
+        F.col("_el.op").alias("op"),
+        F.col("_el.key").alias("key"),
+        F.col("_el.field").alias("field"),
+        F.when(F.col("_el.op") == "HSET", F.col("_el.sval"))
+        .when(F.col("_el.op").isNotNull(), sval)
+        .alias("value"),
+    )
     # An HSET row keeps an empty key (explicit null hash extracts to "" and
     # Redis accepts "" as a key name — the reference would write it); only
     # op-less events and key-less HMSETs are errored.
