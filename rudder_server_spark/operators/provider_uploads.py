@@ -109,6 +109,12 @@ def go_csv_line(cols: list[Column]) -> Column:
     return F.concat_ws(",", *[go_csv_field(c) for c in cols])
 
 
+def _vpath(key: str) -> str:
+    """Variant path for one object key, bracket-quoted so arbitrary
+    mapping keys (dots, spaces) can't break the path grammar."""
+    return '$["' + key.replace("\\", "\\\\").replace('"', '\\"') + '"]'
+
+
 # --------------------------------------------------- admission fold (shared)
 
 def sequential_accept(
@@ -258,7 +264,14 @@ def sequential_accept(
         if c not in key_cols:
             key_cols.append(c)
     sel = list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
-    narrow = df.select(*dict.fromkeys(sel))
+    # persist the narrow frame: the decision needs it in up to three
+    # subtrees (slice windows, overflow filter, the flag union) and each
+    # would otherwise re-run the caller's size/skip lineage — for the
+    # bing-ads shapes that lineage is the full validation ladder, and the
+    # re-evaluations showed up as repeated 30s+ broadcast-build stages.
+    # Five columns × corpus rows, MEMORY_AND_DISK default; the session's
+    # cache-clear between bench/sweep runs reclaims it.
+    narrow = df.select(*dict.fromkeys(sel)).persist()
     out_schema = StructType(
         list(narrow.schema.fields) + [StructField(out_col, BooleanType())]
     )
@@ -319,9 +332,15 @@ def sequential_accept(
             for k in key_cols
         ],
     )
+    # shuffle_hash with the FLAGS side as build: the planner's size
+    # estimates can pick the caller's heavy projection as the broadcast
+    # build (measured: the whole CSV-render subtree executed inside a
+    # broadcast job), and flags has one row per input row, so broadcasting
+    # EITHER side is wrong at scale — hash-build the 4-column flags
+    # partition-wise instead, no sort of the heavy rows.
     return (
         df.alias("__sa_l")
-        .join(flags.alias("__sa_r"), cond, "inner")
+        .join(flags.hint("shuffle_hash").alias("__sa_r"), cond, "inner")
         .select(
             *[F.col(f"__sa_l.{c}") for c in df.columns],
             F.col(f"__sa_r.{out_name}"),
@@ -370,25 +389,28 @@ def marketo_csv_rows(
     (failed for retry)."""
     headers = marketo_headers(fields_mapping)
     header_line = go_csv_line_py(headers)
-    fields_v = F.from_json(F.col(payload_col), "map<string,variant>")
+    # parse_json, NOT from_json(map<string,variant>): JsonToStructs blocks
+    # whole-stage codegen for the entire projection (measured: every CSV
+    # render in this module ran interpreted), while parse_json +
+    # try_variant_get stay inside codegen. An ABSENT key is a NULL variant
+    # (raw NULL), a present JSON null renders "null" — the same absent/nil
+    # split map_contains_key used to provide.
+    fields_v = F.try_parse_json(F.col(payload_col))
 
     def val(h: str) -> Column:
-        v = F.try_element_at(F.col("_fv"), F.lit(h))
-        raw = F.to_json(v)
+        raw = F.to_json(F.try_variant_get(F.col("_fv"), _vpath(h), "variant"))
         return (
-            F.when(
-                ~F.coalesce(
-                    F.map_contains_key(F.col("_fv"), F.lit(h)), F.lit(False)
-                ),
-                F.lit(""),
-            )
+            F.when(raw.isNull(), F.lit(""))
             .when(raw == "null", F.lit("<nil>"))
-            .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
+            .when(
+                raw.startswith('"'),
+                F.try_variant_get(F.col("_fv"), _vpath(h), "string"),
+            )
             .otherwise(raw)
         )
 
-    # parse the payload map ONCE as a column (inlining fields_v re-parses
-    # it per header — see bingads_offline_rows), dropped before the fold
+    # parse the payload ONCE as a column (inlining fields_v re-parses it
+    # per header — see bingads_offline_rows), dropped before the fold
     # (Arrow can't ship variant)
     vals = [val(h) for h in headers]
     line = go_csv_line(vals)
@@ -572,7 +594,11 @@ def bingads_offline_rows(
     (Id = jobId, Restate/Retract adjustment types)."""
     p = F.col(payload_col)
     action = F.get_json_object(p, "$.action")
-    fields_v = F.from_json(F.get_json_object(p, "$.fields"), "map<string,variant>")
+    # variant-path access instead of from_json(map<string,variant>): the
+    # map parse is CodegenFallback-adjacent and knocked every downstream
+    # projection (validation ladder, CSV render, hashing) out of
+    # whole-stage codegen — parse_json + try_variant_get stay codegen
+    fields_v = F.try_variant_get(F.try_parse_json(p), "$.fields", "variant")
 
     # Materialize each known field's JSON text and string value ONCE in a
     # single projection — the error ladder and three row shapes then read
@@ -588,7 +614,7 @@ def bingads_offline_rows(
     )
 
     def _raw(k: str) -> Column:
-        return F.to_json(F.try_element_at(F.col("_fv"), F.lit(k)))
+        return F.to_json(F.try_variant_get(F.col("_fv"), _vpath(k), "variant"))
 
     def _sv(k: str) -> Column:
         # the post-lo.MapValues stringification: nil → "", string as-is,
@@ -598,9 +624,7 @@ def bingads_offline_rows(
             F.when(r.isNull() | (r == "null"), F.lit(""))
             .when(
                 r.startswith('"'),
-                F.variant_get(
-                    F.try_element_at(F.col("_fv"), F.lit(k)), "$", "string"
-                ),
+                F.try_variant_get(F.col("_fv"), _vpath(k), "string"),
             )
             .otherwise(r)
         )
@@ -788,23 +812,23 @@ def lytics_csv_rows(
     cap). The header row exists iff the file accepted ≥1 job
     (utils.go:76-84)."""
     p = F.col(payload_col)
-    props = F.from_json(
-        F.get_json_object(p, "$.message.properties"), "map<string,variant>"
+    # variant-path access keeps the projection in whole-stage codegen
+    # (see marketo_csv_rows); absent key = NULL raw, present null = "null"
+    props = F.try_variant_get(
+        F.try_parse_json(p), "$.message.properties", "variant"
     )
 
     def val(rudder_prop: str) -> Column:
-        v = F.try_element_at(F.col("_fv"), F.lit(rudder_prop))
-        raw = F.to_json(v)
+        raw = F.to_json(
+            F.try_variant_get(F.col("_fv"), _vpath(rudder_prop), "variant")
+        )
         return (
-            F.when(
-                ~F.coalesce(
-                    F.map_contains_key(F.col("_fv"), F.lit(rudder_prop)),
-                    F.lit(False),
-                ),
-                F.lit(""),
-            )
+            F.when(raw.isNull(), F.lit(""))
             .when(raw == "null", F.lit("<nil>"))
-            .when(raw.startswith('"'), F.variant_get(v, "$", "string"))
+            .when(
+                raw.startswith('"'),
+                F.try_variant_get(F.col("_fv"), _vpath(rudder_prop), "string"),
+            )
             .otherwise(raw)
         )
 
