@@ -10,18 +10,20 @@ read them (column pruning).
 
 Decoder status (round 8):
 
-- **REAL, zero-dependency decoders** for the uncompressed container
-  formats: `decode_wav` (stdlib `wave` + numpy — PCM samples → rate /
-  channels / duration + RMS/peak/ZCR features) and `decode_bmp` /
-  `resize_bmp` (pure-numpy 24-bit BI_RGB BMP — actual pixels, channel
-  statistics, real nearest-neighbor resize with BMP re-encode). These
-  exercise the full Spark contract (Arrow batching, one-to-one and
-  one-to-many mapInPandas, binary columns) on genuinely decoded media.
-- Compressed codecs (JPEG/PNG via PIL, video via ffmpeg) are NOT in this
-  container: `decode_media` / `resize_stub` / `frame_sample` keep the
-  same schema/partitioning/batch shape and raise NotImplementedError
-  unless `fake=True` (deterministic stand-in), flipping to the real
-  libraries when the environment provides them.
+- **REAL, zero-dependency decoders**: `decode_wav` (stdlib `wave` +
+  numpy — PCM samples → rate / channels / duration + RMS/peak/ZCR
+  features), `decode_bmp` / `resize_bmp` (pure-numpy 24-bit BI_RGB BMP —
+  actual pixels, channel statistics, real nearest-neighbor resize with
+  BMP re-encode), and `decode_png` (a genuinely COMPRESSED codec: stdlib
+  zlib inflate + numpy scanline un-filtering, spec filters 0-4, 8-bit
+  gray/RGB/gray-alpha/RGBA). These exercise the full Spark contract
+  (Arrow batching, one-to-one and one-to-many mapInPandas, binary
+  columns) on genuinely decoded media.
+- Codecs with no stdlib inflate path (JPEG via PIL, video via ffmpeg)
+  are NOT in this container: `decode_media` / `resize_stub` /
+  `frame_sample` keep the same schema/partitioning/batch shape and raise
+  NotImplementedError unless `fake=True` (deterministic stand-in),
+  flipping to the real libraries when the environment provides them.
 """
 
 from __future__ import annotations
@@ -452,3 +454,143 @@ def resize_bmp(
             yield _pd.DataFrame(out)
 
     return src.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------- real: PNG
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_png(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL compressed-image decode with zero third-party codecs: PNG via
+    stdlib ``zlib`` + numpy scanline un-filtering (spec filters 0-4:
+    None/Sub/Up/Average/Paeth). Supports 8-bit depth, color types 0
+    (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shape
+    every standard encoder emits by default. Output: (width, height,
+    channels) plus a per-channel [means..., stds...] feature vector;
+    malformed/unsupported payloads become ``error`` rows (keep-with-
+    status). Sub/Up rows un-filter vectorized (modular cumsum / row add);
+    Average/Paeth are inherently sequential per scanline and run as
+    per-byte loops — decode cost is per-IMAGE and embarrassingly
+    parallel across the corpus, so the Spark shape (mapInPandas over a
+    binary column) is the same one a PIL-backed decoder would use."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+
+    def gen(batches):
+        import struct
+        import zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def decode(b):
+            b = bytes(b) if b is not None else b""
+            if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, ihdr, idat = 8, None, []
+            while pos + 8 <= len(b):
+                ln, typ = struct.unpack_from(">I4s", b, pos)
+                pos += 8
+                data = b[pos : pos + ln]
+                pos += ln + 4  # payload + CRC
+                if typ == b"IHDR":
+                    ihdr = data
+                elif typ == b"IDAT":
+                    idat.append(data)
+                elif typ == b"IEND":
+                    break
+            if ihdr is None or len(ihdr) < 13 or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, bit, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", ihdr[:13]
+            )
+            if bit != 8 or comp != 0 or filt != 0 or inter != 0:
+                raise ValueError(
+                    f"unsupported PNG bit={bit} comp={comp} interlace={inter}"
+                )
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if nch is None:
+                raise ValueError(f"unsupported color type {color}")
+            if w == 0 or h == 0:
+                raise ValueError("empty image")
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * nch
+            if len(raw) != (stride + 1) * h:
+                raise ValueError("bad scanline length")
+            arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
+            ftypes = arr[:, 0]
+            out = _np.empty((h, stride), dtype=_np.uint8)
+            for y in range(h):
+                f = int(ftypes[y])
+                row = arr[y, 1:].astype(_np.int32)
+                prev = (
+                    out[y - 1].astype(_np.int32)
+                    if y
+                    else _np.zeros(stride, _np.int32)
+                )
+                if f == 0:
+                    cur = row
+                elif f == 1:  # Sub: modular cumsum per channel column
+                    px = row.reshape(w, nch)
+                    cur = _np.cumsum(px, axis=0).reshape(stride)
+                elif f == 2:  # Up: whole-row add
+                    cur = row + prev
+                elif f == 3:  # Average: sequential on the left operand
+                    cur = row
+                    for x in range(stride):
+                        left = cur[x - nch] & 255 if x >= nch else 0
+                        cur[x] = cur[x] + ((left + prev[x]) >> 1)
+                elif f == 4:  # Paeth: sequential predictor
+                    cur = row
+                    for x in range(stride):
+                        a = cur[x - nch] & 255 if x >= nch else 0
+                        up = prev[x]
+                        c = prev[x - nch] if x >= nch else 0
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        cur[x] = cur[x] + (
+                            a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                        )
+                else:
+                    raise ValueError(f"bad filter type {f}")
+                out[y] = cur & 255
+            return out.reshape(h, w, nch)
+
+        def one(b):
+            try:
+                px = decode(b)
+                flat = px.reshape(-1, px.shape[2]).astype(_np.float64)
+                return (
+                    int(px.shape[1]), int(px.shape[0]), int(px.shape[2]),
+                    list(_np.mean(flat, axis=0)) + list(_np.std(flat, axis=0)),
+                    None,
+                )
+            except Exception as e:
+                return (None, None, None, None, str(e)[:200])
+
+        for pdf in batches:
+            cols = [one(b) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": [c[0] for c in cols],
+                    "height": [c[1] for c in cols],
+                    "channels": [c[2] for c in cols],
+                    "feature": [c[3] for c in cols],
+                    "error": [c[4] for c in cols],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=PNG_SCHEMA)

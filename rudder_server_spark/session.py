@@ -54,17 +54,20 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1024 * 1024)),
         )
         .config("spark.sql.files.openCostInBytes", str(64 * 1024))
-        # same parallelism logic for POST-SHUFFLE stages: AQE's default
-        # 64 MB advisory size coalesces the few-MB shuffles of the audit
-        # queries down to a handful of tasks, which then carry the
-        # expression-heavy per-row work (CSV render, validation ladders,
-        # JSON shaping) on 4-8 cores while the rest idle — measured 1.4-2x
-        # on q96/q98 at sf0.1. AQE optimizes for shuffle BYTES and cannot
-        # see per-row expression cost; 1 MB keeps local stages wide. A real
-        # cluster with TB shuffles overrides this back up.
+        # POST-SHUFFLE parallelism is a TRADEOFF, so only an env knob: a
+        # small advisory size keeps expression-heavy audit stages wide
+        # (AQE optimizes for shuffle bytes, blind to per-row cost), but it
+        # also un-coalesces the many tiny exchanges of iterative/join
+        # queries into full-width stages — measured 2-4x SLOWER on
+        # q9/t56/q1 when globally forced to 1 MB, outweighing the 1.4-2x
+        # audit-query win. Default stays Spark's; per-run override via
+        # SPARK_GRAFT_ADVISORY_PARTITION_BYTES when a workload is known
+        # to be expression-bound.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(1024 * 1024)),
+            os.environ.get(
+                "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", str(64 * 1024 * 1024)
+            ),
         )
         # local-mode shuffle/spill on tmpfs: single-node shuffle files are
         # transient and re-creatable, so RAM-backed scratch removes disk IO

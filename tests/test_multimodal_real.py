@@ -105,3 +105,90 @@ def test_resize_bmp_roundtrip(spark):
     assert (back["width"], back["height"]) == (4, 4)
     # checkerboard mean stays 127.5 per channel under 2x block scaling
     assert abs(back["feature"][0] - 127.5) < 1e-9
+
+
+# ----------------------------------------------------------------- PNG
+
+def _png_encode(px, filters):
+    """Minimal reference PNG encoder for the test: 8-bit, color type from
+    channel count, one explicit filter type per scanline (exercises the
+    decoder's un-filtering paths)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = px[y].reshape(-1).astype(np.int32)
+        if f == 0:
+            flt = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            flt = cur - left
+        elif f == 2:
+            flt = cur - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            flt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(nch, np.int32), cur[:-nch]])
+            upleft = np.concatenate([np.zeros(nch, np.int32), prev[:-nch]])
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            flt = cur - pred
+        raw.append(f)
+        raw.extend((flt & 255).astype(np.uint8).tobytes())
+        prev = cur
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_all_filters(spark):
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        1: rng.integers(0, 256, (7, 5, 3), dtype=np.uint8),   # RGB all filters
+        2: rng.integers(0, 256, (4, 6, 1), dtype=np.uint8),   # gray
+        3: rng.integers(0, 256, (5, 4, 4), dtype=np.uint8),   # RGBA
+    }
+    rows = [
+        (1, bytearray(_png_encode(imgs[1], [0, 1, 2, 3, 4]))),
+        (2, bytearray(_png_encode(imgs[2], [4, 3, 2, 1]))),
+        (3, bytearray(_png_encode(imgs[3], [2, 4, 0]))),
+        (4, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {r["item_id"]: r for r in decode_png(df).collect()}
+    for i, img in imgs.items():
+        r = got[i]
+        assert r["error"] is None
+        assert (r["width"], r["height"], r["channels"]) == (
+            img.shape[1], img.shape[0], img.shape[2],
+        )
+        flat = img.reshape(-1, img.shape[2]).astype(float)
+        want = list(flat.mean(axis=0)) + list(flat.std(axis=0))
+        assert np.allclose(r["feature"], want)
+    assert got[4]["error"] is not None and got[4]["width"] is None
