@@ -667,6 +667,28 @@ def ngram_novelty(
     )
 
 
+def _span_hashes(base: DataFrame, n: int) -> DataFrame:
+    """(sid, s, h): the xxhash64 of every n-token span of each document's
+    ``tk`` token array, via posexplode + (n-1) lead() windows. The prior
+    shape — ``transform(sequence(...), s -> xxhash64(concat_ws(slice)))``
+    — ran the slice+concat+hash INTERPRETED per span (higher-order
+    lambdas never codegen); exploding tokens first keeps the gram concat
+    and hash in compiled projections, at the cost of one shuffle of the
+    (sid, pos, token) relation — linear in corpus tokens, the same scale
+    class as the span explode both strips already paid."""
+    from pyspark.sql.window import Window
+
+    toks = base.select("sid", F.posexplode("tk").alias("s", "_t0"))
+    w = Window.partitionBy("sid").orderBy("s")
+    parts = [F.col("_t0")] + [F.lead("_t0", i).over(w) for i in range(1, n)]
+    last = F.lead("_t0", n - 1).over(w)
+    return (
+        toks.select("sid", "s", F.concat_ws(" ", *parts).alias("_g"), last.alias("_l"))
+        .where(F.col("_l").isNotNull())
+        .select("sid", "s", F.xxhash64("_g").alias("h"))
+    )
+
+
 def strip_repeated_passages(
     df: DataFrame,
     n: int = 8,
@@ -703,20 +725,7 @@ def strip_repeated_passages(
         .otherwise(F.split(norm, " "))
         .alias("tk"),
     ).localCheckpoint(eager=False)
-    # the short-doc guard must live INSIDE the expression: a .where() in
-    # the same projection does not stop sequence(0, negative) evaluating
-    with_spans = base.select(
-        "sid",
-        F.expr(
-            f"CASE WHEN size(tk) >= {n} THEN "
-            f"transform(sequence(0, size(tk) - {n}), "
-            f"s -> struct(s AS s, xxhash64(concat_ws(' ', slice(tk, s + 1, {n}))) AS h)) "
-            f"ELSE array() END"
-        ).alias("spans"),
-    )
-    ex = with_spans.select("sid", F.explode("spans").alias("sp")).select(
-        "sid", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
-    )
+    ex = _span_hashes(base, n)
     rep = (
         ex.groupBy("h")
         .agg(F.count_distinct("sid").alias("_nd"))
@@ -775,35 +784,18 @@ def strip_contaminated_spans(
     the work is one linear pass over training spans; coverage/rebuild
     identical to the repeated-passage strip. No doc pairs, no Python.
     """
-    def _spans(df: DataFrame) -> DataFrame:
+    def _base(df: DataFrame) -> DataFrame:
         norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-        base = df.select(
+        return df.select(
             F.col(id_col).alias("sid"),
             F.when(norm == "", F.array().cast("array<string>"))
             .otherwise(F.split(norm, " "))
             .alias("tk"),
         )
-        return base.select(
-            "sid",
-            "tk",
-            F.expr(
-                f"CASE WHEN size(tk) >= {n} THEN "
-                f"transform(sequence(0, size(tk) - {n}), "
-                f"s -> struct(s AS s, xxhash64(concat_ws(' ', slice(tk, s + 1, {n}))) AS h)) "
-                f"ELSE array() END"
-            ).alias("spans"),
-        )
 
-    bench_hashes = (
-        _spans(benchmark)
-        .select(F.explode("spans").alias("sp"))
-        .select(F.col("sp.h").alias("h"))
-        .distinct()
-    )
-    tr = _spans(train).localCheckpoint(eager=False)
-    ex = tr.select("sid", F.explode("spans").alias("sp")).select(
-        "sid", F.col("sp.s").alias("s"), F.col("sp.h").alias("h")
-    )
+    bench_hashes = _span_hashes(_base(benchmark), n).select("h").distinct()
+    tr = _base(train).localCheckpoint(eager=False)
+    ex = _span_hashes(tr, n)
     covered = (
         ex.join(bench_hashes, "h")
         .groupBy("sid")
