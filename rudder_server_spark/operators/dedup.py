@@ -706,10 +706,10 @@ def strip_repeated_passages(
     excised — overlapping repeated spans merge naturally because removal
     is by covered token POSITION, not by span string.
 
-    Scale shape: positions ride a ``transform(sequence(...))`` over the
-    token array (JVM-side, no Python crossing); the corpus-wide
-    span-frequency aggregate shuffles 8-byte xxhash64 keys with map-side
-    combine absorbing hot boilerplate; the join-back carries only
+    Scale shape: span hashes come from :func:`_span_hashes` (posexplode +
+    lead windows — compiled projections, no interpreted lambda); the
+    corpus-wide span-frequency aggregate shuffles 8-byte xxhash64 keys
+    with map-side combine absorbing hot boilerplate; the join-back carries only
     REPEATED (doc, start) pairs, so the per-doc coverage flatten is
     bounded by repeated-span count × n, and the rebuild (array_except of
     index sequences + element_at) is linear per document. Two shuffles

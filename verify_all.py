@@ -92,6 +92,14 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001 — record, keep sweeping
             failures[name] = f"EXC {ex}"[:500]
             print(f"{name}: EXC {ex}", flush=True)
+        finally:
+            # queries are independent: drop persisted/cached blocks so one
+            # query's materializations don't accumulate against the 1g
+            # hostile heap (measured: ~104 queries of residual caches
+            # OOM'd the sf0.1 sweep mid-q98) — same hygiene as bench.py
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark.catalog.clearCache()
     out = {
         "sf": sf_name,
         "n_queries": len(queries),
