@@ -21,7 +21,7 @@ label propagation) and, forced onto the distributed path, the iteration
 count — the "iterations vs graph size" evidence for the O(log d) claim.
 
 Usage: python bench/scale_probe.py [K ...]      (default 1 4 10)
-       PROBE=cc|fanout|dedup to select a suite   (default all)
+       PROBE=cc|fanout|dedup|floors|floors2|provider to select a suite (default all; provider only when named)
 Prints one JSON line per (K, query).
 """
 
@@ -454,6 +454,44 @@ def probe_floors2(spark, reg, ks) -> None:
 
 
 
+def probe_provider(spark, reg, ks) -> None:
+    """The provider-shape audits (q98 four-provider CSV contracts, q102
+    round-7 provider batch) — the dominant v2 bench lines. Their sf0.1
+    floor-adjusted ratios are enormous because the DuckDB oracle renders
+    the same strings in <0.2 s with a fully-vectorized kernel; the scale
+    claim is that Spark's cost is MAP-SIDE linear (CSV render +
+    validation ladder per row, no corpus-wide join/sort beyond the
+    per-day admission windows), so the ratio falls as volume amortizes
+    scheduling + expression-eval constants."""
+    for k in ks:
+        sf_dir = build_scaled_sf(spark, k, f"/tmp/rss_sf_{k}x")
+        glob_ev = os.path.join(sf_dir, "events.parquet", "*.parquet")
+        setup = [
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob_ev}')"
+        ]
+        for name in (
+            "q98_provider_upload_shapes",
+            "q102_provider_upload_shapes2",
+        ):
+            qd = reg[name]
+
+            def run():
+                qd.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist()
+                spark.catalog.clearCache()
+
+            engine = _time_engine(spark, run)
+            duck = _time_duck(setup, qd.oracle)
+            _emit(
+                k=k, events=100_000 * k, query=name, engine_warm_sec=engine,
+                duckdb_warm_sec=duck,
+                ratio=round(engine / duck, 2) if duck else None,
+            )
+
+
 def main() -> None:
     from rudder_server_spark.plans.registry import load_all
     from rudder_server_spark.session import get_spark
@@ -472,6 +510,8 @@ def main() -> None:
         probe_floors(spark, reg, ks)
     if which in ("all", "floors2"):
         probe_floors2(spark, reg, ks)
+    if which == "provider":
+        probe_provider(spark, reg, ks)
 
 
 if __name__ == "__main__":

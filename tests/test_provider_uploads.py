@@ -380,3 +380,46 @@ def test_lytics_size_cap_skip(spark):
         .collect()
     )
     assert [r["accepted"] for r in out] == [True, False, True]
+
+
+def test_sequential_accept_count_cap_window_path(spark):
+    # bytes always fit, only the row cap binds -> the pure-Spark
+    # running-count fast path decides (no Arrow fold); mixed with skips
+    # and two groups to pin the per-slice window and the offered-only
+    # counting. One group also byte-overflows to exercise the fold side
+    # of the union in the same plan.
+    rows = []
+    for g, sizes, skips in [
+        ("a", [10, 10, 10, 10, 10], [False, True, False, False, False]),
+        ("b", [10, 10, 10], [False, False, False]),
+        ("c", [50, 200, 40, 30], [False, False, False, False]),  # byte overflow
+    ]:
+        for i, (s, sk) in enumerate(zip(sizes, skips)):
+            rows.append((g, i + 1, s, sk))
+    df = spark.createDataFrame(rows, "g string, job_id long, sz int, skip boolean")
+    out = PU.sequential_accept(
+        df, "sz", byte_cap=100, order_cols=("job_id",), group_cols=("g",),
+        count_cap=2, inclusive=True, skip_col="skip",
+    )
+    got = {(r["g"], r["job_id"]): r["accepted"] for r in out.collect()}
+
+    def ref(sizes, skips, cap, ccap):
+        total, n, res = 0, 0, []
+        for s, sk in zip(sizes, skips):
+            if sk:
+                res.append(False)
+                continue
+            new = total + s
+            ok = new <= cap and n < ccap
+            if ok:
+                total, n = new, n + 1
+            res.append(ok)
+        return res
+
+    for g, sizes, skips in [
+        ("a", [10, 10, 10, 10, 10], [False, True, False, False, False]),
+        ("b", [10, 10, 10], [False, False, False]),
+        ("c", [50, 200, 40, 30], [False, False, False, False]),
+    ]:
+        want = ref(sizes, skips, 100, 2)
+        assert [got[(g, i + 1)] for i in range(len(sizes))] == want, g
