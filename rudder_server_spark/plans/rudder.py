@@ -1736,26 +1736,51 @@ def q91(spark, sf):
         "event_type", "json_data"
     )
 
-    def audit(name, shaped, keyed=None):
-        ok = F.col("error").isNull()
-        keyed = keyed if keyed is not None else F.lit(False)
-        return shaped.groupBy("event_type").agg(
-            F.sum(F.when(ok, 1).otherwise(0)).alias("resolved"),
-            F.sum(F.when(ok, 0).otherwise(1)).alias("failed"),
-            F.sum(F.when(keyed, 1).otherwise(0)).alias("keyed"),
-        ).select(F.lit(name).alias("manager"), "*")
-
-    kin_a = audit(
-        "kinesis",
-        kinesis_shape(docs, {"stream": "evt-stream", "useMessageID": True}),
-        keyed=F.col("partition_key").isNotNull() & (F.col("partition_key") != ""),
+    # CHAIN the three shapes over one frame and aggregate in a single
+    # pass: a per-manager union of groupBys scanned the cached base and
+    # shuffled three times; chaining keeps each shape's error expression
+    # (column pruning drops its heavy payload outputs) and one
+    # groupBy + stack unpivots to the same (manager, ...) relation.
+    s = kinesis_shape(
+        docs, {"stream": "evt-stream", "useMessageID": True}
+    ).select(
+        "event_type", "json_data",
+        (F.col("partition_key").isNotNull() & (F.col("partition_key") != ""))
+        .alias("_kin_keyed"),
+        F.col("error").isNull().alias("_kin_ok"),
     )
-    lam_a = audit("lambda", lambda_shape(docs, {"lambda": "fn-events"}))
-    eb_a = audit("eventbridge", eventbridge_shape(docs))
+    s = lambda_shape(s, {"lambda": "fn-events"}).select(
+        "event_type", "json_data", "_kin_keyed", "_kin_ok",
+        F.col("error").isNull().alias("_lam_ok"),
+    )
+    s = eventbridge_shape(s).select(
+        "event_type", "_kin_keyed", "_kin_ok", "_lam_ok",
+        F.col("error").isNull().alias("_eb_ok"),
+    )
 
-    return (
-        eb_a.unionByName(kin_a).unionByName(lam_a)
-        .orderBy("manager", "event_type")
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    agg = s.groupBy("event_type").agg(
+        cnt(F.col("_eb_ok")).alias("eb_res"),
+        cnt(~F.col("_eb_ok")).alias("eb_fail"),
+        cnt(F.col("_kin_ok")).alias("kin_res"),
+        cnt(~F.col("_kin_ok")).alias("kin_fail"),
+        cnt(F.col("_kin_keyed")).alias("kin_keyed"),
+        cnt(F.col("_lam_ok")).alias("lam_res"),
+        cnt(~F.col("_lam_ok")).alias("lam_fail"),
+    )
+    return agg.select(
+        "event_type",
+        F.expr(
+            "stack(3, "
+            "'eventbridge', eb_res, eb_fail, CAST(0 AS BIGINT), "
+            "'kinesis', kin_res, kin_fail, kin_keyed, "
+            "'lambda', lam_res, lam_fail, CAST(0 AS BIGINT)"
+            ") AS (manager, resolved, failed, keyed)"
+        ),
+    ).select("manager", "event_type", "resolved", "failed", "keyed").orderBy(
+        "manager", "event_type"
     )
 
 
@@ -1918,24 +1943,62 @@ def q96(spark, sf):
         "event_type", "json_data"
     )
 
-    def audit(name, shaped):
-        ok = F.col("error").isNull()
-        return shaped.groupBy("event_type").agg(
+    # CHAIN the four non-exploding shapes over one frame (the q91
+    # fusion pattern: one cached scan + one shuffle instead of four);
+    # bqstream stays its own pass because its resolved count is
+    # post-record-explode cardinality.
+    s = firehose_shape(docs).select(
+        "event_type", "json_data", F.col("error").isNull().alias("_fh_ok")
+    )
+    s = wunderkind_shape(s, {"WUNDERKIND_LAMBDA": "wk-fn"}).select(
+        "event_type", "json_data", "_fh_ok",
+        F.col("error").isNull().alias("_wk_ok"),
+    )
+    s = personalize_shape(s).select(
+        "event_type", "json_data", "_fh_ok", "_wk_ok",
+        F.col("error").isNull().alias("_pz_ok"),
+    )
+    s = gcf_shape(s, {"googleCloudFunctionUrl": "https://fn"}).select(
+        "event_type", "_fh_ok", "_wk_ok", "_pz_ok",
+        F.col("error").isNull().alias("_gcf_ok"),
+    )
+
+    def cnt(c):
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    agg = s.groupBy("event_type").agg(
+        cnt(F.col("_fh_ok")).alias("fh_res"),
+        cnt(~F.col("_fh_ok")).alias("fh_fail"),
+        cnt(F.col("_wk_ok")).alias("wk_res"),
+        cnt(~F.col("_wk_ok")).alias("wk_fail"),
+        cnt(F.col("_pz_ok")).alias("pz_res"),
+        cnt(~F.col("_pz_ok")).alias("pz_fail"),
+        cnt(F.col("_gcf_ok")).alias("gcf_res"),
+        cnt(~F.col("_gcf_ok")).alias("gcf_fail"),
+    )
+    fused = agg.select(
+        "event_type",
+        F.expr(
+            "stack(4, "
+            "'firehose', fh_res, fh_fail, "
+            "'gcf', gcf_res, gcf_fail, "
+            "'personalize', pz_res, pz_fail, "
+            "'wunderkind', wk_res, wk_fail"
+            ") AS (manager, resolved, failed)"
+        ),
+    ).select("manager", "event_type", "resolved", "failed")
+
+    ok = F.col("error").isNull()
+    bq = (
+        bqstream_shape(docs)
+        .groupBy("event_type")
+        .agg(
             F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("resolved"),
             F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("failed"),
-        ).select(F.lit(name).alias("manager"), "*")
-
-    fh = audit("firehose", firehose_shape(docs))
-    wk = audit("wunderkind", wunderkind_shape(docs, {"WUNDERKIND_LAMBDA": "wk-fn"}))
-    pz = audit("personalize", personalize_shape(docs))
-    # bqstream explodes records — resolved counts rows post-explode
-    bq = audit("bqstream", bqstream_shape(docs))
-    gcf = audit("gcf", gcf_shape(docs, {"googleCloudFunctionUrl": "https://fn"}))
-
-    return (
-        bq.unionByName(fh).unionByName(gcf).unionByName(pz).unionByName(wk)
-        .orderBy("manager", "event_type")
+        )
+        .select(F.lit("bqstream").alias("manager"), "*")
     )
+    return bq.unionByName(fused).orderBy("manager", "event_type")
 
 
 # --------------------------------------------------------------------------
