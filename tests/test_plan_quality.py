@@ -840,14 +840,16 @@ def test_ivf_assign_codegen_boundary(spark):
 def test_stream_audit_single_scan_shared_doc(spark):
     """q91/q96 fan their manager audits off ONE persisted routed document
     (routed_stream_document): the executed tree must read the corpus
-    through InMemoryTableScans backed by a SINGLE parquet scan — one
-    numbered 'Scan parquet' total, one InMemoryTableScan per audit
-    branch. Loses the r6 shape where every manager branch re-scanned and
-    re-built its own document."""
+    through InMemoryTableScans backed by a SINGLE parquet scan — and
+    after the round-8 fusion, the non-exploding shapes CHAIN into one
+    aggregation pass, so q91 reads the cache ONCE and q96 twice (fused
+    pass + the bqstream record-explode pass). Loses both the r6 shape
+    (every branch re-scanned parquet and re-built its own document) and
+    the r7 shape (one cache scan + one shuffle PER manager branch)."""
     import re
     from collections import Counter
 
-    for name, branches in (("q91_stream_shapes", 3), ("q96_stream_shapes2", 5)):
+    for name, branches in (("q91_stream_shapes", 1), ("q96_stream_shapes2", 2)):
         df = REG[name].spark_fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
