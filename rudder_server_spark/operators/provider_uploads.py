@@ -161,28 +161,39 @@ def sequential_accept(
     the corpus. Rows arrive unsorted within the group; the fold sorts the
     bounded group, not the corpus.
 
-    Plan shape (r8): the WHOLE decision runs on a narrow projection —
-    (group, subgroup, order, size, skip) only — and the resulting
-    ``accepted`` flags join back to the input by (group, subgroup, order).
-    Deciding on the full frame instead re-evaluates the caller's (often
-    enormous: CSV render + validation ladder) projection once per decision
-    branch, because the fast/overflow split plus the final union each
-    re-run the un-materialized lineage (~4x measured on the bing-ads
-    audit). On the narrow frame:
-    - slice totals come from one partition window (no groupBy+join);
-    - slices that fit accept every offered row (pure codegen);
-    - slices whose BYTES fit but whose offered COUNT exceeds ``count_cap``
-      take "first count_cap offered rows in staged order" — a running
-      count over the ordered window, no Python (when no byte rejection is
-      possible the fold degenerates to a prefix);
-    - only byte-overflowing slices hit the Arrow fold, and the exchange
-      ships 5 small columns, not the caller's rendered rows.
-    Real pipelines size upload groups to fit, so at 100 TB the sequential
-    fold runs on the rare overflowing file, not the corpus.
+    Plan shape (r9): the caller's shaped frame materializes ONCE via a
+    lazy ``localCheckpoint`` — the single evaluation of the (often
+    enormous: CSV render + validation ladder + sha256) projection; its
+    blocks are reclaimed by the ContextCleaner when the returned plan is
+    GC'd, so long-lived sessions don't accumulate cache (the r8 shape
+    persisted a narrow frame with no unpersist, leaking blocks per call,
+    AND re-ran the heavy lineage a second time in the join-back). The
+    decision itself is join-free and window-free in the common case:
+    - per-slice offered totals come from ONE map-side-combined groupBy
+      on the narrow columns (slice count rows, not corpus rows), joined
+      back to the checkpoint — a join whose small side is an aggregate,
+      so AQE broadcasts it (no shuffle of the corpus; at extreme slice
+      counts it degrades to a shuffle join, which is then correct);
+    - slices that fit BOTH caps accept every offered row inline — pure
+      codegen projection, no window, no per-row join;
+    - only overflowing slices (bytes OR count) ship their 5 narrow
+      columns through the Arrow fold and join their flags back — the
+      fold's group is one upload file, bounded by the batcher's
+      ``max_events_per_file``, so the Python loop is O(file), never
+      O(corpus).
+    Real pipelines size upload groups to fit, so at 100 TB the fold runs
+    on the rare overflowing file; the common-case cost is one checkpoint
+    pass + one tiny aggregate.
 
     CONTRACT: (group_cols, subgroup_cols, order_cols) must uniquely key
-    rows (every caller orders by the jobsdb job_id) — the flag join-back
-    is 1:1. Ties would make the fold order-nondeterministic anyway.
+    rows (every caller orders by the jobsdb job_id) — the overflow flag
+    join-back is 1:1 and the fold order must be deterministic. ENFORCED
+    where it matters: the fast path never joins per-row (duplicates are
+    harmless there), and the Arrow fold raises ValueError on a duplicate
+    composite key instead of silently multiplying join-back rows. NULL
+    ``size_col`` values count as 0 bytes (a NULL slice total must never
+    drop the slice from both decision branches, as the r8 NULL ``__fb``
+    shape did).
     """
     from pyspark.sql.types import BooleanType, StructField, StructType
 
@@ -201,6 +212,14 @@ def sequential_accept(
         import numpy as np
 
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        # the composite-key uniqueness CONTRACT is enforced here — the only
+        # place it matters (the fast path never joins per-row; this fold's
+        # flags do join back 1:1 and its scan order must be deterministic)
+        if bool(pdf.duplicated(subset=subs + order).any()):
+            raise ValueError(
+                "sequential_accept: duplicate (group, subgroup, order) key "
+                "— the admission fold requires a unique composite key"
+            )
         sizes = pdf[size_name].to_numpy()
         skips = pdf[skip_name].to_numpy(dtype=bool) if skip_name else None
         offered = ~skips if skips is not None else np.ones(len(pdf), bool)
@@ -251,7 +270,7 @@ def sequential_accept(
         pdf[out_name] = flags
         return pdf
 
-    from pyspark.sql.window import Window
+    from functools import reduce
 
     offered_c = (
         ~F.coalesce(F.col(skip_name), F.lit(False))
@@ -263,89 +282,104 @@ def sequential_accept(
     for c in slice_keys + order:
         if c not in key_cols:
             key_cols.append(c)
-    sel = list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
-    # persist the narrow frame: the decision needs it in up to three
-    # subtrees (slice windows, overflow filter, the flag union) and each
-    # would otherwise re-run the caller's size/skip lineage — for the
-    # bing-ads shapes that lineage is the full validation ladder, and the
-    # re-evaluations showed up as repeated 30s+ broadcast-build stages.
-    # Five columns × corpus rows, MEMORY_AND_DISK default; the session's
-    # cache-clear between bench/sweep runs reclaims it.
-    narrow = df.select(*dict.fromkeys(sel)).persist()
-    out_schema = StructType(
-        list(narrow.schema.fields) + [StructField(out_col, BooleanType())]
+    # single evaluation of the caller's shaped lineage: checkpoint the
+    # full frame lazily (blocks are ContextCleaner-reclaimed when the
+    # returned plan is GC'd — no unpersist bookkeeping, no harness-side
+    # cache hygiene required). The slice-stats aggregate, the overflow
+    # filter, AND both output branches read these blocks; the r8 shape
+    # instead evaluated the heavy projection once for a narrow persist
+    # (leaked — never unpersisted) and AGAIN in a per-row join-back (2x
+    # the CSV render + validation ladder + sha256 per row).
+    ck = df.localCheckpoint(eager=False)
+    # NULL staged sizes count 0 bytes — a NULL slice total would
+    # otherwise turn the fit decision NULL and drop the slice from both
+    # branches (r8 bug, flagged in review)
+    size0 = F.coalesce(F.col(size_name), F.lit(0))
+
+    # per-slice offered totals: ONE map-side-combined aggregate over the
+    # narrow columns — slice count rows out, not corpus rows
+    on_slice = [F.col(c) for c in slice_keys] if slice_keys else []
+    stats = (
+        ck.groupBy(*on_slice)
+        .agg(
+            F.sum(F.when(offered_c, size0).otherwise(F.lit(0))).alias("__sa_tot"),
+            F.sum(offered_c.cast("long")).alias("__sa_n"),
+        )
+    )
+    tot = F.col("__sa_tot")
+    fits_bytes = (tot + base <= cap) if incl else (tot + base < cap)
+    fits_cnt = F.lit(True) if ccap is None else F.col("__sa_n") <= ccap
+    stats = stats.select(
+        *slice_keys, (fits_bytes & fits_cnt).alias("__sa_allfit")
     )
 
-    part = (
-        [F.col(c) for c in slice_keys] if slice_keys else [F.lit(1)]
-    )
-    w_stat = Window.partitionBy(*part)
-    w_run = (
-        Window.partitionBy(*part)
-        .orderBy(*[F.col(c) for c in order])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot = F.sum(F.when(offered_c, F.col(size_name)).otherwise(F.lit(0))).over(
-        w_stat
-    )
-    fits_bytes = (tot + base <= cap) if incl else (tot + base < cap)
-    if ccap is None:
-        fits_cnt = F.lit(True)
-    else:
-        fits_cnt = (
-            F.sum(F.when(offered_c, 1).otherwise(0)).over(w_stat) <= ccap
+    # attach the per-slice verdict: the small side is a groupBy aggregate,
+    # so AQE broadcasts it — no shuffle of the checkpointed corpus. With
+    # no slice keys the verdict is a single row (broadcast scalar).
+    if slice_keys:
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__sa_l.{k}").eqNullSafe(F.col(f"__sa_r.{k}"))
+                for k in slice_keys
+            ],
         )
-    runc = F.sum(offered_c.cast("int")).over(w_run)
-    flagged = narrow.select(
-        "*",
-        offered_c.alias("__off"),
-        fits_bytes.alias("__fb"),
-        fits_cnt.alias("__fc"),
-        runc.alias("__rc"),
-    )
-    # byte-fitting slices decide in codegen: accept all offered rows when
-    # the count fits too, else the first ccap offered rows in staged order
-    fast_flags = flagged.where(F.col("__fb")).select(
-        *key_cols,
-        (
-            F.col("__off")
-            & (F.col("__fc") | (F.col("__rc") <= F.lit(ccap or 0)))
-        ).alias(out_name),
-    )
-    slow = flagged.where(~F.col("__fb")).select(*narrow.columns)
-    if group_cols:
-        grouped = slow.groupBy(*[F.col(c) for c in group_cols])
+        decided = (
+            ck.alias("__sa_l")
+            .join(F.broadcast(stats).alias("__sa_r"), cond, "left")
+            .select(
+                *[F.col(f"__sa_l.{c}") for c in df.columns],
+                F.col("__sa_r.__sa_allfit").alias("__sa_allfit"),
+            )
+        )
     else:
-        grouped = slow.groupBy(F.lit(1).alias("__g"))
+        decided = ck.crossJoin(F.broadcast(stats))
+
+    # fitting slices accept every offered row — pure codegen, no window,
+    # no per-row join (this is the common case: real pipelines size
+    # upload groups to fit)
+    fast = decided.where(F.col("__sa_allfit")).select(
+        *df.columns, offered_c.alias(out_name)
+    )
+
+    # overflowing slices (bytes or count): ship the 5 narrow columns
+    # through the Arrow fold, then join the flags back to just these rows
+    slow_src = decided.where(~F.col("__sa_allfit"))
+    sel = list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
+    slow_narrow = slow_src.select(*dict.fromkeys(sel)).withColumn(
+        size_name, size0
+    )
+    out_schema = StructType(
+        list(slow_narrow.schema.fields) + [StructField(out_col, BooleanType())]
+    )
+    if group_cols:
+        grouped = slow_narrow.groupBy(*[F.col(c) for c in group_cols])
+    else:
+        grouped = slow_narrow.groupBy(F.lit(1).alias("__g"))
     slow_flags = grouped.applyInPandas(fold, schema=out_schema).select(
         *key_cols, out_name
     )
-    flags = fast_flags.unionByName(slow_flags)
     # null-safe keys: a NULL group/order key still joins its flag back
-    # (it formed its own fold group), where a plain equi-join would drop it
-    from functools import reduce
-
-    cond = reduce(
+    # (it formed its own fold group), where a plain equi-join would drop
+    # it. shuffle_hash with the FLAGS side as build: broadcasting either
+    # side is wrong at scale (one row per overflow row each), and the
+    # planner's size estimates must not pick the rendered rows as build.
+    jcond = reduce(
         lambda a, b: a & b,
         [
             F.col(f"__sa_l.{k}").eqNullSafe(F.col(f"__sa_r.{k}"))
             for k in key_cols
         ],
     )
-    # shuffle_hash with the FLAGS side as build: the planner's size
-    # estimates can pick the caller's heavy projection as the broadcast
-    # build (measured: the whole CSV-render subtree executed inside a
-    # broadcast job), and flags has one row per input row, so broadcasting
-    # EITHER side is wrong at scale — hash-build the 4-column flags
-    # partition-wise instead, no sort of the heavy rows.
-    return (
-        df.alias("__sa_l")
-        .join(flags.hint("shuffle_hash").alias("__sa_r"), cond, "inner")
+    slow = (
+        slow_src.alias("__sa_l")
+        .join(slow_flags.hint("shuffle_hash").alias("__sa_r"), jcond, "inner")
         .select(
             *[F.col(f"__sa_l.{c}") for c in df.columns],
             F.col(f"__sa_r.{out_name}"),
         )
     )
+    return fast.unionByName(slow)
 
 
 # ------------------------------------------------------------------ marketo

@@ -3271,13 +3271,45 @@ def q95(spark, sf):
 @register(
     "q98_provider_upload_shapes",
     """
-    WITH mk AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) || '@example.com,fn'
-             || CAST(event_id % 100 AS VARCHAR) || ','
-             || CASE WHEN event_id % 7 = 0 THEN '<nil>'
+    WITH mk_docs AS (
+      -- the SAME routed JSON document the engine synthesizes per event
+      -- (marketo staged payload); the oracle pays the same parse work
+      SELECT event_id,
+             '{"email":"u' || CAST(user_id AS VARCHAR)
+             || '@example.com","firstName":"fn' || CAST(event_id % 100 AS VARCHAR) || '"'
+             || CASE WHEN event_id % 7 = 0 THEN ',"age":null'
                      WHEN event_id % 11 = 0 THEN ''
-                     ELSE CAST(event_id % 80 AS VARCHAR) END AS line
+                     ELSE ',"age":' || CAST(event_id % 80 AS VARCHAR) END
+             || '}' AS payload
       FROM events
+    ),
+    mk_fields AS (
+      -- per mapped field: one type probe + one value extraction over the
+      -- document (the Spark side pays the same two variant-gets per field;
+      -- the Go reference's gjson.Get re-scans the document per field)
+      SELECT json_type(payload, '$.email') AS t_email,
+             json_extract_string(payload, '$.email') AS v_email,
+             json_type(payload, '$.firstName') AS t_firstName,
+             json_extract_string(payload, '$.firstName') AS v_firstName,
+             json_type(payload, '$.age') AS t_age,
+             json_extract_string(payload, '$.age') AS v_age
+      FROM mk_docs
+    ),
+    mk AS (
+      -- createCSVFile value rendering per mapped header: absent -> '',
+      -- JSON null -> '<nil>', scalars via their text
+      SELECT CASE WHEN t_email IS NULL THEN ''
+                  WHEN t_email = 'NULL' THEN '<nil>'
+                  ELSE v_email END
+             || ',' ||
+             CASE WHEN t_firstName IS NULL THEN ''
+                  WHEN t_firstName = 'NULL' THEN '<nil>'
+                  ELSE v_firstName END
+             || ',' ||
+             CASE WHEN t_age IS NULL THEN ''
+                  WHEN t_age = 'NULL' THEN '<nil>'
+                  ELSE v_age END AS line
+      FROM mk_fields
     ),
     marketo AS (
       SELECT 'marketo' AS provider, '' AS action,
@@ -3286,21 +3318,29 @@ def q95(spark, sf):
              min(sha256(line)) AS min_hash, max(sha256(line)) AS max_hash
       FROM mk
     ),
-    aud AS (
+    aud_docs AS (
       SELECT event_id,
-             CASE WHEN event_id % 10 = 7 THEN 'Bogus'
-                  ELSE CASE event_id % 3 WHEN 0 THEN 'Add'
-                                         WHEN 1 THEN 'Remove'
-                                         ELSE 'Replace' END END AS action,
-             md5('u' || CAST(user_id AS VARCHAR)) AS h1,
-             event_id % 2 = 0 AS single
+             '{"message":{"Action":"'
+             || CASE WHEN event_id % 10 = 7 THEN 'Bogus'
+                     ELSE CASE event_id % 3 WHEN 0 THEN 'Add'
+                                            WHEN 1 THEN 'Remove'
+                                            ELSE 'Replace' END END
+             || '","List":[{"email":"e","hashedEmail":"' || md5('u' || CAST(user_id AS VARCHAR)) || '"}'
+             || CASE WHEN event_id % 2 = 0 THEN ''
+                     ELSE ',{"email":"e","hashedEmail":"' || md5('u' || CAST(user_id AS VARCHAR)) || 'b"}' END
+             || ']}}' AS payload
       FROM events
     ),
+    aud AS (
+      SELECT event_id,
+             json_extract_string(payload, '$.message.Action') AS action,
+             from_json(json_extract(payload, '$.message.List'),
+                       '[{"email":"VARCHAR","hashedEmail":"VARCHAR"}]') AS members
+      FROM aud_docs
+    ),
     aud_members AS (
-      SELECT event_id, action, h1 AS h FROM aud WHERE action <> 'Bogus'
-      UNION ALL
-      SELECT event_id, action, h1 || 'b' FROM aud
-      WHERE action <> 'Bogus' AND NOT single
+      SELECT event_id, action, unnest(members).hashedEmail AS h
+      FROM aud WHERE action IN ('Replace', 'Remove', 'Add')
     ),
     audience AS (
       SELECT 'bingads_audience' AS provider, action,
@@ -3315,43 +3355,78 @@ def q95(spark, sf):
                || '<<>>' || h || ',,,,,,,Email,' || h AS line
         FROM aud_members
         UNION ALL
-        SELECT event_id, action, NULL FROM aud WHERE action = 'Bogus'
+        SELECT event_id, action, NULL FROM aud
+        WHERE action NOT IN ('Replace', 'Remove', 'Add')
       ) GROUP BY action
     ),
-    off AS (
+    off_docs AS (
       SELECT event_id, CAST(ts AS DATE) AS uday,
-             CASE event_id % 3 WHEN 0 THEN 'insert'
-                               WHEN 1 THEN 'update' ELSE 'delete' END AS action,
-             strftime(ts, '%-m/%-d/%Y %-I:%M:%S %p') AS us,
-             strftime(ts + INTERVAL 1 HOUR, '%-m/%-d/%Y %-I:%M:%S %p') AS us2,
-             CASE WHEN event_id % 5 = 0 THEN '' ELSE 'ck' || CAST(event_id AS VARCHAR) END AS ck,
-             CASE WHEN event_id % 10 = 0
-                  THEN sha256('u' || CAST(user_id AS VARCHAR) || '@example.com')
-                  ELSE '' END AS em
+             '{"action":"'
+             || CASE event_id % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update' ELSE 'delete' END
+             || '","fields":{"conversionName":"Order Completed","conversionTime":"'
+             || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+             || '","conversionCurrencyCode":"USD","conversionValue":"12.5"'
+             || CASE WHEN event_id % 5 = 0 THEN ''
+                     ELSE ',"microsoftClickId":"ck' || CAST(event_id AS VARCHAR) || '"' END
+             || CASE WHEN event_id % 10 = 0
+                     THEN ',"email":"u' || CAST(user_id AS VARCHAR) || '@example.com"'
+                     ELSE '' END
+             || CASE WHEN event_id % 3 <> 0 AND event_id % 13 <> 0
+                     THEN ',"adjustedConversionTime":"' || strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%SZ') || '"'
+                     ELSE '' END
+             || '}}' AS payload
       FROM events
+    ),
+    off_fields AS (
+      SELECT event_id, uday,
+             json_extract_string(payload, '$.action') AS action,
+             json_extract(payload, '$.fields.conversionName') AS j_cname,
+             json_extract(payload, '$.fields.conversionTime') AS j_ct,
+             json_extract(payload, '$.fields.adjustedConversionTime') AS j_adj,
+             json_extract(payload, '$.fields.microsoftClickId') AS j_ck,
+             json_extract(payload, '$.fields.email') AS j_em,
+             json_extract(payload, '$.fields.conversionCurrencyCode') AS j_ccur,
+             json_extract(payload, '$.fields.conversionValue') AS j_cval
+      FROM off_docs
+    ),
+    off_parsed AS (
+      -- the Transform validation ladder's inputs + the RFC3339 -> US-format
+      -- wall-clock rewrite, off the extracted fields
+      SELECT event_id, uday, action,
+             j_cname ->> '$' AS cname,
+             strftime(strptime(j_ct ->> '$', '%Y-%m-%dT%H:%M:%SZ'),
+                      '%-m/%-d/%Y %-I:%M:%S %p') AS us,
+             CASE WHEN j_adj IS NOT NULL
+                  THEN strftime(strptime(j_adj ->> '$', '%Y-%m-%dT%H:%M:%SZ'),
+                                '%-m/%-d/%Y %-I:%M:%S %p') END AS us2,
+             coalesce(j_ck ->> '$', '') AS ck,
+             CASE WHEN j_em IS NOT NULL THEN sha256(j_em ->> '$') ELSE '' END AS em,
+             j_ck IS NOT NULL AS has_ck,
+             j_em IS NOT NULL AS has_em,
+             j_adj IS NOT NULL AS has_adj,
+             j_ccur ->> '$' AS ccur,
+             j_cval ->> '$' AS cval
+      FROM off_fields
     ),
     off_rendered AS (
       SELECT event_id, uday, action,
-             CASE WHEN event_id % 5 = 0 AND event_id % 10 <> 0 THEN NULL
-                  WHEN action <> 'insert' AND event_id % 13 = 0 THEN NULL
+             CASE WHEN NOT (has_ck OR has_em) THEN NULL
+                  WHEN action <> 'insert' AND NOT has_adj THEN NULL
                   WHEN action = 'insert' THEN
                     'Offline Conversion,,' || CAST(event_id AS VARCHAR)
-                    || ',,,,USD,Order Completed,' || us || ',12.5,' || ck
-                    || ',' || em || ',,,'
+                    || ',,,,' || ccur || ',' || cname || ',' || us || ',' || cval || ','
+                    || ck || ',' || em || ',,,'
                   WHEN action = 'update' THEN
                     'Offline Conversion,Restate,,' || CAST(event_id AS VARCHAR)
-                    || ',,Order Completed,' || us || ',12.5,' || ck || ','
-                    || em || ',,USD,' || us2
+                    || ',,' || cname || ',' || us || ',' || cval || ',' || ck || ','
+                    || em || ',,' || ccur || ',' || us2
                   ELSE
                     'Offline Conversion,Retract,,' || CAST(event_id AS VARCHAR)
-                    || ',,Order Completed,' || us || ',' || ck || ','
+                    || ',,' || cname || ',' || us || ',' || ck || ','
                     || em || ',,' || us2
              END AS line
-      FROM off
+      FROM off_parsed
     ),
-    -- eventsLimit = 1000 per (upload, action) file (offline
-    -- bulk_uploader.go:31): valid rows beyond the cap overflow (no line);
-    -- validation failures never advance the count
     off_capped AS (
       SELECT event_id, action,
              CASE WHEN row_number() OVER (
@@ -3373,10 +3448,29 @@ def q95(spark, sf):
              CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
       FROM off_lines GROUP BY action
     ),
-    ly AS (
-      SELECT 'u' || CAST(user_id AS VARCHAR) || '@e.io,'
-             || json_extract_string(props, '$.k') || ',' AS line
+    ly_docs AS (
+      SELECT event_id,
+             '{"message":{"properties":{"email":"u' || CAST(user_id AS VARCHAR)
+             || '@e.io","k":' || json_extract_string(props, '$.k') || '}}}' AS payload
       FROM events
+    ),
+    ly_fields AS (
+      SELECT json_type(payload, '$.message.properties.email') AS t_email,
+             json_extract_string(payload, '$.message.properties.email') AS v_email,
+             json_type(payload, '$.message.properties.k') AS t_k,
+             json_extract_string(payload, '$.message.properties.k') AS v_k
+      FROM ly_docs
+    ),
+    ly AS (
+      SELECT CASE WHEN t_email IS NULL THEN ''
+                  WHEN t_email = 'NULL' THEN '<nil>'
+                  ELSE v_email END
+             || ',' ||
+             CASE WHEN t_k IS NULL THEN ''
+                  WHEN t_k = 'NULL' THEN '<nil>'
+                  ELSE v_k END
+             || ',' AS line
+      FROM ly_fields
     ),
     lytics AS (
       SELECT 'lytics' AS provider, '' AS action,
