@@ -4050,45 +4050,67 @@ def q101(spark, sf):
              event_type AS et
       FROM events
     ),
+    elq_docs AS (
+      -- the SAME routed JSON document the engine synthesizes per event
+      SELECT eid, bday,
+             '{"message":{"type":"track","customObjectId":"orders","identifierFieldName":"email","data":{"email":"u'
+             || CAST(uid AS VARCHAR) || '@example.com","qty":'
+             || CASE WHEN eid % 3 <> 0 THEN '"q' || CAST(eid % 5 AS VARCHAR) || '"'
+                     ELSE CAST(eid % 5 AS VARCHAR) END
+             || ',"note":'
+             || CASE WHEN eid % 7 = 0 THEN '"null"' ELSE '"n"' END
+             || '}}}' AS payload
+      FROM base
+    ),
+    elq_hdr AS (
+      -- getEventDetails: the group's FIRST event fixes the header from
+      -- its data keys (document order)
+      SELECT bday, arg_min(json_keys(payload, '$.message.data'), eid) AS headers
+      FROM elq_docs GROUP BY bday
+    ),
+    elq_rows AS (
+      -- string-only cells: non-strings and the literal "null" render ''
+      SELECT d.bday,
+             array_to_string(list_transform(h.headers, k ->
+               CASE WHEN json_type(d.payload, '$.message.data.' || k) = 'VARCHAR'
+                     AND json_extract_string(d.payload, '$.message.data.' || k) <> 'null'
+                    THEN json_extract_string(d.payload, '$.message.data.' || k)
+                    ELSE '' END), ',') AS line
+      FROM elq_docs d JOIN elq_hdr h USING (bday)
+    ),
     eloqua AS (
       SELECT 'eloqua' AS provider, bday,
              CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_out,
              min(line) AS min_line, max(line) AS max_line,
              CAST(NULL AS VARCHAR) AS min_hash, CAST(NULL AS VARCHAR) AS max_hash
-      FROM (
-        SELECT bday,
-               'u' || CAST(uid AS VARCHAR) || '@example.com,'
-               || CASE WHEN eid % 3 <> 0 THEN 'q' || CAST(eid % 5 AS VARCHAR) ELSE '' END
-               || ','
-               || CASE WHEN eid % 7 = 0 THEN '' ELSE 'n' END AS line
-        FROM base
-      ) GROUP BY bday
+      FROM elq_rows GROUP BY bday
+    ),
+    sf_docs AS (
+      SELECT eid, bday,
+             '{"message":{"Email":"u' || CAST(uid AS VARCHAR) || '@example.com","Amount":'
+             || CAST(eid % 100 AS VARCHAR)
+             || CASE WHEN eid % 4 = 0 THEN ',"Tags":["' || et || '"]' ELSE '' END
+             || CASE WHEN eid % 5 = 0 THEN ',"Plan":"pro"' ELSE '' END
+             || '}}' AS payload
+      FROM base
     ),
     sf_hdr AS (
-      -- sorted union of per-row key sets: Email,Amount always; Tags when
-      -- eid%4=0; Plan when eid%5=0 — any day at sf>=0.01 sees all four
+      -- sorted union of every row's message key set
       SELECT bday,
-             list_sort(list_distinct(flatten(list(keys)))) AS headers
-      FROM (
-        SELECT bday,
-               ['Email', 'Amount']
-               || CASE WHEN eid % 4 = 0 THEN ['Tags'] ELSE [] END
-               || CASE WHEN eid % 5 = 0 THEN ['Plan'] ELSE [] END AS keys
-        FROM base
-      ) GROUP BY bday
+             list_sort(list_distinct(flatten(list(json_keys(payload, '$.message'))))) AS headers
+      FROM sf_docs GROUP BY bday
     ),
     sf_rows AS (
-      SELECT b.bday,
+      -- FormatCSVValue: strings as-is, scalars via JSON text, composites
+      -- via their JSON text (then Go-csv escaped); absent -> ''
+      SELECT d.bday,
              array_to_string(list_transform(h.headers, k ->
-               CASE k
-                 WHEN 'Email' THEN 'u' || CAST(b.uid AS VARCHAR) || '@example.com'
-                 WHEN 'Amount' THEN CAST(b.eid % 100 AS VARCHAR)
-                 WHEN 'Tags' THEN CASE WHEN b.eid % 4 = 0
-                   THEN '"[""' || b.et || '""]"' ELSE '' END
-                 WHEN 'Plan' THEN CASE WHEN b.eid % 5 = 0 THEN 'pro' ELSE '' END
-               END), ',') AS line,
-             sha256('u' || CAST(b.uid AS VARCHAR) || '@example.com') AS h
-      FROM base b JOIN sf_hdr h USING (bday)
+               CASE WHEN json_type(d.payload, '$.message.' || k) IS NULL THEN ''
+                    WHEN json_type(d.payload, '$.message.' || k) IN ('ARRAY', 'OBJECT') THEN
+                      '"' || replace(CAST(json_extract(d.payload, '$.message.' || k) AS VARCHAR), '"', '""') || '"'
+                    ELSE json_extract_string(d.payload, '$.message.' || k) END), ',') AS line,
+             sha256(json_extract_string(d.payload, '$.message.Email')) AS h
+      FROM sf_docs d JOIN sf_hdr h USING (bday)
     ),
     salesforce AS (
       SELECT 'salesforce' AS provider, bday,
@@ -4096,36 +4118,73 @@ def q101(spark, sf):
              min(line), max(line), min(h), max(h)
       FROM sf_rows GROUP BY bday
     ),
+    sftp_docs AS (
+      SELECT eid, bday,
+             '{"message":{"action":"'
+             || CASE eid % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update' ELSE 'delete' END
+             || '","fields":{"email":"u' || CAST(uid AS VARCHAR) || '@example.com","score":'
+             || CASE WHEN eid % 6 = 0 THEN 'null' ELSE CAST(eid % 50 AS VARCHAR) END
+             || '}}}' AS payload
+      FROM base
+    ),
+    sftp_rows AS (
+      -- fields in document order + action; Go %v of nil -> '<nil>'
+      SELECT bday,
+             CASE WHEN json_type(payload, '$.message.fields.email') = 'NULL' THEN '<nil>'
+                  ELSE json_extract_string(payload, '$.message.fields.email') END
+             || ',' ||
+             CASE WHEN json_type(payload, '$.message.fields.score') = 'NULL' THEN '<nil>'
+                  ELSE json_extract_string(payload, '$.message.fields.score') END
+             || ',' || json_extract_string(payload, '$.message.action') AS line
+      FROM sftp_docs
+    ),
     sftp AS (
-      -- score key present with JSON null when eid%6=0 → Go %v "<nil>"
       SELECT 'sftp' AS provider, bday,
              CAST(count(*) AS BIGINT), CAST(0 AS BIGINT),
              min(line), max(line),
              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-      FROM (
-        SELECT bday,
-               'u' || CAST(uid AS VARCHAR) || '@example.com,'
-               || CASE WHEN eid % 6 = 0 THEN '<nil>' ELSE CAST(eid % 50 AS VARCHAR) END
-               || ',' || CASE eid % 3 WHEN 0 THEN 'insert'
-                                      WHEN 1 THEN 'update' ELSE 'delete' END AS line
-        FROM base
-      ) GROUP BY bday
+      FROM sftp_rows GROUP BY bday
     ),
-    ym AS (
-      SELECT bday, eid,
-             eid = (min(eid) OVER (PARTITION BY bday)) AS is_first,
-             CASE WHEN eid % 11 = 0 THEN NULL  -- non-string id → ID() error
-                  ELSE CASE eid % 3 WHEN 0 THEN 'c-' WHEN 1 THEN 'y-' ELSE 'us-' END
-                       || CAST(eid AS VARCHAR) END AS rid,
-             CASE WHEN eid % 2 = 0 THEN 'g-default' ELSE 't' || CAST(eid % 9 AS VARCHAR) END AS target,
-             CAST(eid % 97 AS VARCHAR)
-             || CASE eid % 4 WHEN 0 THEN '' WHEN 1 THEN '.25'
-                             WHEN 2 THEN '.5' ELSE '.75' END AS price
+    ym_docs AS (
+      SELECT eid, bday,
+             '{"message":{"'
+             || CASE eid % 3 WHEN 0 THEN 'ClientId' WHEN 1 THEN 'Yclid' ELSE 'UserId' END
+             || '":'
+             || CASE WHEN eid % 11 = 0 THEN CAST(eid AS VARCHAR)
+                     ELSE '"' || CASE eid % 3 WHEN 0 THEN 'c-' WHEN 1 THEN 'y-' ELSE 'us-' END
+                          || CAST(eid AS VARCHAR) || '"' END
+             || ',"Target":'
+             || CASE WHEN eid % 2 = 0 THEN '""' ELSE '"t' || CAST(eid % 9 AS VARCHAR) || '"' END
+             || ',"DateTime":"2024-01-01T00:00:00","Price":'
+             || CAST(eid % 97 AS VARCHAR)
+             || CASE eid % 4 WHEN 0 THEN '' WHEN 1 THEN '.25' WHEN 2 THEN '.5' ELSE '.75' END
+             || ',"Currency":"RUB"}}' AS payload
       FROM base
     ),
+    ym AS (
+      -- id priority ClientId > Yclid > UserId; a present non-string id is
+      -- the getID error (row skip / first-row group abort)
+      SELECT bday, eid,
+             eid = (min(eid) OVER (PARTITION BY bday)) AS is_first,
+             CASE WHEN json_type(payload, '$.message.ClientId') IS NOT NULL THEN
+                    CASE WHEN json_type(payload, '$.message.ClientId') = 'VARCHAR'
+                         THEN json_extract_string(payload, '$.message.ClientId') END
+                  WHEN json_type(payload, '$.message.Yclid') IS NOT NULL THEN
+                    CASE WHEN json_type(payload, '$.message.Yclid') = 'VARCHAR'
+                         THEN json_extract_string(payload, '$.message.Yclid') END
+                  WHEN json_type(payload, '$.message.UserId') IS NOT NULL THEN
+                    CASE WHEN json_type(payload, '$.message.UserId') = 'VARCHAR'
+                         THEN json_extract_string(payload, '$.message.UserId') END
+             END AS rid,
+             CASE WHEN json_extract_string(payload, '$.message.Target') = ''
+                  THEN 'g-default'
+                  ELSE json_extract_string(payload, '$.message.Target') END AS target,
+             json_extract_string(payload, '$.message.DateTime') AS dt,
+             json_extract_string(payload, '$.message.Price') AS price,
+             json_extract_string(payload, '$.message.Currency') AS cur
+      FROM ym_docs
+    ),
     ym_groups AS (
-      -- a day whose FIRST message has the invalid id aborts whole
-      -- (ymMsgsBody[0].ID() error)
       SELECT bday, bool_or(is_first AND rid IS NULL) AS group_failed
       FROM ym GROUP BY bday
     ),
@@ -4141,7 +4200,7 @@ def q101(spark, sf):
       FROM (
         SELECT bday, rid,
                CASE WHEN rid IS NOT NULL THEN
-                 rid || ',' || target || ',2024-01-01T00:00:00,' || price || ',RUB'
+                 rid || ',' || target || ',' || dt || ',' || price || ',' || cur
                END AS line
         FROM ym
       ) m JOIN ym_groups g USING (bday)

