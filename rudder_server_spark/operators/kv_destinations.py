@@ -77,12 +77,25 @@ def redis_kv_shape(
             F.when(nonempty(F.col("key")).isNull(), F.lit("key is required")),
         )
 
+    # ONE parse of the routed document pulls the message subtree; ONE
+    # json_tuple over it pulls all four members (container values keep
+    # their raw source text — gjson parity), and json_object_keys re-reads
+    # only the small subtree. The r8 shape ran get_json_object per path
+    # (~6 full-document parses per row, the biggest q92 cost).
+    df = df.select(
+        "*", F.get_json_object(j, "$.message").alias("_kv_msg")
+    ).select(
+        "*",
+        F.json_tuple(F.col("_kv_msg"), "hash", "key", "value", "fields").alias(
+            "_kv_hash", "_kv_key", "_kv_value", "_kv_fields"
+        ),
+    )
     # IsHSETCompatibleEvent uses gjson Exists() — presence, not non-null:
     # message.value:null must still route to HSET (extracted as "" by
-    # .String()). get_json_object can't distinguish null from absent, so
-    # test key membership on the message object itself (ONE parse via
+    # .String()). json_tuple can't distinguish null from absent, so test
+    # key membership on the message object itself (ONE subtree parse via
     # array_intersect instead of three array_contains probes).
-    msg_keys = F.json_object_keys(g("message"))
+    msg_keys = F.json_object_keys(F.col("_kv_msg"))
     hset_ok = (
         F.size(
             F.array_intersect(
@@ -92,7 +105,7 @@ def redis_kv_shape(
         == 3
     )
     # gjson .String() of an explicit null is "" (ExtractHashKeyValueFromEvent)
-    gs = lambda p: F.coalesce(g(p), F.lit(""))  # noqa: E731
+    gs = lambda c: F.coalesce(c, F.lit(""))  # noqa: E731
     # EventToKeyValue keeps only STRING field values (result[k] = v.Str —
     # gjson's .Str is "" for numbers/bools/null/containers). A plain
     # map<string,string> parse would coerce 25 → "25", so parse as
@@ -108,18 +121,18 @@ def redis_kv_shape(
     # they re-parse json_data once per exploded row per column (~5x,
     # measured on this operator). A unified element struct avoids both:
     # nothing but generator output crosses the Generate.
-    fields_map = F.from_json(g("message.fields"), "map<string,variant>")
+    fields_map = F.from_json(F.col("_kv_fields"), "map<string,variant>")
     nullv = F.lit(None).cast("variant")
     hset_el = F.array(
         F.struct(
             F.lit("HSET").alias("op"),
-            gs("message.hash").alias("key"),
-            gs("message.key").alias("field"),
-            gs("message.value").alias("sval"),
+            gs(F.col("_kv_hash")).alias("key"),
+            gs(F.col("_kv_key")).alias("field"),
+            gs(F.col("_kv_value")).alias("sval"),
             nullv.alias("fv"),
         )
     )
-    mk = g("message.key")
+    mk = F.col("_kv_key")
     hmset_els = F.transform(
         F.map_entries(fields_map),
         lambda e: F.struct(
@@ -140,8 +153,9 @@ def redis_kv_shape(
     sval = F.when(
         raw.startswith('"'), F.variant_get(F.col("_el.fv"), "$", "string")
     ).otherwise(F.lit(""))
+    helper_cols = ("_el", "_kv_msg", "_kv_hash", "_kv_key", "_kv_value", "_kv_fields")
     shaped = pre.select(
-        *[c for c in pre.columns if c != "_el"],
+        *[c for c in pre.columns if c not in helper_cols],
         F.col("_el.op").alias("op"),
         F.col("_el.key").alias("key"),
         F.col("_el.field").alias("field"),

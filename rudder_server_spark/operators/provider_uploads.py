@@ -504,20 +504,24 @@ def bingads_audience_rows(
     if not audience_id:
         raise ValueError("audienceId is empty")  # util.go:136-138
     p = F.col(payload_col)
-    action = F.get_json_object(p, "$.message.Action")
+    # ONE document parse: the message subtree extracted once, Action/List
+    # pulled from it in one json_tuple (the r8 shape get_json_object'd the
+    # full payload once per path — 3 parses/row)
+    msg = F.get_json_object(p, "$.message")
     staged = F.to_json(
         F.struct(
             F.struct(
-                F.get_json_object(p, "$.message.List").alias("List"),
-                action.alias("Action"),
+                F.col("_list").alias("List"),
+                F.col("action").alias("Action"),
             ).alias("message"),
             F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
         )
     )
     valid_action = F.col("action").isin(*BINGADS_AUDIENCE_ACTIONS)
     base = jobs.select(
+        "*", F.json_tuple(msg, "Action", "List").alias("action", "_list")
+    ).select(
         "*",
-        action.alias("action"),
         F.octet_length(staged).alias("line_bytes"),
     )
     # one fold over everything: invalid-action rows ride through as skips
@@ -532,8 +536,10 @@ def bingads_audience_rows(
         inclusive=False,
         skip_col="_skip",
     )
+    # the List text rode the admission checkpoint as a narrow column, so
+    # the member explode parses the small array, not the whole document
     users = F.from_json(
-        F.get_json_object(p, "$.message.List"),
+        F.col("_list"),
         "array<struct<email string, hashedEmail string>>",
     )
     # accepted jobs explode to member rows; rejected/invalid jobs keep one
@@ -577,7 +583,7 @@ def bingads_audience_rows(
                 ~F.col("accepted"), F.lit("file size/event limit reached")
             ),
         )
-        .drop("_u", "_skip")
+        .drop("_u", "_skip", "_list")
     )
 
 
@@ -627,12 +633,17 @@ def bingads_offline_rows(
     the per-action admission fold, then project the action's CSV row
     (Id = jobId, Restate/Retract adjustment types)."""
     p = F.col(payload_col)
-    action = F.get_json_object(p, "$.action")
+    # the fields subtree's raw text extracts once and feeds BOTH the
+    # variant parse and the staged line (the r8 shape additionally
+    # try_parse_json'd the full payload — one more full-document parse
+    # per row). NOT json_tuple: its Generate node splits the stage and
+    # knocked the huge downstream projection (validation ladder + three
+    # renders) out of whole-stage codegen — measured ~30% slower.
     # variant-path access instead of from_json(map<string,variant>): the
     # map parse is CodegenFallback-adjacent and knocked every downstream
     # projection (validation ladder, CSV render, hashing) out of
     # whole-stage codegen — parse_json + try_variant_get stay codegen
-    fields_v = F.try_variant_get(F.try_parse_json(p), "$.fields", "variant")
+    fields_v = F.try_parse_json(F.col("_ftext"))
 
     # Materialize each known field's JSON text and string value ONCE in a
     # single projection — the error ladder and three row shapes then read
@@ -666,8 +677,8 @@ def bingads_offline_rows(
     staged = F.to_json(
         F.struct(
             F.struct(
-                F.get_json_object(p, "$.fields").alias("fields"),
-                action.alias("action"),
+                F.col("_ftext").alias("fields"),
+                F.col("action").alias("action"),
             ).alias("message"),
             F.struct(F.col(job_id_col).alias("jobId")).alias("metadata"),
         )
@@ -679,7 +690,11 @@ def bingads_offline_rows(
     parsed = (
         jobs.select(
             "*",
-            action.alias("action"),
+            F.get_json_object(p, "$.action").alias("action"),
+            F.get_json_object(p, "$.fields").alias("_ftext"),
+        )
+        .select(
+            "*",
             F.octet_length(staged).alias("line_bytes"),
             fields_v.alias("_fv"),
         )
@@ -775,7 +790,7 @@ def bingads_offline_rows(
         .when(F.col("action") == "update", update_row)
         .otherwise(delete_row)
         .alias("_line"),
-    ).drop("_fv", *[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
+    ).drop("_fv", "_ftext", *[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
     folded = sequential_accept(
         base.withColumn("_skip", F.col("error").isNotNull()),
         size_col="line_bytes",
@@ -846,11 +861,13 @@ def lytics_csv_rows(
     cap). The header row exists iff the file accepted ≥1 job
     (utils.go:76-84)."""
     p = F.col(payload_col)
-    # variant-path access keeps the projection in whole-stage codegen
-    # (see marketo_csv_rows); absent key = NULL raw, present null = "null"
-    props = F.try_variant_get(
-        F.try_parse_json(p), "$.message.properties", "variant"
-    )
+    # ONE document parse: the properties subtree's raw text extracted
+    # once; the variant parse and the staged line both read it (the r8
+    # shape parsed the full payload twice per row). Variant-path access
+    # keeps the projection in whole-stage codegen (see marketo_csv_rows);
+    # absent key = NULL raw, present null = "null"
+    ptext = F.get_json_object(p, "$.message.properties")
+    props = F.try_parse_json(F.col("_ptext"))
 
     def val(rudder_prop: str) -> Column:
         raw = F.to_json(
@@ -872,14 +889,18 @@ def lytics_csv_rows(
     line = go_csv_line(vals)
     staged = F.to_json(
         F.struct(
-            F.struct(F.get_json_object(p, "$.message.properties").alias("properties")).alias("message"),
+            F.struct(F.col("_ptext").alias("properties")).alias("message"),
             F.struct(F.col(job_id_col).alias("job_id")).alias("metadata"),
         )
     )
-    shaped = jobs.select("*", props.alias("_fv")).select(
-        *jobs.columns,
-        line.alias("csv_line"),
-        F.octet_length(staged).alias("line_bytes"),
+    shaped = (
+        jobs.select("*", ptext.alias("_ptext"))
+        .select("*", props.alias("_fv"))
+        .select(
+            *jobs.columns,
+            line.alias("csv_line"),
+            F.octet_length(staged).alias("line_bytes"),
+        )
     )
     return sequential_accept(
         shaped,

@@ -9,12 +9,14 @@ explicitly; everything else is left to the optimizer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rudder_server_spark.operators.asof import asof_join
 from rudder_server_spark.plans.registry import register
-from rudder_server_spark.sources.fixtures import load_table
+from rudder_server_spark.sources.fixtures import fan_out, load_table
 
 
 def _events(spark, sf):
@@ -3508,15 +3510,14 @@ def q98(spark, sf):
     # vanilla session (128 MB split size) every per-row-heavy branch —
     # CSV render, validation ladder, sha256 — would run as a single task
     # while 31 cores idle; fan the cached base out to the cluster width
-    e = (
-        load_table(spark, sf, "events")
-        .select(
+    e = fan_out(
+        load_table(spark, sf, "events").select(
             "event_id", "user_id", "ts",
             F.get_json_object("props", "$.k").alias("__k"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+        ),
+        spark,
+        paths=[os.path.join(sf, "events.parquet")],
+    ).persist()
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
     day = F.to_date("ts").alias("upload_day")
     s = lambda c: c.cast("string")  # noqa: E731
@@ -4228,12 +4229,13 @@ def q102(spark, sf):
 
     # single-file fixture → fan the per-row CSV/ladder work across cores
     # (see q98); persist: five provider branches share the narrow base
-    e = (
-        load_table(spark, sf, "events")
-        .select("event_id", "user_id", "ts", "event_type")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
-    )
+    e = fan_out(
+        load_table(spark, sf, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        ),
+        spark,
+        paths=[os.path.join(sf, "events.parquet")],
+    ).persist()
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
     day = F.to_date("ts").alias("bday")
     s = lambda c: c.cast("string")  # noqa: E731
@@ -5190,4 +5192,384 @@ def q107(spark, sf):
     return group_error_details(shaped).orderBy(
         "source_id", "destination_id", "pu", "event_type", "error_code",
         "error_message",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q108 jobsdb compaction replay — the copy-unfinished-forward + drop-old
+# cycle (jobsdb/jobsdb_compaction.go): per-dataset eligibility
+# (checkIfCompactDS:862-967 — recordsLeft, needsPair below the
+# jobMinRowsLeftCompactionThreshold x MaxDSSize line), the selection scan
+# with pairing/caps (getCompactionList:308-407), the pending-jobs copy
+# (copyJobsInTx:518-534) + latest-status copy (copyJobStatusesInTx:
+# 553-560) into one destination, and the pure async-drop path when every
+# selected job is terminal (doCompaction:626). The oracle replays the
+# sequential selection fold as a recursive CTE (the q101 state-machine
+# pattern); the relational copy/drop is plain set algebra both sides.
+@register(
+    "q108_compaction_replay",
+    """
+WITH RECURSIVE jobs AS (
+      SELECT event_id AS job_id, event_id % 8 AS ds,
+             (event_id // 8) % 20 AS r
+      FROM events
+    ),
+    t AS (
+      SELECT *,
+             CASE ds WHEN 0 THEN 20 WHEN 1 THEN 19 WHEN 2 THEN 18
+                     WHEN 3 THEN 10 WHEN 4 THEN 2 WHEN 5 THEN 2
+                     WHEN 6 THEN 2 ELSE 0 END AS tt
+      FROM jobs
+    ),
+    statuses AS (
+      -- early retry rows, then a terminal row (latest wins); r == tt is a
+      -- lone non-terminal 'failed'; r > tt has no status at all
+      SELECT job_id, ds, job_id * 10 AS status_id, 'failed' AS job_state
+      FROM t WHERE r < tt AND r % 3 = 0
+      UNION ALL
+      SELECT job_id, ds, job_id * 10 + 1,
+             CASE WHEN r % 2 = 0 THEN 'succeeded' ELSE 'aborted' END
+      FROM t WHERE r < tt
+      UNION ALL
+      SELECT job_id, ds, job_id * 10, 'failed' FROM t WHERE r = tt
+    ),
+    last_status AS (
+      SELECT job_id, ds, arg_max(job_state, status_id) AS job_state
+      FROM statuses GROUP BY job_id, ds
+    ),
+    ds_stats AS (
+      SELECT j.ds,
+             row_number() OVER (ORDER BY j.ds) - 1 AS i,
+             count(*) AS total,
+             sum(CASE WHEN ls.job_state IN ('succeeded','aborted','migrated','filtered')
+                      THEN 1 ELSE 0 END) AS term
+      FROM (SELECT DISTINCT job_id, ds FROM jobs) j
+      LEFT JOIN last_status ls USING (job_id, ds)
+      GROUP BY j.ds
+    ),
+    ds_elig AS (
+      SELECT ds, i, total - term AS lft,
+             (total - term) > 0 AND (total - term) < 0.25 * 4000 AS needs_pair,
+             (total - term) = 0 OR ((total - term) > 0 AND (total - term) < 0.25 * 4000) AS compact,
+             (SELECT count(*) FROM ds_stats) AS n
+      FROM ds_stats
+    ),
+    -- getCompactionList fold (jobsdb_compaction.go:308-407): last dataset
+    -- exempt, max_compact_once=4, pending cap 4000, waiting-pair logic,
+    -- stop at first ineligible once any source chosen
+    fold AS (
+      SELECT -1 AS i, 0 AS live, CAST(0 AS BIGINT) AS pending,
+             CAST(NULL AS INTEGER) AS w_ds, CAST(NULL AS BIGINT) AS w_left,
+             FALSE AS stopped, 0 AS probes,
+             CAST(NULL AS INTEGER) AS sel_a, CAST(NULL AS INTEGER) AS sel_b
+      UNION ALL
+      SELECT s.i,
+             CASE WHEN g.gate THEN f.live
+                  WHEN s.compact AND NOT s.needs_pair THEN f.live + 1
+                  WHEN s.compact AND f.w_ds IS NOT NULL AND f.w_left + s.lft <= 4000 THEN f.live + 2
+                  WHEN s.compact AND f.w_ds IS NULL AND f.pending > 0 AND f.pending + s.lft <= 4000 THEN f.live + 1
+                  ELSE f.live END,
+             CASE WHEN g.gate THEN f.pending
+                  WHEN s.compact AND NOT s.needs_pair THEN f.pending + s.lft
+                  WHEN s.compact AND f.w_ds IS NOT NULL AND f.w_left + s.lft <= 4000 THEN f.pending + f.w_left + s.lft
+                  WHEN s.compact AND f.w_ds IS NULL AND f.pending > 0 AND f.pending + s.lft <= 4000 THEN f.pending + s.lft
+                  ELSE f.pending END,
+             CASE WHEN g.gate THEN f.w_ds
+                  WHEN NOT s.compact THEN NULL
+                  WHEN s.compact AND NOT s.needs_pair THEN f.w_ds
+                  WHEN f.w_ds IS NOT NULL THEN NULL
+                  WHEN f.pending > 0 THEN NULL
+                  ELSE s.ds END,
+             CASE WHEN g.gate THEN f.w_left
+                  WHEN NOT s.compact THEN NULL
+                  WHEN s.compact AND NOT s.needs_pair THEN f.w_left
+                  WHEN f.w_ds IS NOT NULL THEN NULL
+                  WHEN f.pending > 0 THEN NULL
+                  ELSE s.lft END,
+             g.gate
+             OR (NOT s.compact AND (f.live > 0 OR f.probes > 10))
+             OR (s.compact AND s.needs_pair AND f.w_ds IS NULL
+                 AND f.pending > 0 AND f.pending + s.lft > 4000),
+             CASE WHEN g.gate THEN f.probes ELSE f.probes + 1 END,
+             CASE WHEN g.gate THEN NULL
+                  WHEN s.compact AND NOT s.needs_pair THEN s.ds
+                  WHEN s.compact AND f.w_ds IS NOT NULL AND f.w_left + s.lft <= 4000 THEN f.w_ds
+                  WHEN s.compact AND f.w_ds IS NULL AND f.pending > 0 AND f.pending + s.lft <= 4000 THEN s.ds
+                  ELSE NULL END,
+             CASE WHEN g.gate THEN NULL
+                  WHEN s.compact AND f.w_ds IS NOT NULL AND f.w_left + s.lft <= 4000 THEN s.ds
+                  ELSE NULL END
+      FROM fold f
+      JOIN ds_elig s ON s.i = f.i + 1 AND s.i < s.n - 1
+      CROSS JOIN LATERAL (SELECT (f.stopped OR f.live >= 4 OR f.pending >= 4000) AS gate) g
+    ),
+    selected AS (
+      SELECT sel_a AS ds FROM fold WHERE sel_a IS NOT NULL
+      UNION
+      SELECT sel_b FROM fold WHERE sel_b IS NOT NULL
+    ),
+    plan AS (
+      SELECT (SELECT count(*) FROM selected) AS n_sel,
+             (SELECT CAST(min(ds) AS VARCHAR) || '_c' FROM selected) AS dest,
+             (SELECT coalesce(sum(e.lft), 0) FROM ds_elig e
+              WHERE e.ds IN (SELECT ds FROM selected)) AS pending_total
+    ),
+    jobs_out AS (
+      SELECT j.job_id, CAST(j.ds AS VARCHAR) AS ds_label
+      FROM jobs j WHERE j.ds NOT IN (SELECT ds FROM selected)
+      UNION ALL
+      SELECT j.job_id, p.dest
+      FROM jobs j
+      LEFT JOIN last_status ls ON ls.job_id = j.job_id
+      CROSS JOIN plan p
+      WHERE j.ds IN (SELECT ds FROM selected)
+        AND p.pending_total > 0
+        AND (ls.job_state IS NULL
+             OR ls.job_state NOT IN ('succeeded','aborted','migrated','filtered'))
+    ),
+    statuses_out AS (
+      SELECT s.job_id, s.status_id, s.job_state, CAST(s.ds AS VARCHAR) AS ds_label
+      FROM statuses s WHERE s.ds NOT IN (SELECT ds FROM selected)
+      UNION ALL
+      SELECT ls2.job_id, ls2.status_id, ls2.job_state, p.dest
+      FROM (
+        SELECT job_id, arg_max(status_id, status_id) AS status_id,
+               arg_max(job_state, status_id) AS job_state
+        FROM statuses WHERE ds IN (SELECT ds FROM selected)
+        GROUP BY job_id
+      ) ls2
+      CROSS JOIN plan p
+      WHERE p.pending_total > 0
+        AND ls2.job_id IN (SELECT job_id FROM jobs_out WHERE ds_label = p.dest)
+    ),
+    lastst_out AS (
+      SELECT ds_label, job_id, arg_max(job_state, status_id) AS job_state
+      FROM statuses_out GROUP BY ds_label, job_id
+    )
+    SELECT j.ds_label,
+           CAST(count(*) AS BIGINT) AS n_jobs,
+           CAST(sum(CASE WHEN ls.job_state IS NULL
+                          OR ls.job_state NOT IN ('succeeded','aborted','migrated','filtered')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+           CAST(coalesce((SELECT count(*) FROM statuses_out so
+                          WHERE so.ds_label = j.ds_label), 0) AS BIGINT) AS n_statuses,
+           CAST(min(j.job_id) AS BIGINT) AS min_job,
+           CAST(max(j.job_id) AS BIGINT) AS max_job
+    FROM jobs_out j
+    LEFT JOIN lastst_out ls ON ls.ds_label = j.ds_label AND ls.job_id = j.job_id
+    GROUP BY j.ds_label
+    ORDER BY j.ds_label
+    """,
+    doc=(
+        "jobsdb dataset compaction cycle: eligibility scan with "
+        "waiting-pair logic and caps, unfinished-jobs + latest-status "
+        "copy-forward into one destination dataset, source drop "
+        "(async-drop when nothing is pending). Ref: jobsdb/"
+        "jobsdb_compaction.go:308-407,518-560,598-700,862-967"
+    ),
+    tags=("rudder", "jobsdb"),
+)
+def q108(spark, sf):
+    from rudder_server_spark.sources.jobsdb import compaction_replay, latest_status
+
+    jid = F.col("event_id")
+    base = load_table(spark, sf, "events").select(
+        jid.alias("job_id"),
+        (jid % 8).cast("int").alias("ds_index"),
+        (F.expr("event_id div 8") % 20).alias("_r"),
+    )
+    tt = (
+        F.when(F.col("ds_index") == 0, 20)
+        .when(F.col("ds_index") == 1, 19)
+        .when(F.col("ds_index") == 2, 18)
+        .when(F.col("ds_index") == 3, 10)
+        .when(F.col("ds_index").isin(4, 5, 6), 2)
+        .otherwise(0)
+    )
+    t = base.select("*", tt.alias("_tt"))
+    r, tcol = F.col("_r"), F.col("_tt")
+    # early retry rows, then a terminal row (latest wins); r == tt is a
+    # lone non-terminal failure; r > tt never got a status
+    statuses = (
+        t.where((r < tcol) & (r % 3 == 0)).select(
+            "job_id", "ds_index",
+            (F.col("job_id") * 10).alias("status_id"),
+            F.lit("failed").alias("job_state"),
+        )
+        .unionByName(
+            t.where(r < tcol).select(
+                "job_id", "ds_index",
+                (F.col("job_id") * 10 + 1).alias("status_id"),
+                F.when(r % 2 == 0, "succeeded").otherwise("aborted").alias("job_state"),
+            )
+        )
+        .unionByName(
+            t.where(r == tcol).select(
+                "job_id", "ds_index",
+                (F.col("job_id") * 10).alias("status_id"),
+                F.lit("failed").alias("job_state"),
+            )
+        )
+    )
+    jobs = t.select("job_id", "ds_index")
+    j_out, s_out, _report = compaction_replay(
+        jobs, statuses,
+        max_ds_size=4000, pair_threshold=0.25,
+        max_compact_once=4, max_ds_probe=10,
+    )
+    lastst = latest_status(
+        s_out.select("ds_label", "job_id", "status_id", "job_state"),
+        job_id="job_id", seq="status_id",
+    )
+    terminal = F.col("job_state").isin("succeeded", "aborted", "migrated", "filtered")
+    n_statuses = s_out.groupBy("ds_label").agg(F.count("*").alias("n_statuses"))
+    return (
+        j_out.select("ds_label", "job_id")
+        .join(lastst.select("job_id", "job_state"), ["job_id"], "left")
+        .groupBy("ds_label")
+        .agg(
+            F.count("*").alias("n_jobs"),
+            F.sum(
+                F.when(F.col("job_state").isNull() | ~terminal, 1).otherwise(0)
+            ).alias("n_pending"),
+            F.min("job_id").alias("min_job"),
+            F.max("job_id").alias("max_job"),
+        )
+        .join(n_statuses, ["ds_label"], "left")
+        .select(
+            "ds_label", "n_jobs", "n_pending",
+            F.coalesce("n_statuses", F.lit(0)).alias("n_statuses"),
+            "min_job", "max_job",
+        )
+        .orderBy("ds_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q109 warehouse/api syncs + retry rollup — the UI status listing and the
+# retry endpoints over wh_uploads (warehouse/api/grpc.go:481-601 +
+# warehouse/internal/repo/upload.go:735-900,971-1036): per-upload attempt
+# totals summed across the error document's dynamic per-state keys (gjson
+# ForEach, upload.go:841-844), nextRetryTime surfaced only for in-flight
+# uploads (846-850), finished-vs-inflight duration (851-859), and the
+# RetryCount eligibility window (retryQueryArgs: aborted within the
+# trailing IntervalInHours of created_at).
+@register(
+    "q109_wh_uploads_api",
+    """\n    WITH uploads AS (
+      SELECT event_id AS upload_id,
+             'dst-' || CAST(event_id % 3 AS VARCHAR) AS destination_id,
+             CASE event_id % 7
+               WHEN 0 THEN 'exported_data' WHEN 1 THEN 'exported_data'
+               WHEN 2 THEN 'aborted' WHEN 3 THEN 'exporting_data_failed'
+               WHEN 4 THEN 'waiting' WHEN 5 THEN 'exporting_data'
+               ELSE 'generating_load_files_failed' END AS status,
+             CASE WHEN event_id % 7 IN (0, 1) THEN '{}'
+                  ELSE '{"exporting_data_failed":{"attempt":'
+                       || CAST(event_id % 4 + 1 AS VARCHAR) || '}'
+                       || CASE WHEN event_id % 2 = 0
+                               THEN ',"generating_load_files_failed":{"attempt":1}'
+                               ELSE '' END || '}' END AS error,
+             CASE WHEN event_id % 3 <> 0
+                  THEN '{"nextRetryTime":"'
+                       || strftime(ts + INTERVAL 2 HOUR, '%Y-%m-%dT%H:%M:%SZ') || '"}'
+                  ELSE '{}' END AS metadata,
+             ts AS created_at,
+             CASE WHEN event_id % 6 <> 0 THEN ts + INTERVAL 30 MINUTE END AS last_exec_at,
+             ts + INTERVAL 1 HOUR AS updated_at
+      FROM events WHERE event_id % 5 = 0
+    ),
+    shaped AS (
+      SELECT destination_id, status,
+             -- gjson ForEach parity: sum attempt over every error key
+             coalesce(list_sum(list_transform(json_keys(error),
+               k -> coalesce(CAST(json_extract(error, '$.' || k || '.attempt') AS BIGINT), 0))), 0) AS attempts,
+             CASE WHEN status NOT IN ('exported_data', 'aborted')
+                   AND try_strptime(json_extract_string(metadata, '$.nextRetryTime'),
+                                    '%Y-%m-%dT%H:%M:%SZ') IS NOT NULL
+                  THEN 1 ELSE 0 END AS nr,
+             CASE WHEN status = 'aborted'
+                   AND created_at > TIMESTAMP '2024-01-16 00:00:00' - INTERVAL 240 HOUR
+                  THEN 1 ELSE 0 END AS re,
+             -- floor each epoch before subtracting (Spark unix_timestamp
+             -- parity; Go's time.Sub()/time.Second also truncates)
+             CASE WHEN last_exec_at IS NOT NULL THEN
+               CASE WHEN status IN ('exported_data', 'aborted')
+                    THEN floor(epoch(updated_at)) - floor(epoch(last_exec_at))
+                    ELSE floor(epoch(TIMESTAMP '2024-01-16 00:00:00'))
+                         - floor(epoch(last_exec_at)) END
+             END AS dur
+      FROM uploads
+    )
+    SELECT destination_id, status,
+           CAST(count(*) AS BIGINT) AS n_uploads,
+           CAST(sum(attempts) AS BIGINT) AS total_attempts,
+           CAST(sum(nr) AS BIGINT) AS n_next_retry,
+           CAST(sum(re) AS BIGINT) AS n_retry_eligible,
+           CAST(max(dur) AS BIGINT) AS max_duration_sec
+    FROM shaped GROUP BY destination_id, status
+    ORDER BY destination_id, status
+    """,
+    doc=(
+        "Warehouse API rollup: per (destination, status) upload counts, "
+        "error-document attempt totals, usable nextRetryTime coverage, "
+        "retry-eligible counts and max sync duration. Ref: warehouse/api/"
+        "grpc.go:481-601, warehouse/internal/repo/upload.go:735-1036"
+    ),
+    tags=("rudder", "warehouse"),
+)
+def q109(spark, sf):
+    from rudder_server_spark.operators.wh_api import syncs_rollup
+
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    status = (
+        F.when(eid % 7 <= 1, "exported_data")
+        .when(eid % 7 == 2, "aborted")
+        .when(eid % 7 == 3, "exporting_data_failed")
+        .when(eid % 7 == 4, "waiting")
+        .when(eid % 7 == 5, "exporting_data")
+        .otherwise("generating_load_files_failed")
+    )
+    error = F.when(eid % 7 <= 1, F.lit("{}")).otherwise(
+        F.concat(
+            F.lit('{"exporting_data_failed":{"attempt":'),
+            s(eid % 4 + 1), F.lit("}"),
+            F.when(
+                eid % 2 == 0,
+                F.lit(',"generating_load_files_failed":{"attempt":1}'),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        )
+    )
+    metadata = F.when(
+        eid % 3 != 0,
+        F.concat(
+            F.lit('{"nextRetryTime":"'),
+            F.date_format(
+                F.col("ts") + F.expr("INTERVAL 2 HOUR"),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ),
+            F.lit('"}'),
+        ),
+    ).otherwise(F.lit("{}"))
+    uploads = (
+        load_table(spark, sf, "events")
+        .where(eid % 5 == 0)
+        .select(
+            eid.alias("upload_id"),
+            F.concat(F.lit("dst-"), s(eid % 3)).alias("destination_id"),
+            status.alias("status"),
+            error.alias("error"),
+            metadata.alias("metadata"),
+            F.col("ts").alias("created_at"),
+            F.when(
+                eid % 6 != 0, F.col("ts") + F.expr("INTERVAL 30 MINUTE")
+            ).alias("last_exec_at"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("updated_at"),
+        )
+    )
+    now = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return syncs_rollup(uploads, now, retry_interval_hours=240).orderBy(
+        "destination_id", "status"
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from rudder_server_spark.operators.flatten import flatten_events
 from rudder_server_spark.operators.identity import connected_components
 from rudder_server_spark.plans.registry import register
+from rudder_server_spark.sources.fixtures import fan_out
 from rudder_server_spark.sources.rudder_events import rudder_events_path
 
 # the oracle runs at sf0.01 — materialize that fixture eagerly so the SQL
@@ -1254,7 +1255,7 @@ def q73(spark, sf):
     import datetime
 
     from rudder_server_spark.operators.source_jobs import sweep_audit
-    from rudder_server_spark.sources.fixtures import load_table
+    from rudder_server_spark.sources.fixtures import fan_out, load_table
 
     e = load_table(spark, sf, "events")
     w = e.select(
@@ -1729,9 +1730,10 @@ def q91(spark, sf):
     # the frame is consumed in a single pass, so the r8 persist added
     # only a cache write — and leaked its blocks for external callers.
     # No cache at all now; the plan pin asserts one parquet scan.
-    base = src.select("event_type", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # single-file fixture: fan the per-row-heavy shape work across cores
+    base = fan_out(
+        src.select("event_type", "payload"), spark,
+        paths=[rudder_events_path(sf)],
+    )
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
     )
@@ -1836,31 +1838,37 @@ def q92(spark, sf):
     )
 
     src = _load(spark, sf)
-    p = F.col("payload")
-    etype = F.get_json_object(p, "$.type")
 
     def _js(c):
         arr = F.to_json(F.array(c))
         return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
 
-    uid = F.get_json_object(p, "$.userId")
+    # ONE scan, ONE payload parse: json_tuple pulls all five top-level
+    # fields in a single pass (object values come back as raw JSON text),
+    # where the r8 shape unioned two filtered scans and re-parsed the
+    # multi-KB payload once per get_json_object path (~6 parses/row)
+    t = src.select(
+        "message_id",
+        F.json_tuple(
+            F.col("payload"), "type", "userId", "traits", "messageId", "event"
+        ).alias("etype", "uid", "traits", "msgid", "ename"),
+    )
     identify_doc = F.concat(
-        F.lit('{"message":{"key":'), _js(F.concat(F.lit("user:"), uid)),
-        F.lit(',"fields":'), F.get_json_object(p, "$.traits"), F.lit("}}"),
+        F.lit('{"message":{"key":'),
+        _js(F.concat(F.lit("user:"), F.col("uid"))),
+        F.lit(',"fields":'), F.col("traits"), F.lit("}}"),
     )
     track_doc = F.concat(
-        F.lit('{"message":{"hash":'), _js(F.concat(F.lit("events:"), uid)),
-        F.lit(',"key":'), _js(F.get_json_object(p, "$.messageId")),
-        F.lit(',"value":'), _js(F.get_json_object(p, "$.event")), F.lit("}}"),
+        F.lit('{"message":{"hash":'),
+        _js(F.concat(F.lit("events:"), F.col("uid"))),
+        F.lit(',"key":'), _js(F.col("msgid")),
+        F.lit(',"value":'), _js(F.col("ename")), F.lit("}}"),
     )
-    docs = (
-        src.where(etype == "identify")
-        .select(F.col("message_id").alias("job_id"), identify_doc.alias("json_data"))
-        .unionByName(
-            src.where(etype == "track").select(
-                F.col("message_id").alias("job_id"), track_doc.alias("json_data")
-            )
-        )
+    docs = t.where(F.col("etype").isin("identify", "track")).select(
+        F.col("message_id").alias("job_id"),
+        F.when(F.col("etype") == "identify", identify_doc)
+        .otherwise(track_doc)
+        .alias("json_data"),
     )
     return kv_final_state(redis_kv_shape(docs)).orderBy("key", "field")
 
@@ -1940,9 +1948,10 @@ def q96(spark, sf):
     # the document is consumed exactly once, so caching would only add a
     # memory write. The r8 shape ran a SECOND scan + doc build for the
     # bqstream explode (VERDICT r8: "reads the persisted doc twice").
-    base = src.select("event_type", "payload").repartition(
-        spark.sparkContext.defaultParallelism
-    )  # single-file fixture: fan the per-row-heavy shape work across cores
+    base = fan_out(
+        src.select("event_type", "payload"), spark,
+        paths=[rudder_events_path(sf)],
+    )
     docs = routed_stream_document(base, as_struct=True).select(
         "event_type", "json_data"
     )
@@ -2054,8 +2063,7 @@ def q97(spark, sf):
     # (single consumer, so no persist needed); repartition fans the
     # single-file scan across cores for the explode-heavy shape
     docs = routed_stream_document(
-        src.repartition(spark.sparkContext.defaultParallelism),
-        as_struct=True,
+        fan_out(src, spark, paths=[rudder_events_path(sf)]), as_struct=True
     ).select("event_type", "json_data")
     shaped = googlesheets_shape(docs.where(F.col("event_type") == "track"))
     return (

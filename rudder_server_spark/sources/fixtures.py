@@ -67,6 +67,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(
+    df: DataFrame, spark: SparkSession, paths: list[str] | None = None
+) -> DataFrame:
+    """Repartition to cluster width ONLY when the scan is actually narrow.
+
+    Per-row-heavy plans (CSV renders, validation ladders, shape audits)
+    over a SINGLE small parquet file would otherwise run on 1-3 tasks
+    under a vanilla session's 128 MB split size while the other cores
+    idle; on a real multi-file/TB-scale input an unconditional
+    repartition is a pure extra full shuffle of the corpus (flagged in
+    round-8 review as fixture-tuned).
+
+    The gate must count ROW GROUPS, not split partitions: Spark assigns
+    a parquet row group to the one split covering its midpoint, so a
+    64k-row-group file under the tuned session's 1 MB split size reports
+    ~70 scan partitions of which only ~row-group-count carry rows
+    (measured: trusting getNumPartitions alone regressed the q91/q97
+    audits 1.6-3x). When ``paths`` is given, row groups come from the
+    parquet footers (a metadata read); otherwise the split count is the
+    only available signal and small counts still gate correctly.
+    """
+    want = spark.sparkContext.defaultParallelism
+    if paths:
+        # footer metadata only — and memoized, so repeated plan builds
+        # (bench re-invokes the query fn per run) don't re-read footers
+        # or pay a df.rdd plan conversion (~100-300 ms driver-side)
+        effective = 0
+        try:
+            for p in paths:
+                n = _RG_CACHE.get(p)
+                if n is None:
+                    import pyarrow.parquet as pq
+
+                    n = _RG_CACHE[p] = pq.ParquetFile(p).num_row_groups
+                effective += n
+        except Exception:
+            effective = df.rdd.getNumPartitions()
+    else:
+        effective = df.rdd.getNumPartitions()
+    # full cluster width, not half: these plans are per-row compute-bound,
+    # so 17 effective partitions on 32 cores measurably idles half the
+    # machine (unlike shuffle-bound plans where AQE coalescing evens out)
+    if effective >= want:
+        return df
+    return df.repartition(want)
+
+
+_RG_CACHE: dict[str, int] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register each fixture table as a temp view so plans can use spark.sql."""
     for name in tables:

@@ -221,3 +221,162 @@ def notifier_sweep(
         )
         .drop("_st1", "_rk")
     )
+
+
+def compaction_replay(
+    jobs: DataFrame,
+    statuses: DataFrame,
+    max_ds_size: int = 100_000,
+    pair_threshold: float = 0.05,
+    max_compact_once: int = 6,
+    max_ds_probe: int = 10,
+    terminal_states: tuple = ("succeeded", "aborted", "migrated", "filtered"),
+    ds_col: str = "ds_index",
+    job_id: str = "job_id",
+    seq: str = "status_id",
+    state_col: str = "job_state",
+    max_datasets: int = 100_000,
+):
+    """One compaction cycle over an ordered dataset list as SET OPERATIONS
+    (jobsdb/jobsdb_compaction.go, single-consumer flavor): pick the
+    eligible source datasets, copy their UNFINISHED jobs (no status row,
+    or latest status non-terminal — copyJobsInTx:518-534) plus the
+    latest status of every copied job (copyJobStatusesInTx:553-560) into
+    one new destination dataset, and drop the sources. Re-running on the
+    output never loses or duplicates a pending job — the fold is
+    idempotent on the pending set (unit-pinned).
+
+    Eligibility per dataset (checkIfCompactDS:862-967, retention knobs
+    off — they gate on wall-clock age, which a batch replay pins
+    upstream): recordsLeft = totalJobs − jobs whose latest status is
+    terminal; compact alone when recordsLeft == 0; ``needsPair`` when
+    0 < recordsLeft < pair_threshold × max_ds_size. The selection scan
+    (getCompactionList:308-407) is replayed exactly: the last dataset is
+    exempt (it is being written to), at most ``max_compact_once`` sources
+    per cycle, the copied-pending total is capped at ``max_ds_size``, a
+    needs-pair dataset WAITS for its neighbour and is dropped from
+    waiting when the neighbour is ineligible, and the scan stops at the
+    first ineligible dataset once any source was chosen (or after
+    ``max_ds_probe`` fruitless probes).
+
+    The per-dataset stats are ONE map-side-combined aggregate (dataset
+    count rows, not job rows); the selection fold runs driver-side over
+    that bounded list (raise-over-cap contract at ``max_datasets`` —
+    dataset count is corpus/max_ds_size by construction, so the collect
+    is bounded by the same knob that bounds Postgres table count in the
+    reference). The copy/drop is pure DataFrame algebra — no job-level
+    driver state.
+
+    Returns ``(jobs_out, statuses_out, report)``: the post-compaction
+    relations with ``ds_label`` (string — surviving datasets keep their
+    index's text; the destination is '<firstEligible>_c', standing in
+    for the reference's dsindex levels, jobsdb_dataset_ddl.go:20-73)
+    and a small dict report. When the selection picks sources whose
+    pending total is ZERO, the sources are dropped with NO destination
+    (doCompaction:626's pure async-drop path).
+    """
+    from pyspark.sql import Window
+
+    last = latest_status(statuses, job_id=job_id, seq=seq)
+    term = F.col(state_col).isin(list(terminal_states))
+    per_job = jobs.select(ds_col, job_id).join(
+        last.select(job_id, state_col), [job_id], "left"
+    )
+    stats = (
+        per_job.groupBy(ds_col)
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(term, 1).otherwise(0)).alias("terminal"),
+        )
+        .orderBy(ds_col)
+    )
+    rows = stats.limit(max_datasets + 1).collect()
+    if len(rows) > max_datasets:
+        raise RuntimeError(
+            f"compaction_replay: >{max_datasets} datasets — raise "
+            "max_datasets explicitly if this corpus really has that many "
+            "(dataset count is corpus/max_ds_size by construction)"
+        )
+
+    # getCompactionList replay (the selection fold, driver-side over the
+    # bounded dataset list)
+    selected: list = []
+    live = 0
+    pending = 0
+    waiting = None  # (ds, recordsLeft)
+    probes = 0
+    for i, r in enumerate(rows):
+        idx_check = i == len(rows) - 1
+        if live >= max_compact_once or pending >= max_ds_size or idx_check:
+            break
+        left = int(r["total"]) - int(r["terminal"])
+        needs_pair = 0 < left < pair_threshold * max_ds_size
+        compact = needs_pair or left == 0
+        if compact:
+            if not needs_pair:
+                selected.append(r[ds_col])
+                pending += left
+                live += 1
+            elif waiting is not None:
+                if waiting[1] + left > max_ds_size:
+                    waiting = None
+                else:
+                    selected.extend([waiting[0], r[ds_col]])
+                    pending += waiting[1] + left
+                    live += 2
+                    waiting = None
+            elif pending > 0:
+                if pending + left > max_ds_size:
+                    break
+                selected.append(r[ds_col])
+                pending += left
+                live += 1
+                waiting = None
+            else:
+                waiting = (r[ds_col], left)
+        else:
+            waiting = None
+            if live > 0:
+                break
+            if probes > max_ds_probe:
+                break
+        probes += 1
+
+    label = F.col(ds_col).cast("string").alias("ds_label")
+    if not selected:
+        return (
+            jobs.select("*", label),
+            statuses.select("*", label),
+            {"sources": [], "pending_copied": 0, "dest": None},
+        )
+
+    dest = f"{min(selected)}_c"
+    in_sel = F.col(ds_col).isin(selected)
+    survivors_j = jobs.where(~in_sel).select("*", label)
+    survivors_s = statuses.where(~in_sel).select("*", label)
+    if pending == 0:
+        # async-drop path: every job in every source is terminal — drop
+        # the sources, create nothing (doCompaction:626)
+        return survivors_j, survivors_s, {
+            "sources": selected, "pending_copied": 0, "dest": None,
+        }
+
+    # copyJobsInTx (single-consumer): latest status NULL or non-terminal
+    src_jobs = jobs.where(in_sel)
+    keep = unprocessed_jobs(
+        src_jobs, statuses.where(in_sel), job_id=job_id,
+        terminal_states=terminal_states, state_col=state_col,
+    ).select(*src_jobs.columns)
+    moved = keep.select("*", F.lit(dest).alias("ds_label"))
+    # copyJobStatusesInTx: the latest status row of every copied job
+    # (jobs with no status row contribute none)
+    moved_status = (
+        latest_status(statuses.where(in_sel), job_id=job_id, seq=seq)
+        .join(moved.select(job_id), [job_id], "left_semi")
+        .select("*", F.lit(dest).alias("ds_label"))
+    )
+    return (
+        survivors_j.unionByName(moved),
+        survivors_s.unionByName(moved_status),
+        {"sources": selected, "pending_copied": pending, "dest": dest},
+    )

@@ -57,8 +57,20 @@ def main() -> None:
     invariants = {n: qd.invariant for n, qd in load_all().items() if qd.invariant}
     failures: dict[str, str] = {}
     rows_only: dict[str, int] = {}
+    query_sec: dict[str, float] = {}
+    # per-query elapsed budget (VERDICT r8 #6): a single query running
+    # away (the r7 q104 surprise cost 277 s at sf0.01) must fail the
+    # sweep loudly, not land silently in a 20-minute artifact. sf0.01 is
+    # the driver gate; larger SFs scale the budget linearly with SF.
+    budget = float(os.environ.get("VERIFY_QUERY_BUDGET_SEC", "60"))
+    if sf_name != "sf0.01":
+        try:
+            budget *= max(float(sf_name.replace("sf", "")) / 0.01, 1.0)
+        except ValueError:
+            pass
     t0 = time.time()
     for name in sorted(queries):
+        tq = time.time()
         try:
             df = queries[name](spark, SF)
             if name not in oracles:
@@ -100,6 +112,12 @@ def main() -> None:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
             spark.catalog.clearCache()
+            query_sec[name] = round(time.time() - tq, 1)
+            if query_sec[name] > budget and name not in failures:
+                failures[name] = (
+                    f"BUDGET {query_sec[name]}s > {budget:.0f}s per-query cap"
+                )
+                print(f"{name}: BUDGET-FAIL {query_sec[name]}s", flush=True)
     out = {
         "sf": sf_name,
         "n_queries": len(queries),
@@ -107,6 +125,8 @@ def main() -> None:
         "failures": failures,
         "rows_only": rows_only,
         "elapsed_sec": round(time.time() - t0, 1),
+        "query_sec": query_sec,
+        "query_budget_sec": budget,
         # recorded so the artifact proves which driver heap the sweep ran
         # under (VERDICT r5 #7: keep every row deterministic at 1g)
         "driver_memory": spark.conf.get("spark.driver.memory", driver_mem),
