@@ -111,8 +111,21 @@ def go_csv_line(cols: list[Column]) -> Column:
 
 def _vpath(key: str) -> str:
     """Variant path for one object key, bracket-quoted so arbitrary
-    mapping keys (dots, spaces) can't break the path grammar."""
-    return '$["' + key.replace("\\", "\\\\").replace('"', '\\"') + '"]'
+    mapping keys (dots, spaces, backslashes) can't break the path
+    grammar. Spark's variant path parser takes the text between the
+    quotes RAW — no escape sequences at all (probed: '$["c\\d"]' matches
+    the key ``c\\d`` while '$["a\\"b"]' is INVALID_VARIANT_GET_PATH) —
+    so a key containing a double quote must use the single-quoted form
+    and vice versa; a key containing BOTH is unrepresentable and raises
+    here instead of failing at runtime inside codegen."""
+    if '"' not in key:
+        return '$["' + key + '"]'
+    if "'" not in key:
+        return "$['" + key + "']"
+    raise ValueError(
+        f"mapping key {key!r} contains both quote characters — "
+        "unrepresentable in Spark's variant path grammar"
+    )
 
 
 # --------------------------------------------------- admission fold (shared)

@@ -93,6 +93,67 @@ def _rendered(df: DataFrame, render_row, in_cols, extra_fields=()) -> DataFrame:
 
 # ------------------------------------------------------------------- eloqua
 
+def _group_first_anchor(
+    df: DataFrame,
+    group_cols: tuple,
+    job_id_col: str,
+    derived: list,
+) -> DataFrame:
+    """Attach per-group columns derived from the group's FIRST row (min
+    ``job_id``): one tiny aggregate finds the first ids, a broadcast
+    semi-join evaluates the derivation expressions on ONLY those rows,
+    and the per-group results broadcast back. The r8 shape ran the
+    derivations as window expressions — which evaluates them (JSON
+    parses, json_object_keys) on EVERY row and shuffles the corpus to
+    group-count partitions twice (measured ~2x of the eloqua audit's
+    cost). Here the corpus never shuffles at all.
+
+    ``derived``: list of (name, Column) evaluated against the first rows.
+    NULL group keys join null-safely (they form their own group, same as
+    a window partition would).
+    """
+    from functools import reduce
+
+    gcols = list(group_cols)
+    firsts = (
+        df.groupBy(*[F.col(c) for c in gcols]).agg(
+            F.min(job_id_col).alias("__first_id")
+        )
+        if gcols
+        else df.agg(F.min(job_id_col).alias("__first_id"))
+    )
+    if gcols:
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__fa_l.{c}").eqNullSafe(F.col(f"__fa_r.{c}")) for c in gcols],
+        ) & (F.col(f"__fa_l.{job_id_col}") == F.col("__fa_r.__first_id"))
+        first_rows = (
+            df.alias("__fa_l")
+            .join(F.broadcast(firsts).alias("__fa_r"), cond, "inner")
+            .select([F.col(f"__fa_l.{c}") for c in df.columns])
+        )
+        anchor = first_rows.select(
+            *gcols, *[expr.alias(name) for name, expr in derived]
+        )
+        back = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__fb_l.{c}").eqNullSafe(F.col(f"__fb_r.{c}")) for c in gcols],
+        )
+        return (
+            df.alias("__fb_l")
+            .join(F.broadcast(anchor).alias("__fb_r"), back, "left")
+            .select(
+                *[F.col(f"__fb_l.{c}") for c in df.columns],
+                *[F.col(f"__fb_r.{name}") for name, _ in derived],
+            )
+        )
+    first_rows = df.join(
+        F.broadcast(firsts), F.col(job_id_col) == F.col("__first_id"), "inner"
+    ).select(df.columns)
+    anchor = first_rows.select(*[expr.alias(name) for name, expr in derived])
+    return df.crossJoin(F.broadcast(anchor))
+
+
 def eloqua_csv_rows(
     jobs: DataFrame,
     payload_col: str = "payload",
@@ -116,28 +177,31 @@ def eloqua_csv_rows(
     mtype = F.get_json_object(p, "$.message.type")
     obj_id = F.get_json_object(p, "$.message.customObjectId")
 
-    gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
-    first_w = gw.orderBy(job_id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     # the first job's family gate + header (document key order — the
-    # reference's Go map iteration is random here, see module docstring)
+    # reference's Go map iteration is random here, see module docstring).
+    # Derived on ONLY the first row per group and broadcast back — the
+    # window form evaluated these parses on every row and shuffled the
+    # corpus twice (see _group_first_anchor).
     valid_first = (
         ((mtype == "track") & (obj_id != "") & obj_id.isNotNull())
         | ((mtype == "identify") & (obj_id == "contacts"))
     )
-    anchored = jobs.select(
-        "*",
-        F.first(F.when(valid_first, F.json_object_keys(F.get_json_object(p, "$.message.data")))).over(first_w).alias("_hdr0"),
-        F.first(F.when(~valid_first, F.lit("unable to find event format"))).over(
-            first_w
-        ).alias("_gerr0"),
+    anchored = _group_first_anchor(
+        jobs, tuple(group_cols), job_id_col,
+        [
+            (
+                "headers",
+                F.when(
+                    valid_first,
+                    F.json_object_keys(F.get_json_object(p, "$.message.data")),
+                ),
+            ),
+            (
+                "group_error",
+                F.when(~valid_first, F.lit("unable to find event format")),
+            ),
+        ],
     )
-    # propagate the FIRST row's verdict to the whole group
-    whole = gw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    anchored = anchored.select(
-        "*",
-        F.first("_hdr0", ignorenulls=True).over(whole).alias("headers"),
-        F.max("_gerr0").over(whole).alias("group_error"),
-    ).drop("_hdr0", "_gerr0")
 
     def render(headers, payload):
         # only string-typed values survive; the literal "null" string and
@@ -178,6 +242,7 @@ def eloqua_csv_rows(
     with_line = with_line.withColumn(
         "_row_bytes", F.octet_length("csv_line") + F.lit(2)
     )
+    gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
     order_w = gw.orderBy(job_id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     bytes_before = (
         F.octet_length("_header_line") + F.lit(2)
@@ -348,15 +413,14 @@ def sftp_csv_rows(
     (absent key → "<nil>"), with the record's ``message.action`` spliced
     into the fields. Output: + ``headers``, ``csv_line``."""
     p = F.col(payload_col)
-    gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
-    first_w = gw.orderBy(job_id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    whole = gw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # header from ONLY the first record per group, broadcast back — see
+    # _group_first_anchor (the window form parsed every row's fields)
     hdr0 = F.array_append(
         F.json_object_keys(F.get_json_object(p, "$.message.fields")), F.lit("action")
     )
-    anchored = jobs.select(
-        "*", F.first(hdr0).over(first_w).alias("_h0")
-    ).select("*", F.first("_h0", ignorenulls=True).over(whole).alias("headers")).drop("_h0")
+    anchored = _group_first_anchor(
+        jobs, tuple(group_cols), job_id_col, [("headers", hdr0)]
+    )
     if sort_column_names:
         anchored = anchored.withColumn("headers", F.array_sort("headers"))
 
@@ -473,17 +537,14 @@ def yandex_csv_rows(
         jobs, extract, (payload_col,),
         ("_rid", "_hdr", "_target", "_dt", "_price", "_cur"),
     )
-    gw = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
-    first_w = gw.orderBy(job_id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    whole = gw.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     # the FIRST message must yield a usable (present AND string) id, else
-    # the whole group aborts — getID's error path, not just a skip
-    anchored = extracted.select(
-        "*",
-        F.first(F.coalesce(F.col("_hdr"), F.lit("_missing"))).over(first_w).alias("_h0"),
-    ).select(
-        "*", F.first("_h0", ignorenulls=True).over(whole).alias("id_header")
-    ).drop("_h0")
+    # the whole group aborts — getID's error path, not just a skip.
+    # Anchored from only the first row per group (see _group_first_anchor;
+    # the window form shuffled the extracted frame twice)
+    anchored = _group_first_anchor(
+        extracted, tuple(group_cols), job_id_col,
+        [("id_header", F.coalesce(F.col("_hdr"), F.lit("_missing")))],
+    )
     target = F.when(F.col("_target") != "", F.col("_target")).otherwise(F.lit(goal_id))
     line = go_csv_line(
         [F.col("_rid"), target, F.col("_dt"), F.col("_price"), F.col("_cur")]

@@ -423,3 +423,45 @@ def test_sequential_accept_count_cap_window_path(spark):
     ]:
         want = ref(sizes, skips, 100, 2)
         assert [got[(g, i + 1)] for i in range(len(sizes))] == want, g
+
+
+def test_vpath_escaped_keys_resolve(spark):
+    """_vpath escaping pin (r8 review ask): mapping keys containing a
+    double quote or a backslash must still resolve through Spark's
+    variant path parser — if the bracket-quoted escape were rejected,
+    try_variant_get would return NULL and the cell would silently render
+    ''."""
+    import json
+
+    from rudder_server_spark.operators.provider_uploads import marketo_csv_rows
+
+    key_q = 'a"b'
+    key_b = "c\\d"
+    payload = json.dumps({key_q: "vq", key_b: "vb", "plain": "vp"})
+    jobs = spark.createDataFrame(
+        [(1, payload)], "job_id long, payload string"
+    )
+    out = marketo_csv_rows(
+        jobs,
+        [{"from": key_q, "to": key_q}, {"from": key_b, "to": key_b},
+         {"from": "plain", "to": "plain"}],
+    ).collect()
+    assert out[0]["csv_line"] == "vq,vb,vp"
+
+
+def test_duplicate_json_keys_render_empty_documented(spark):
+    """Documented divergence pin (r8 review ask): try_parse_json rejects
+    duplicate JSON object keys, so EVERY field of such a payload renders
+    '' — where Go's gjson would return the first value. This test pins
+    the chosen behavior so a silent change (either way) is caught."""
+    from rudder_server_spark.operators.provider_uploads import marketo_csv_rows
+
+    jobs = spark.createDataFrame(
+        [(1, '{"email":"first@x.io","email":"second@x.io","name":"n"}')],
+        "job_id long, payload string",
+    )
+    out = marketo_csv_rows(
+        jobs, [{"from": "email", "to": "email"}, {"from": "name", "to": "name"}]
+    ).collect()
+    assert out[0]["csv_line"] == ","  # all cells empty: doc rejected whole
+    assert out[0]["accepted"]  # rejection affects rendering, not admission
