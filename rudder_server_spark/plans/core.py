@@ -2795,9 +2795,12 @@ def q84(spark, sf):
     jobs = e.select(
         F.col("event_id").alias("job_id"), "ts", dest.alias("destination_id")
     )
+    # one evaluation of the batching window: the poll's distinct-uploads
+    # subtree and the finalize join-back both read the checkpoint instead
+    # of re-running the (dest, window) exchange + row_number
     batched = A.assign_upload_batches(
         jobs, upload_window="day", max_events_per_file=500
-    )
+    ).localCheckpoint(eager=False)
     uploads = batched.select("upload_id").distinct()
     poll = A.simulate_poll(uploads)
     finalized = A.finalize_job_statuses(batched, poll)
@@ -3882,7 +3885,9 @@ def q100(spark, sf):
         eid.alias("job_id"), tbl.alias("table"), rid.alias("id"),
         F.octet_length(data).alias("data_bytes"),
     )
-    split = SP.split_insert_requests(events, 5000)
+    # the split fold feeds four subtrees (dispositions, upload infos,
+    # dup stats, finalize) — evaluate its window once
+    split = SP.split_insert_requests(events, 5000).localCheckpoint(eager=False)
     inc = split.where(F.col("disposition") == "included")
     infos = SP.upload_infos(inc)
     statuses = infos.where(F.col("table") != "IDENTIFIES").select(
