@@ -556,10 +556,16 @@ def bingads_audience_rows(
         "array<struct<email string, hashedEmail string>>",
     )
     # accepted jobs explode to member rows; rejected/invalid jobs keep one
-    # NULL-member row with their error (kept-with-status, no union)
+    # NULL-member row with their error (kept-with-status, no union).
+    # posexplode: ``member_index`` lets downstream audits count JOBS as
+    # sum(member_index == 0) instead of a countDistinct — a mixed
+    # DISTINCT + plain aggregate plans an Expand that doubles the corpus
+    # (SCALE.md house rule)
     exploded = folded.select(
         "*",
-        F.explode_outer(F.when(F.col("accepted"), users)).alias("_u"),
+        F.posexplode_outer(F.when(F.col("accepted"), users)).alias(
+            "member_index", "_u"
+        ),
     )
     member = F.col("_u").isNotNull()
     return (

@@ -91,6 +91,195 @@ def _rendered(df: DataFrame, render_row, in_cols, extra_fields=()) -> DataFrame:
     return df.mapInPandas(gen, out_schema)
 
 
+# ----------------------------------------------------- per-row render logic
+# Each factory returns a SELF-CONTAINED closure (cloudpickled by value —
+# the returned function's qualname is not importable, so workers never
+# need this package on sys.path). The per-provider operators use them
+# individually; the fused q102 audit composes all four inside ONE
+# mapInPandas pass (one Arrow exchange instead of four).
+
+def eloqua_render():
+    """createCSVFile cell semantics (eloqua/utils.go:95-110): only
+    string-typed values survive; the literal "null" string and
+    non-strings render ''. Returns (csv_line, header_line)."""
+
+    def render(headers, payload):
+        import json as _json
+
+        def _esc(s):
+            if s == "":
+                return s
+            if (
+                s == "\\."
+                or any(ch in s for ch in (',', '"', '\r', '\n'))
+                or s[0].isspace()
+            ):
+                return '"' + s.replace('"', '""') + '"'
+            return s
+
+        if headers is None:
+            return (None, None)
+        try:
+            d = _json.loads(payload).get("message", {}).get("data", {})
+        except Exception:
+            d = {}
+        if not isinstance(d, dict):
+            d = {}
+        cells = []
+        for h in headers:
+            v = d.get(h)
+            cells.append(v if isinstance(v, str) and v != "null" else "")
+        return (
+            ",".join(_esc(c) for c in cells),
+            ",".join(_esc(h) for h in headers),
+        )
+
+    return render
+
+
+def salesforce_render(external_id_field: str):
+    """FormatCSVValue cells (common/utils.go:34-57): nil → '', strings
+    raw, floats via shortest non-scientific form, composites as compact
+    JSON (Go marshals map keys sorted). Returns (csv_line, ext_val)."""
+    _ext = str(external_id_field)
+
+    def render(headers, payload):
+        import json as _json
+
+        def _esc(s):
+            if s == "":
+                return s
+            if (
+                s == "\\."
+                or any(ch in s for ch in (',', '"', '\r', '\n'))
+                or s[0].isspace()
+            ):
+                return '"' + s.replace('"', '""') + '"'
+            return s
+
+        def fmt(v):
+            if v is None:
+                return ""
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, float):
+                s = repr(v)
+                if "e" in s or "E" in s:
+                    s = format(v, "f").rstrip("0").rstrip(".")
+                return s[:-2] if s.endswith(".0") else s
+            if isinstance(v, (list, dict)):
+                return _json.dumps(v, separators=(",", ":"), sort_keys=True)
+            return str(v)
+
+        try:
+            msg = _json.loads(payload).get("message", {})
+        except Exception:
+            msg = {}
+        if not isinstance(msg, dict):
+            msg = {}
+        hs = [] if headers is None else list(headers)
+        line = ",".join(_esc(fmt(msg.get(h))) for h in hs)
+        return (line, fmt(msg.get(_ext)))
+
+    return render
+
+
+def sftp_render():
+    """generateCSVFile cells (sftp/utils.go:183-185): Go fmt "%v" — a
+    missing key is a nil interface → '<nil>'; bools print true/false;
+    composites via compact JSON (documented divergence from Go's
+    map-print form). Returns (csv_line,)."""
+
+    def render(headers, payload):
+        import json as _json
+
+        def _esc(s):
+            if s == "":
+                return s
+            if (
+                s == "\\."
+                or any(ch in s for ch in (',', '"', '\r', '\n'))
+                or s[0].isspace()
+            ):
+                return '"' + s.replace('"', '""') + '"'
+            return s
+
+        def gov(v):
+            if v is None:
+                return "<nil>"
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, float):
+                s = repr(v)
+                return s[:-2] if s.endswith(".0") else s
+            if isinstance(v, (list, dict)):
+                return _json.dumps(v, separators=(",", ":"), sort_keys=True)
+            return str(v)
+
+        try:
+            msg = _json.loads(payload).get("message", {})
+        except Exception:
+            msg = {}
+        fields = msg.get("fields") if isinstance(msg, dict) else {}
+        if not isinstance(fields, dict):
+            fields = {}
+        fields = dict(fields)
+        fields["action"] = msg.get("action") if isinstance(msg, dict) else None
+        hs = [] if headers is None else list(headers)
+        return (",".join(_esc(gov(fields.get(h))) for h in hs),)
+
+    return render
+
+
+def yandex_extract():
+    """generateCSVFromJSON field extraction (yandexmetrica.go:129-205):
+    id priority ClientId > Yclid > UserId with present-AND-string typing,
+    non-scientific Price. Returns (rid, hdr, target, dt, price, cur)."""
+
+    def extract(payload):
+        import json as _json
+
+        try:
+            msg = _json.loads(payload).get("message", {})
+        except Exception:
+            msg = {}
+        if not isinstance(msg, dict):
+            msg = {}
+        rid, hdr = None, None
+        for field in ("ClientId", "Yclid", "UserId"):
+            v = msg.get(field)
+            if v is not None:
+                # ID(): first PRESENT field decides; getID rejects
+                # non-strings (the row errors, no fallthrough)
+                if isinstance(v, str):
+                    rid, hdr = v, field
+                break
+        price = msg.get("Price")
+        if isinstance(price, bool) or not isinstance(price, (int, float)):
+            price_s = "0"
+        elif isinstance(price, int):
+            price_s = str(price)
+        else:
+            s = repr(price)
+            price_s = s[:-2] if s.endswith(".0") else s
+        tgt = msg.get("Target")
+        dt = msg.get("DateTime")
+        cur = msg.get("Currency")
+        return (
+            rid, hdr,
+            tgt if isinstance(tgt, str) else "",
+            dt if isinstance(dt, str) else "",
+            price_s,
+            cur if isinstance(cur, str) else "",
+        )
+
+    return extract
+
+
 # ------------------------------------------------------------------- eloqua
 
 def _group_first_anchor(
@@ -203,38 +392,7 @@ def eloqua_csv_rows(
         ],
     )
 
-    def render(headers, payload):
-        # only string-typed values survive; the literal "null" string and
-        # non-strings render "" (utils.go:95-101)
-        import json as _json
-
-        def _esc(s):
-            if s == "":
-                return s
-            if (
-                s == "\\."
-                or any(ch in s for ch in (',', '"', '\r', '\n'))
-                or s[0].isspace()
-            ):
-                return '"' + s.replace('"', '""') + '"'
-            return s
-
-        if headers is None:
-            return (None, None)
-        try:
-            d = _json.loads(payload).get("message", {}).get("data", {})
-        except Exception:
-            d = {}
-        if not isinstance(d, dict):
-            d = {}
-        cells = []
-        for h in headers:
-            v = d.get(h)
-            cells.append(v if isinstance(v, str) and v != "null" else "")
-        return (
-            ",".join(_esc(c) for c in cells),
-            ",".join(_esc(h) for h in headers),
-        )
+    render = eloqua_render()
 
     with_line = _rendered(
         anchored, render, ("headers", payload_col), ("csv_line", "_header_line")
@@ -299,50 +457,7 @@ def salesforce_csv_rows(
     if not group_cols:
         with_hdr = with_hdr.drop("__g")
 
-    _ext = str(external_id_field)
-
-    def render(headers, payload):
-        # FormatCSVValue (common/utils.go:34-57): nil → "", strings raw,
-        # floats via shortest non-scientific form, composites as compact
-        # JSON (Go marshals map keys sorted)
-        import json as _json
-
-        def _esc(s):
-            if s == "":
-                return s
-            if (
-                s == "\\."
-                or any(ch in s for ch in (',', '"', '\r', '\n'))
-                or s[0].isspace()
-            ):
-                return '"' + s.replace('"', '""') + '"'
-            return s
-
-        def fmt(v):
-            if v is None:
-                return ""
-            if isinstance(v, str):
-                return v
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, float):
-                s = repr(v)
-                if "e" in s or "E" in s:
-                    s = format(v, "f").rstrip("0").rstrip(".")
-                return s[:-2] if s.endswith(".0") else s
-            if isinstance(v, (list, dict)):
-                return _json.dumps(v, separators=(",", ":"), sort_keys=True)
-            return str(v)
-
-        try:
-            msg = _json.loads(payload).get("message", {})
-        except Exception:
-            msg = {}
-        if not isinstance(msg, dict):
-            msg = {}
-        hs = [] if headers is None else list(headers)
-        line = ",".join(_esc(fmt(msg.get(h))) for h in hs)
-        return (line, fmt(msg.get(_ext)))
+    render = salesforce_render(external_id_field)
 
     rendered = _rendered(
         with_hdr, render, ("headers", payload_col), ("csv_line", "_ext_val")
@@ -424,48 +539,7 @@ def sftp_csv_rows(
     if sort_column_names:
         anchored = anchored.withColumn("headers", F.array_sort("headers"))
 
-    def render(headers, payload):
-        # Go fmt "%v" cells (sftp utils.go:183-185): a missing key is a
-        # nil interface → "<nil>"; bools print true/false; composites via
-        # compact JSON (documented divergence from Go's map-print form)
-        import json as _json
-
-        def _esc(s):
-            if s == "":
-                return s
-            if (
-                s == "\\."
-                or any(ch in s for ch in (',', '"', '\r', '\n'))
-                or s[0].isspace()
-            ):
-                return '"' + s.replace('"', '""') + '"'
-            return s
-
-        def gov(v):
-            if v is None:
-                return "<nil>"
-            if isinstance(v, str):
-                return v
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, float):
-                s = repr(v)
-                return s[:-2] if s.endswith(".0") else s
-            if isinstance(v, (list, dict)):
-                return _json.dumps(v, separators=(",", ":"), sort_keys=True)
-            return str(v)
-
-        try:
-            msg = _json.loads(payload).get("message", {})
-        except Exception:
-            msg = {}
-        fields = msg.get("fields") if isinstance(msg, dict) else {}
-        if not isinstance(fields, dict):
-            fields = {}
-        fields = dict(fields)
-        fields["action"] = msg.get("action") if isinstance(msg, dict) else None
-        hs = [] if headers is None else list(headers)
-        return (",".join(_esc(gov(fields.get(h))) for h in hs),)
+    render = sftp_render()
 
     return _rendered(anchored, render, ("headers", payload_col), ("csv_line",))
 
@@ -496,42 +570,7 @@ def yandex_csv_rows(
     # ran interpreted (measured 17.8 s at sf0.1); a Python json pass is
     # ~20x cheaper and matches Go's unmarshal exactly (explicit JSON null
     # and absent both land as nil `any`).
-    def extract(payload):
-        import json as _json
-
-        try:
-            msg = _json.loads(payload).get("message", {})
-        except Exception:
-            msg = {}
-        if not isinstance(msg, dict):
-            msg = {}
-        rid, hdr = None, None
-        for field in ("ClientId", "Yclid", "UserId"):
-            v = msg.get(field)
-            if v is not None:
-                # ID(): first PRESENT field decides; getID rejects
-                # non-strings (the row errors, no fallthrough)
-                if isinstance(v, str):
-                    rid, hdr = v, field
-                break
-        price = msg.get("Price")
-        if isinstance(price, bool) or not isinstance(price, (int, float)):
-            price_s = "0"
-        elif isinstance(price, int):
-            price_s = str(price)
-        else:
-            s = repr(price)
-            price_s = s[:-2] if s.endswith(".0") else s
-        tgt = msg.get("Target")
-        dt = msg.get("DateTime")
-        cur = msg.get("Currency")
-        return (
-            rid, hdr,
-            tgt if isinstance(tgt, str) else "",
-            dt if isinstance(dt, str) else "",
-            price_s,
-            cur if isinstance(cur, str) else "",
-        )
+    extract = yandex_extract()
 
     extracted = _rendered(
         jobs, extract, (payload_col,),

@@ -3543,7 +3543,7 @@ def q98(spark, sf):
         group_cols=("upload_day",),
     ).select(
         F.lit("marketo").alias("provider"), F.lit("").alias("action"),
-        F.col("job_id"), F.col("csv_line"),
+        F.lit(1).alias("job_first"), F.col("csv_line"),
         (~F.col("accepted")).alias("failed"), F.col("data_hash").alias("hash"),
     )
 
@@ -3570,7 +3570,12 @@ def q98(spark, sf):
         "aud-1", group_cols=("upload_day",),
     ).select(
         F.lit("bingads_audience").alias("provider"), F.col("action"),
-        F.col("job_id"), F.col("csv_line"),
+        # one weight per JOB: its first member row, or its single
+        # rejected/NULL-member row
+        F.when(
+            F.col("member_index").isNull() | (F.col("member_index") == 0), 1
+        ).otherwise(0).alias("job_first"),
+        F.col("csv_line"),
         (F.col("error").isNotNull() | ~F.col("accepted")).alias("failed"),
         F.lit(None).cast("string").alias("hash"),
     )
@@ -3605,7 +3610,7 @@ def q98(spark, sf):
         is_hash_required=True, group_cols=("upload_day",),
     ).select(
         F.lit("bingads_offline").alias("provider"), F.col("action"),
-        F.col("job_id"), F.col("csv_line"),
+        F.lit(1).alias("job_first"), F.col("csv_line"),
         (F.col("error").isNotNull() | ~F.col("accepted")).alias("failed"),
         F.lit(None).cast("string").alias("hash"),
     )
@@ -3623,16 +3628,19 @@ def q98(spark, sf):
         group_cols=("upload_day",),
     ).select(
         F.lit("lytics").alias("provider"), F.lit("").alias("action"),
-        F.col("job_id"), F.col("csv_line"),
+        F.lit(1).alias("job_first"), F.col("csv_line"),
         (~F.col("accepted")).alias("failed"),
         F.lit(None).cast("string").alias("hash"),
     )
 
     allp = mk.unionByName(aud).unionByName(off).unionByName(ly)
+    # n_jobs as a SUM of per-job first-row weights, not countDistinct: a
+    # mixed distinct + plain aggregate plans an Expand that doubles the
+    # unioned corpus before the shuffle (SCALE.md house rule)
     return (
         allp.groupBy("provider", "action")
         .agg(
-            F.countDistinct("job_id").alias("n_jobs"),
+            F.sum("job_first").cast("long").alias("n_jobs"),
             F.count("csv_line").alias("n_rows"),
             F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
             F.min("csv_line").alias("min_line"),
@@ -4230,28 +4238,30 @@ def q101(spark, sf):
     tags=("rudder", "router"),
 )
 def q102(spark, sf):
-    from rudder_server_spark.operators import provider_uploads2 as P2
+    from rudder_server_spark.operators.provider_uploads import go_csv_line
+    from rudder_server_spark.operators.provider_uploads2 import (
+        eloqua_render,
+        salesforce_render,
+        sftp_render,
+        yandex_extract,
+    )
 
-    # single-file fixture → fan the per-row CSV/ladder work across cores
-    # (see q98); persist: five provider branches share the narrow base
-    e = fan_out(
-        load_table(spark, sf, "events").select(
-            "event_id", "user_id", "ts", "event_type"
-        ),
-        spark,
-        paths=[os.path.join(sf, "events.parquet")],
-    ).persist()
+    # FUSED single-pass audit (the q91/q96 chaining pattern applied to the
+    # Python-rendered providers): the r8 shape ran FOUR separate
+    # mapInPandas passes over a persisted base — four Arrow exchanges,
+    # four cache scans, ~8 shuffles, then a 4-way union. Here the four
+    # provider documents are built in ONE projection, per-group headers
+    # come from ONE tiny aggregate (+ first-row derivations on group-count
+    # rows), every provider's per-row render (the SAME closures the
+    # individual operators use) runs in ONE Arrow pass, and ONE grouped
+    # aggregate + stack unpivots to the audit rows. The per-provider
+    # operators (eloqua_csv_rows etc.) keep their own admission/group-
+    # error surface and unit coverage; this audit pins the rendered
+    # values and hashes end-to-end.
     eid, uid = F.col("event_id"), F.col("user_id").cast("string")
-    day = F.to_date("ts").alias("bday")
     s = lambda c: c.cast("string")  # noqa: E731
     email = F.concat(F.lit("u"), uid, F.lit("@example.com"))
-    nulls = (F.lit(None).cast("string").alias("min_hash"),
-             F.lit(None).cast("string").alias("max_hash"))
 
-    # ---- eloqua: track/orders docs with a FIXED key set, so every
-    # group's first-event header is (email, qty, note); qty carries a
-    # non-string for eid%3=0 and note the literal "null" for eid%7=0 —
-    # both must render "" (string-only cell semantics)
     elq_doc = F.concat(
         F.lit('{"message":{"type":"track","customObjectId":"orders",'
               '"identifierFieldName":"email","data":{"email":"'),
@@ -4263,18 +4273,6 @@ def q102(spark, sf):
         F.when(eid % 7 == 0, F.lit('"null"')).otherwise(F.lit('"n"')),
         F.lit("}}}"),
     )
-    elq = P2.eloqua_csv_rows(
-        e.select(eid.alias("job_id"), day, elq_doc.alias("payload")),
-        group_cols=("bday",),
-    )
-    elq_a = elq.groupBy("bday").agg(
-        F.count("*").alias("n_rows"),
-        F.lit(0).cast("long").alias("n_out"),
-        F.min("csv_line").alias("min_line"),
-        F.max("csv_line").alias("max_line"),
-    ).select(F.lit("eloqua").alias("provider"), "*", *nulls)
-
-    # ---- salesforce: varying key sets → sorted-union header per day
     sf_doc = F.concat(
         F.lit('{"message":{"Email":"'), email, F.lit('","Amount":'), s(eid % 100),
         F.when(eid % 4 == 0,
@@ -4283,22 +4281,6 @@ def q102(spark, sf):
         F.when(eid % 5 == 0, F.lit(',"Plan":"pro"')).otherwise(F.lit("")),
         F.lit("}}"),
     )
-    sfr = P2.salesforce_csv_rows(
-        e.select(eid.alias("job_id"), day, sf_doc.alias("payload")),
-        external_id_field="Email", group_cols=("bday",),
-    )
-    sf_a = sfr.groupBy("bday").agg(
-        F.count("*").alias("n_rows"),
-        F.lit(0).cast("long").alias("n_out"),
-        F.min("csv_line").alias("min_line"),
-        F.max("csv_line").alias("max_line"),
-        F.min("external_id_hash").alias("min_hash"),
-        F.max("external_id_hash").alias("max_hash"),
-    ).select(F.lit("salesforce").alias("provider"), "*")
-
-    # ---- sftp: fields (email, score) + action; score key PRESENT with
-    # JSON null for eid%6=0 so the header is stable per group and the
-    # cell renders Go's "%v" of nil ("<nil>")
     sftp_doc = F.concat(
         F.lit('{"message":{"action":"'),
         F.when(eid % 3 == 0, "insert").when(eid % 3 == 1, "update").otherwise("delete"),
@@ -4306,20 +4288,6 @@ def q102(spark, sf):
         F.when(eid % 6 == 0, F.lit("null")).otherwise(s(eid % 50)),
         F.lit("}}}"),
     )
-    sfp = P2.sftp_csv_rows(
-        e.select(eid.alias("job_id"), day, sftp_doc.alias("payload")),
-        group_cols=("bday",),
-    )
-    sfp_a = sfp.groupBy("bday").agg(
-        F.count("*").alias("n_rows"),
-        F.lit(0).cast("long").alias("n_out"),
-        F.min("csv_line").alias("min_line"),
-        F.max("csv_line").alias("max_line"),
-    ).select(F.lit("sftp").alias("provider"), "*", *nulls)
-
-    # ---- yandex: id field rotates by eid%3; eid%11=0 carries a NUMERIC
-    # id (getID error) — mid-group it skips the row, on the group's FIRST
-    # row it aborts the whole day (oracle mirrors via min-eid)
     ym_id = F.concat(
         F.when(eid % 3 == 0, "c-").when(eid % 3 == 1, "y-").otherwise("us-"), s(eid)
     )
@@ -4344,20 +4312,139 @@ def q102(spark, sf):
         ),
         F.lit(',"Currency":"RUB"}}'),
     )
-    ym = P2.yandex_csv_rows(
-        e.select(eid.alias("job_id"), day, ym_doc.alias("payload")),
-        goal_id="g-default", group_cols=("bday",),
-    )
-    failed = F.col("group_error").isNotNull()
-    ym_a = ym.groupBy("bday").agg(
-        F.sum(F.when(~failed & ~F.col("skipped"), 1).otherwise(0)).alias("n_rows"),
-        F.sum(F.when(failed | F.col("skipped"), 1).otherwise(0)).alias("n_out"),
-        F.min(F.when(~failed, F.col("csv_line"))).alias("min_line"),
-        F.max(F.when(~failed, F.col("csv_line"))).alias("max_line"),
-    ).select(F.lit("yandex").alias("provider"), "*", *nulls)
 
+    docs = fan_out(
+        load_table(spark, sf, "events").select("event_id", "user_id", "ts", "event_type"),
+        spark,
+        paths=[os.path.join(sf, "events.parquet")],
+    ).select(
+        eid.alias("job_id"),
+        F.to_date("ts").alias("bday"),
+        elq_doc.alias("_elq"),
+        sf_doc.alias("_sfd"),
+        sftp_doc.alias("_sfp"),
+        ym_doc.alias("_ym"),
+        # salesforce header = sorted union of every row's message keys —
+        # per-row by construction, feeds the one header aggregate
+        F.json_object_keys(F.get_json_object(sf_doc, "$.message")).alias("_sfk"),
+    )
+
+    # ONE header aggregate: first job id per day (for the eloqua/sftp
+    # first-event headers) + the salesforce sorted-union header
+    agg1 = docs.groupBy("bday").agg(
+        F.min("job_id").alias("_fid"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("_sfk"))))
+        .alias("_sf_hdr"),
+    )
+    first_rows = (
+        docs.alias("__d")
+        .join(
+            F.broadcast(agg1.select("bday", "_fid")).alias("__a"),
+            (F.col("__d.bday") == F.col("__a.bday"))
+            & (F.col("__d.job_id") == F.col("__a._fid")),
+        )
+        .select(F.col("__d.bday").alias("bday"), "__d._elq", "__d._sfp")
+    )
+    mtype = F.get_json_object(F.col("_elq"), "$.message.type")
+    obj_id = F.get_json_object(F.col("_elq"), "$.message.customObjectId")
+    valid_first = (
+        ((mtype == "track") & (obj_id != "") & obj_id.isNotNull())
+        | ((mtype == "identify") & (obj_id == "contacts"))
+    )
+    firsts = first_rows.select(
+        "bday",
+        F.when(
+            valid_first,
+            F.json_object_keys(F.get_json_object(F.col("_elq"), "$.message.data")),
+        ).alias("_elq_hdr"),
+        F.array_append(
+            F.json_object_keys(F.get_json_object(F.col("_sfp"), "$.message.fields")),
+            F.lit("action"),
+        ).alias("_sftp_hdr"),
+    )
+    hdr = agg1.select("bday", "_sf_hdr").join(firsts, "bday")
+    joined = docs.drop("_sfk").join(F.broadcast(hdr), "bday")
+
+    # ONE Arrow pass composing the four providers' own render closures
+    elq_r, sf_r = eloqua_render(), salesforce_render("Email")
+    sftp_r, ym_x = sftp_render(), yandex_extract()
+
+    def fused(elq_hdr, elq, sf_hdr, sfd, sftp_hdr, sfp, ym):
+        elq_line, _ = elq_r(elq_hdr, elq)
+        sf_line, sf_ext = sf_r(sf_hdr, sfd)
+        (sftp_line,) = sftp_r(sftp_hdr, sfp)
+        rid, hdr_, tgt, dt, price, cur = ym_x(ym)
+        return (elq_line, sf_line, sf_ext, sftp_line, rid, hdr_, tgt, dt, price, cur)
+
+    from rudder_server_spark.operators.provider_uploads2 import _rendered
+
+    rendered = _rendered(
+        joined,
+        fused,
+        ("_elq_hdr", "_elq", "_sf_hdr", "_sfd", "_sftp_hdr", "_sfp", "_ym"),
+        ("_elq_line", "_sf_line", "_sf_ext", "_sftp_line",
+         "_ym_rid", "_ym_hdr", "_ym_tgt", "_ym_dt", "_ym_price", "_ym_cur"),
+    )
+    target = F.when(F.col("_ym_tgt") != "", F.col("_ym_tgt")).otherwise(
+        F.lit("g-default")
+    )
+    ym_line = F.when(
+        F.col("_ym_rid").isNotNull(),
+        go_csv_line(
+            [F.col("_ym_rid"), target, F.col("_ym_dt"),
+             F.col("_ym_price"), F.col("_ym_cur")]
+        ),
+    )
+    shaped = rendered.select(
+        "bday", "job_id", "_elq_line", "_sf_line", "_sftp_line",
+        F.sha2(F.col("_sf_ext"), 256).alias("_sf_hash"),
+        F.col("_ym_rid").isNull().alias("_ym_skip"),
+        F.col("_ym_hdr").isNull().alias("_ym_bad"),
+        ym_line.alias("_ym_line"),
+    )
+
+    cnt = F.count("*").cast("long")
+    agg = shaped.groupBy("bday").agg(
+        cnt.alias("n"),
+        F.min("_elq_line").alias("e_min"), F.max("_elq_line").alias("e_max"),
+        F.min("_sf_line").alias("s_min"), F.max("_sf_line").alias("s_max"),
+        F.min("_sf_hash").alias("h_min"), F.max("_sf_hash").alias("h_max"),
+        F.min("_sftp_line").alias("p_min"), F.max("_sftp_line").alias("p_max"),
+        # first message's id invalid -> whole day aborts (getID error on
+        # ymMsgsBody[0]); min_by picks the first row's verdict
+        F.min_by("_ym_bad", "job_id").alias("y_failed"),
+        F.sum(F.when(~F.col("_ym_skip"), 1).otherwise(0)).cast("long").alias("y_valid"),
+        F.sum(F.when(F.col("_ym_skip"), 1).otherwise(0)).cast("long").alias("y_skip"),
+        F.min("_ym_line").alias("y_min"), F.max("_ym_line").alias("y_max"),
+    )
+    nulls = "CAST(NULL AS STRING)"
+    yf = F.col("y_failed")
+    agg = agg.select(
+        "*",
+        F.when(yf, F.lit(0).cast("long")).otherwise(F.col("y_valid")).alias("y_rows"),
+        F.when(yf, F.col("n")).otherwise(F.col("y_skip")).alias("y_out"),
+        F.when(~yf, F.col("y_min")).alias("y_minl"),
+        F.when(~yf, F.col("y_max")).alias("y_maxl"),
+    )
     return (
-        elq_a.unionByName(sf_a).unionByName(sfp_a).unionByName(ym_a)
+        agg.select(
+            "bday",
+            F.expr(
+                "stack(4, "
+                "'eloqua', n, CAST(0 AS BIGINT), e_min, e_max, "
+                f"{nulls}, {nulls}, "
+                "'salesforce', n, CAST(0 AS BIGINT), s_min, s_max, h_min, h_max, "
+                "'sftp', n, CAST(0 AS BIGINT), p_min, p_max, "
+                f"{nulls}, {nulls}, "
+                "'yandex', y_rows, y_out, y_minl, y_maxl, "
+                f"{nulls}, {nulls}"
+                ") AS (provider, n_rows, n_out, min_line, max_line, min_hash, max_hash)"
+            ),
+        )
+        .select(
+            "provider", "bday", "n_rows", "n_out",
+            "min_line", "max_line", "min_hash", "max_hash",
+        )
         .orderBy("provider", "bday")
     )
 
