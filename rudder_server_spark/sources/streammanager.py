@@ -574,20 +574,27 @@ def googlesheets_shape(
     attributeValues keep their number type (parseTransformedData's
     gjson.Number branch), everything else lands stringified.
     """
-    get, _ = _getter(df, json_data_col)
+    get, whole = _getter(df, json_data_col)
     batch = get("$.batch")
-    msgs = F.when(
-        batch.isNotNull(),
-        F.transform(
-            F.from_json(batch, "array<variant>"),
-            lambda v: F.to_json(F.try_variant_get(v, "$.message", "variant")),
-        ),
-    ).otherwise(F.array(get("$.message")))
+    # EXPLODE FIRST, extract after: to_json inside a transform() lambda
+    # runs interpreted per element (the bqstream_shape lesson); exploding
+    # the variant elements and taking the message subtree over the
+    # exploded column stays in codegen. Non-batch documents ride as a
+    # one-element variant array of the whole document (its $.message is
+    # the same subtree a batch element carries).
+    elems = F.when(
+        batch.isNotNull(), F.from_json(batch, "array<variant>")
+    ).otherwise(F.array(F.try_parse_json(whole)))
     rows = df.select(
-        "*", F.posexplode_outer(msgs).alias("batch_index", "_msg")
+        "*", F.posexplode_outer(elems).alias("batch_index", "_mv")
+    ).select(
+        "*",
+        F.to_json(F.try_variant_get(F.col("_mv"), "$.message", "variant")).alias(
+            "_msg"
+        ),
     )
     cells = rows.select(
-        "*",
+        *[c for c in rows.columns if c != "_mv"],
         F.explode_outer(F.from_json(F.col("_msg"), "map<string,variant>")).alias(
             "_pos", "_cell"
         ),
