@@ -92,15 +92,25 @@ def fan_out(
     if paths:
         # footer metadata only — and memoized, so repeated plan builds
         # (bench re-invokes the query fn per run) don't re-read footers
-        # or pay a df.rdd plan conversion (~100-300 ms driver-side)
+        # or pay a df.rdd plan conversion (~100-300 ms driver-side).
+        # A path may be a Spark-written DIRECTORY of part files.
         effective = 0
         try:
             for p in paths:
                 n = _RG_CACHE.get(p)
                 if n is None:
+                    import glob as _glob
+
                     import pyarrow.parquet as pq
 
-                    n = _RG_CACHE[p] = pq.ParquetFile(p).num_row_groups
+                    files = (
+                        sorted(_glob.glob(os.path.join(p, "*.parquet")))
+                        if os.path.isdir(p)
+                        else [p]
+                    )
+                    n = _RG_CACHE[p] = sum(
+                        pq.ParquetFile(f).num_row_groups for f in files
+                    )
                 effective += n
         except Exception:
             effective = df.rdd.getNumPartitions()
