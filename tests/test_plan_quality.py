@@ -757,25 +757,28 @@ def test_q83_growth_distinct_grain_before_window(spark):
 
 
 def test_q84_async_batching_reuses_one_exchange(spark):
-    """q84: the (destination, upload_window) exchange is shared by part
-    numbering and the import-stats rollup; the poll verdict joins back as
-    a broadcast. Exchanges: batching key + uploads-distinct + final sort —
-    a fourth would mean the rollup re-shuffled the jobs."""
+    """q84: the batching window materializes ONCE (r9: a lazy
+    localCheckpoint — the uploads-distinct subtree and the finalize
+    join-back both read its blocks instead of re-running the
+    (destination, upload_window) exchange + row_number); the poll verdict
+    joins back as a broadcast. The executed tree therefore reads the
+    checkpoint through Scan ExistingRDD (twice: distinct + probe), never
+    re-shuffles the jobs for the import-stats rollup, and the poll join
+    never degrades to sort-merge."""
     df = REG["q84_async_destinations"].spark_fn(spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan
-    # exchanges: window key, uploads-distinct agg, the broadcast itself,
-    # final range sort (AQE may split distinct into partial+final) — the
-    # pin is that the import-stats HashAggregate sits DIRECTLY on the
-    # joined projection with no exchange between (it reuses the window's
-    # partitioning), and the poll join never degrades to sort-merge
-    assert plan.count("Exchange ") <= 5, plan
     assert "SortMergeJoin" not in plan, plan
-    # the partial aggregate must sit directly on the joined window output —
-    # no hash exchange between partial_count and the Window node (one
-    # there would mean the rollup re-shuffled the jobs)
-    partial_to_window = plan.split("partial_count", 1)[-1].split("Window", 1)[0]
-    assert "Exchange hashpartitioning" not in partial_to_window, plan
+    # exchanges: uploads-distinct agg, rollup agg, broadcast, final range
+    # sort — the batching window's own exchange lives behind the
+    # checkpoint, evaluated once
+    assert plan.count("Exchange ") <= 4, plan
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    # the partial aggregate sits directly on the joined checkpoint output
+    # — no hash exchange between partial_count and the checkpoint scan
+    # (one there would mean the rollup re-shuffled the jobs)
+    seg = plan.split("partial_count", 1)[-1].split("Scan ExistingRDD", 1)[0]
+    assert "Exchange hashpartitioning" not in seg, plan
 
 
 def test_q85_error_index_single_rollup_shuffle(spark):
