@@ -178,4 +178,11 @@ def _generate(out_path: str, n: int) -> None:
             "payload": pa.array(take(payload), pa.string()),
         }
     )
-    pq.write_table(table, out_path, row_group_size=64 * 1024)
+    # 16k-row groups (was 64k through r9): the SAME clustered order keeps
+    # per-type min/max pruning (more, smaller groups per type), while the
+    # sf0.1 file gains ≥64 natural scan tasks — fan_out()'s row-group gate
+    # then skips the corpus repartition shuffle on every payload-heavy
+    # plan (q91/q96/q97/q92/q1/q8/q9). At 100 TB the analogous knob is
+    # parquet.block.size / file count per partition: size row groups so
+    # scan parallelism ≥ cluster cores without losing stats pruning.
+    pq.write_table(table, out_path, row_group_size=16 * 1024)
