@@ -415,30 +415,54 @@ def main() -> None:
     # continuity: value/queries/warm/warm_total stay the v1-roster numbers
     # the r1-r6 BENCH artifacts carry; v2 rides in its own section
     total = round(sum(timings[n] for n in v1_names), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": {n: timings[n] for n in v1_names},
-                "warm": {n: warm[n] for n in v1_names},
-                "warm_total": round(sum(warm[n] for n in v1_names), 3),
-                "warm_p50": warm_p50,
-                "warm_runs": {name: len(s) for name, s in samples.items()},
-                "build_sec": build_sec,
-                "floor_sec": floor,
-                "floor_adjusted_ratio": floor_adjusted,
-                "floor_adjusted_total_ratio": floor_adjusted_total_ratio,
-                "seconds_above_floor": {
-                    n: seconds_above_floor[n] for n in v1_names
-                },
-                "env_suspect": env_suspect,
-                "v2": v2_report,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "declared_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in v1_names},
+        "warm": {n: warm[n] for n in v1_names},
+        "warm_total": round(sum(warm[n] for n in v1_names), 3),
+        "warm_p50": warm_p50,
+        "warm_runs": {name: len(s) for name, s in samples.items()},
+        "build_sec": build_sec,
+        "floor_sec": floor,
+        "floor_adjusted_ratio": floor_adjusted,
+        "floor_adjusted_total_ratio": floor_adjusted_total_ratio,
+        "seconds_above_floor": {n: seconds_above_floor[n] for n in v1_names},
+        "env_suspect": env_suspect,
+        "v2": v2_report,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # full detail goes to a FILE + stderr: the driver's BENCH_r*.json keeps
+    # only a ~2000-char stdout TAIL, and through r9 the single fat JSON line
+    # (~6 KB) lost its own head — the v1 total was unreadable from the
+    # driver's artifact (VERDICT r9 "What's wrong" #4). stdout now carries
+    # exactly ONE compact line (always < ~1.6 KB) with both roster totals
+    # and the v1 per-query WARM seconds; everything else lives in the file.
+    full_path = os.path.join(bench_dir, "bench_last_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(full, fh)
+    except OSError:
+        full_path = None
+    print(json.dumps(full), file=sys.stderr, flush=True)
+    compact = {
+        "metric": "declared_queries_wall_clock",
+        # value = v1 warm_total (min-over-runs steady state — the number the
+        # gate is computed on; pre-r10 artifacts carried first-run total in
+        # "value" and warm minima under "warm")
+        "value": full["warm_total"],
+        "unit": "sec",
+        "queries": {n: warm[n] for n in v1_names},
+        "sf": full["sf"],
+        "floor_sec": floor,
+        "v1_ratio": floor_adjusted_total_ratio,
+        "v2_total": (v2_report or {}).get("warm_total"),
+        "v2_ratio": (v2_report or {}).get("floor_adjusted_total_ratio"),
+        "env_suspect": env_suspect,
+        "full": full_path,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -594,3 +594,325 @@ def decode_png(
             )
 
     return src.mapInPandas(gen, schema=PNG_SCHEMA)
+
+
+# --------------------------------------------------------------- real: JPEG
+def decode_jpeg(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL baseline-JPEG decode with zero third-party codecs: marker
+    parse, canonical Huffman entropy decode, dequantize + de-zigzag,
+    vectorized 8x8 IDCT (one einsum per component over all blocks),
+    chroma upsampling (any h/v sampling factors, incl. 4:2:0 / 4:2:2),
+    JFIF YCbCr→RGB. Supports SOF0/SOF1 (baseline + extended sequential
+    Huffman), 8-bit precision, 1- or 3-component scans, restart markers,
+    16-bit quant tables. Progressive (SOF2), arithmetic coding, and
+    12-bit stay env-gated with a clear error — matching the r8 PNG
+    precedent, the common-default encoder shape is fully real and
+    value-checked (tests decode javax.imageio output and compare pixels).
+
+    Output mirrors decode_png: (width, height, channels,
+    per-channel [means..., stds...] feature, error) keep-with-status rows.
+    Per-image work is independent → mapInPandas over the binary column,
+    no shuffle; at 100 TB the bitstream decode is the CPU hot spot and
+    would swap to a vectorized library behind this same contract."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+
+    def gen(batches):
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        ZZ = _np.array([
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ])
+        # orthonormal DCT-II basis: IDCT is A.T @ B @ A
+        xs = _np.arange(8)
+        A = _np.cos((2 * xs[None, :] + 1) * xs[:, None] * _np.pi / 16) / 2.0
+        A[0, :] /= _np.sqrt(2.0)
+
+        def build_huff(counts, symbols):
+            # canonical code → symbol, keyed by (length, code)
+            table = {}
+            code = 0
+            k = 0
+            for ln in range(1, 17):
+                for _ in range(counts[ln - 1]):
+                    table[(ln, code)] = symbols[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return table
+
+        class Bits:
+            __slots__ = ("buf", "pos", "acc", "n")
+
+            def __init__(self, buf):
+                self.buf, self.pos, self.acc, self.n = buf, 0, 0, 0
+
+            def bit(self):
+                if self.n == 0:
+                    if self.pos >= len(self.buf):
+                        raise ValueError("entropy data exhausted")
+                    self.acc = self.buf[self.pos]
+                    self.pos += 1
+                    self.n = 8
+                self.n -= 1
+                return (self.acc >> self.n) & 1
+
+            def bits(self, t):
+                v = 0
+                for _ in range(t):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def huff(self, table):
+                code = 0
+                for ln in range(1, 17):
+                    code = (code << 1) | self.bit()
+                    s = table.get((ln, code))
+                    if s is not None:
+                        return s
+                raise ValueError("bad Huffman code")
+
+        def extend(v, t):
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        def decode(b):
+            data = bytes(b) if b is not None else b""
+            if len(data) < 4 or data[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG")
+            pos = 2
+            qt, hdc, hac = {}, {}, {}
+            frame = None
+            ri = 0
+            adobe_transform = None
+            scan = None
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    raise ValueError("bad marker stream")
+                m = data[pos + 1]
+                pos += 2
+                if m == 0xD9:
+                    break
+                if m == 0x01 or 0xD0 <= m <= 0xD7:
+                    continue
+                ln = struct.unpack_from(">H", data, pos)[0]
+                seg = data[pos + 2 : pos + ln]
+                if m == 0xDB:  # DQT
+                    i = 0
+                    while i < len(seg):
+                        pq, tq = seg[i] >> 4, seg[i] & 15
+                        i += 1
+                        if pq:
+                            q = _np.frombuffer(
+                                seg[i : i + 128], dtype=">u2"
+                            ).astype(_np.int32)
+                            i += 128
+                        else:
+                            q = _np.frombuffer(
+                                seg[i : i + 64], dtype=_np.uint8
+                            ).astype(_np.int32)
+                            i += 64
+                        qt[tq] = q
+                elif m == 0xC4:  # DHT
+                    i = 0
+                    while i < len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 15
+                        counts = list(seg[i + 1 : i + 17])
+                        n = sum(counts)
+                        syms = list(seg[i + 17 : i + 17 + n])
+                        (hdc if tc == 0 else hac)[th] = build_huff(counts, syms)
+                        i += 17 + n
+                elif m in (0xC0, 0xC1):  # SOF0/1 baseline+ext sequential
+                    prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                    if prec != 8:
+                        raise ValueError(f"unsupported precision {prec}")
+                    comps = []
+                    for ci in range(nc):
+                        cid, hv, tq = struct.unpack_from(
+                            ">BBB", seg, 6 + 3 * ci
+                        )
+                        comps.append(
+                            {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                        )
+                    frame = {"h": h, "w": w, "comps": comps}
+                elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                           0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError(
+                        f"unsupported JPEG SOF{m - 0xC0} "
+                        "(progressive/arithmetic/lossless) — baseline only"
+                    )
+                elif m == 0xDD:  # DRI
+                    ri = struct.unpack_from(">H", seg, 0)[0]
+                elif m == 0xEE and seg[:5] == b"Adobe":  # APP14
+                    adobe_transform = seg[11] if len(seg) > 11 else None
+                elif m == 0xDA:  # SOS
+                    ns = seg[0]
+                    sel = []
+                    for ci in range(ns):
+                        cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                        sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+                    scan = (sel, pos + ln)
+                    break
+                pos += ln
+            if frame is None or scan is None:
+                raise ValueError("missing SOF/SOS")
+            sel, spos = scan
+            comps = frame["comps"]
+            if len(sel) != len(comps):
+                raise ValueError("non-interleaved multi-scan unsupported")
+            by_id = {c["id"]: c for c in comps}
+            order = [by_id[s["cs"]] for s in sel]
+            for c, s in zip(order, sel):
+                c["td"], c["ta"] = s["td"], s["ta"]
+
+            # entropy segments: unstuff FF00, split at RSTn, stop at EOI
+            segs, cur = [], bytearray()
+            i = spos
+            n = len(data)
+            while i < n:
+                byte = data[i]
+                if byte == 0xFF and i + 1 < n:
+                    nxt = data[i + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    if nxt == 0xD9:
+                        break
+                    # spec: FF followed by any other marker ends the scan
+                    break
+                cur.append(byte)
+                i += 1
+            segs.append(bytes(cur))
+
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            w, h = frame["w"], frame["h"]
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            nmcu = mcux * mcuy
+            for c in comps:
+                c["bx"] = mcux * c["h"]
+                c["by"] = mcuy * c["v"]
+                c["coef"] = _np.zeros((c["by"] * c["bx"], 64), _np.int32)
+                c["pred"] = 0
+                if c["tq"] not in qt:
+                    raise ValueError("missing quant table")
+
+            mcu = 0
+            for seg_bytes in segs:
+                if mcu >= nmcu:
+                    break
+                br = Bits(seg_bytes)
+                for c in comps:
+                    c["pred"] = 0
+                stop = min(nmcu, mcu + ri) if ri else nmcu
+                while mcu < stop:
+                    my, mx = divmod(mcu, mcux)
+                    for c in order:
+                        q = qt[c["tq"]]
+                        dc_t, ac_t = hdc[c["td"]], hac[c["ta"]]
+                        for v in range(c["v"]):
+                            for u in range(c["h"]):
+                                blk = _np.zeros(64, _np.int32)
+                                t = br.huff(dc_t)
+                                diff = extend(br.bits(t), t) if t else 0
+                                c["pred"] += diff
+                                blk[0] = c["pred"] * q[0]
+                                k = 1
+                                while k < 64:
+                                    rs = br.huff(ac_t)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r != 15:
+                                            break
+                                        k += 16
+                                        continue
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC overflow")
+                                    blk[k] = extend(br.bits(s), s) * q[k]
+                                    k += 1
+                                bi = (my * c["v"] + v) * c["bx"] + (
+                                    mx * c["h"] + u
+                                )
+                                c["coef"][bi] = blk
+                    mcu += 1
+            if mcu < nmcu:
+                raise ValueError("truncated entropy data")
+
+            planes = []
+            for c in comps:
+                coefs = _np.zeros((c["by"] * c["bx"], 64), _np.float64)
+                coefs[:, ZZ] = c["coef"]  # de-zigzag
+                blocks = coefs.reshape(-1, 8, 8)
+                px = _np.einsum("ub,nbc,cd->nud", A.T, blocks, A) + 128.0
+                plane = (
+                    px.reshape(c["by"], c["bx"], 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(c["by"] * 8, c["bx"] * 8)
+                )
+                plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+                    hmax // c["h"], axis=1
+                )
+                planes.append(plane[:h, :w])
+            if len(planes) == 1:
+                out = planes[0][:, :, None]
+            elif len(planes) == 3:
+                y, cb, cr = planes
+                if adobe_transform == 0:
+                    out = _np.stack([y, cb, cr], axis=-1)
+                else:  # JFIF YCbCr (BT.601 full range)
+                    cb = cb - 128.0
+                    cr = cr - 128.0
+                    out = _np.stack(
+                        [
+                            y + 1.402 * cr,
+                            y - 0.344136 * cb - 0.714136 * cr,
+                            y + 1.772 * cb,
+                        ],
+                        axis=-1,
+                    )
+            else:
+                raise ValueError(f"unsupported component count {len(planes)}")
+            return _np.clip(_np.round(out), 0, 255).astype(_np.uint8)
+
+        def one(b):
+            try:
+                px = decode(b)
+                flat = px.reshape(-1, px.shape[2]).astype(_np.float64)
+                return (
+                    int(px.shape[1]), int(px.shape[0]), int(px.shape[2]),
+                    list(_np.mean(flat, axis=0)) + list(_np.std(flat, axis=0)),
+                    None,
+                )
+            except Exception as e:
+                return (None, None, None, None, str(e)[:200])
+
+        for pdf in batches:
+            cols = [one(b) for b in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": [c[0] for c in cols],
+                    "height": [c[1] for c in cols],
+                    "channels": [c[2] for c in cols],
+                    "feature": [c[3] for c in cols],
+                    "error": [c[4] for c in cols],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=PNG_SCHEMA)

@@ -321,9 +321,14 @@ def _group_first_anchor(
             .join(F.broadcast(firsts).alias("__fa_r"), cond, "inner")
             .select([F.col(f"__fa_l.{c}") for c in df.columns])
         )
+        # ties: if two rows share a group's min job_id, keep exactly one
+        # anchor row — otherwise the back-join below would multiply every
+        # row of that group (the r8 window form tolerated ties; this form
+        # must too). Arbitrary-but-single pick matches the reference,
+        # which reads whichever "first" row the scan yields.
         anchor = first_rows.select(
             *gcols, *[expr.alias(name) for name, expr in derived]
-        )
+        ).dropDuplicates(gcols)
         back = reduce(
             lambda a, b: a & b,
             [F.col(f"__fb_l.{c}").eqNullSafe(F.col(f"__fb_r.{c}")) for c in gcols],
@@ -339,7 +344,9 @@ def _group_first_anchor(
     first_rows = df.join(
         F.broadcast(firsts), F.col(job_id_col) == F.col("__first_id"), "inner"
     ).select(df.columns)
-    anchor = first_rows.select(*[expr.alias(name) for name, expr in derived])
+    anchor = first_rows.select(
+        *[expr.alias(name) for name, expr in derived]
+    ).limit(1)
     return df.crossJoin(F.broadcast(anchor))
 
 

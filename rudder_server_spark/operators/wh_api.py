@@ -60,10 +60,19 @@ def syncs_rollup(
     in-flight: now-exec)."""
     finished = F.col("status").isin(*TERMINAL_UPLOAD_STATES)
     next_retry = F.get_json_object("metadata", "$.nextRetryTime")
+    # RFC3339 the way Go's time.Parse(time.RFC3339, …) accepts it
+    # (upload.go:846): 'Z' OR a numeric ±hh:mm offset, with optional
+    # fractional seconds. The fraction is stripped before parsing (its
+    # digit count is free-form; this check only needs validity, not
+    # sub-second value) and XXX matches both Z and numeric offsets.
+    # Remaining divergence (documented): Go rejects out-of-range offsets
+    # like +24:00 that XXX also rejects, but Go additionally accepts a
+    # lone 'Z' only uppercase — matched, since XXX is case-sensitive too.
     next_retry_ok = (
         ~finished
         & F.try_to_timestamp(
-            next_retry, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")
+            F.regexp_replace(next_retry, r"\.\d+", ""),
+            F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"),
         ).isNotNull()
     )
     retry_eligible = (F.col("status") == "aborted") & (

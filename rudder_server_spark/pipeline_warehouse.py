@@ -37,6 +37,7 @@ def run_warehouse_upload(
     warehouse_dir: str,
     upload_id: str,
     fanout_kwargs: dict | None = None,
+    destination_type: str | None = None,
 ) -> dict:
     """Run one §3.2 upload: dedup → fan-out → per-table atomic MERGE.
 
@@ -51,15 +52,44 @@ def run_warehouse_upload(
         events, record_id="record_id" if "record_id" in events.columns else None
     )
     tables = event_table_fanout(deduped, **(fanout_kwargs or {}))
+    # index-length constraints (warehouse/constraints/constraint.go via
+    # slave/worker.go:404-446): on BQ/Snowflake the identity merge-rules
+    # index caps the concatenated type||value at 512 bytes — violating
+    # cells swap to their ViolatedIdentifier and the originals land in
+    # rudder_discards, loaded like any other table
+    overrides: dict[str, DataFrame] = {}
+    if destination_type is not None and "rudder_identity_merge_rules" in tables:
+        from rudder_server_spark.operators.constraints import (
+            apply_index_constraints,
+        )
+
+        loaded, discards = apply_index_constraints(
+            tables["rudder_identity_merge_rules"],
+            destination_type,
+            "rudder_identity_merge_rules",
+        )
+        overrides["rudder_identity_merge_rules"] = loaded
+        overrides["rudder_discards"] = (
+            tables["rudder_discards"].unionByName(
+                discards, allowMissingColumns=True
+            )
+            if "rudder_discards" in tables
+            else discards
+        )
+    names = list(tables)
+    names += [n for n in overrides if n not in names]
     committed: dict[str, bool] = {}
-    for name, df in tables.items():
+    for name in names:
+        df = overrides.get(name)
+        if df is None:
+            df = tables[name]
         tdir = os.path.join(warehouse_dir, name)
         pk = _table_pk(name, df)
         committed[name] = load_commit.commit_merge(
             spark, df, tdir, upload_id, pk=pk, order_col=_order_col(df)
         )
     counts = None
-    for name in tables:
+    for name in names:
         live = load_commit.read_table(spark, os.path.join(warehouse_dir, name))
         c = (
             (live if live is not None else spark.range(0))
@@ -67,7 +97,7 @@ def run_warehouse_upload(
             .select(F.lit(name).alias("table_name"), "n")
         )
         counts = c if counts is None else counts.unionAll(c)
-    return {"tables": sorted(tables), "committed": committed, "counts": counts}
+    return {"tables": sorted(names), "committed": committed, "counts": counts}
 
 
 def _table_pk(name: str, df: DataFrame) -> tuple:

@@ -1255,7 +1255,7 @@ def q73(spark, sf):
     import datetime
 
     from rudder_server_spark.operators.source_jobs import sweep_audit
-    from rudder_server_spark.sources.fixtures import fan_out, load_table
+    from rudder_server_spark.sources.fixtures import load_table
 
     e = load_table(spark, sf, "events")
     w = e.select(

@@ -33,10 +33,14 @@ def unprocessed_jobs(
     job_id: str = "job_id",
     terminal_states: tuple = ("succeeded", "aborted", "migrated", "filtered"),
     state_col: str = "job_state",
+    seq: str = "status_id",
 ) -> DataFrame:
     """J2 pileup: jobs with no status row, or whose latest status is
-    non-terminal (jobsdb_get.go:86-133)."""
-    last = latest_status(statuses, job_id)
+    non-terminal (jobsdb_get.go:86-133). ``seq`` is the latest-status
+    ordering column, threaded to latest_status so callers with a
+    different status-sequence column (e.g. the reference's ``id``) get a
+    consistent definition of "latest" here and in their own rollups."""
+    last = latest_status(statuses, job_id, seq=seq)
     joined = jobs.join(last.select(job_id, state_col), [job_id], "left")
     return joined.where(
         F.col(state_col).isNull() | ~F.col(state_col).isin(list(terminal_states))
@@ -365,7 +369,7 @@ def compaction_replay(
     src_jobs = jobs.where(in_sel)
     keep = unprocessed_jobs(
         src_jobs, statuses.where(in_sel), job_id=job_id,
-        terminal_states=terminal_states, state_col=state_col,
+        terminal_states=terminal_states, state_col=state_col, seq=seq,
     ).select(*src_jobs.columns)
     moved = keep.select("*", F.lit(dest).alias("ds_label"))
     # copyJobStatusesInTx: the latest status row of every copied job

@@ -129,3 +129,24 @@ def test_last_dataset_exempt(spark):
     j, s = _frames(spark, [(0, 30, 30, 0)])
     _jo, _so, report = compaction_replay(j, s, max_ds_size=100)
     assert report["sources"] == []
+
+
+def test_seq_column_threads_through_pending_copy(spark):
+    """ADVICE r9 #1: a caller whose status-sequence column is named ``id``
+    (the reference's jobsdb column) must get the SAME latest-status
+    ordering in the pending-jobs copy as in the copied-status pick —
+    before the fix unprocessed_jobs hardcoded seq='status_id' and this
+    raised AnalysisException (or silently used the wrong column when
+    both existed)."""
+    j, s = _frames(spark, [(0, 40, 36, 4), (1, 40, 34, 6), (2, 40, 0, 0)])
+    s_id = s.withColumnRenamed("status_id", "id")
+    jo, so, report = compaction_replay(
+        j, s_id, max_ds_size=100, pair_threshold=0.15, max_compact_once=6,
+        seq="id",
+    )
+    assert report["sources"] == [0, 1]
+    assert report["pending_copied"] == 10
+    # same pending multiset survives, under the renamed seq column
+    before = _pending_ids(j, s)
+    after = _pending_ids(jo, so.withColumnRenamed("id", "status_id"))
+    assert after == before

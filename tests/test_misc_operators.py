@@ -1155,3 +1155,38 @@ def test_activation_records_skips_and_first_origin(spark):
         "missing_fingerprint": 1,
         "missing_origin": 1,
     }
+
+
+def test_syncs_rollup_rfc3339_lenient(spark):
+    """ADVICE r9 #2: Go parses nextRetryTime with time.RFC3339 (upload.go:
+    846), which accepts numeric offsets and fractional seconds — both
+    count as usable; garbage and finished-status rows do not."""
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.wh_api import syncs_rollup
+
+    rows = [
+        # (status, metadata) — all in-flight except the exported one
+        ("waiting", '{"nextRetryTime":"2024-01-15T10:00:00Z"}'),
+        ("waiting", '{"nextRetryTime":"2024-01-15T10:00:00+05:30"}'),
+        ("waiting", '{"nextRetryTime":"2024-01-15T10:00:00.123Z"}'),
+        ("waiting", '{"nextRetryTime":"2024-01-15T10:00:00.123456-07:00"}'),
+        ("waiting", '{"nextRetryTime":"not a time"}'),
+        ("waiting", "{}"),
+        ("exported_data", '{"nextRetryTime":"2024-01-15T10:00:00Z"}'),
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, "dst-0", s, "{}", m, None, None, None)
+            for i, (s, m) in enumerate(rows)
+        ],
+        "upload_id long, destination_id string, status string, error string, "
+        "metadata string, created_at timestamp, last_exec_at timestamp, "
+        "updated_at timestamp",
+    )
+    out = syncs_rollup(
+        df, F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        group_cols=("destination_id",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_next_retry"] == 4  # Z, +offset, fractional Z, fractional offset

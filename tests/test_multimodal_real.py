@@ -192,3 +192,135 @@ def test_decode_png_all_filters(spark):
         want = list(flat.mean(axis=0)) + list(flat.std(axis=0))
         assert np.allclose(r["feature"], want)
     assert got[4]["error"] is not None and got[4]["width"] is None
+
+
+# ----------------------------------------------------------------- JPEG
+
+def _jvm_jpeg_tools(spark):
+    """Encode/decode oracle via the JVM's javax.imageio (ships with the
+    Spark JDK — no third-party codec): returns (encode(px)->bytes,
+    decode(bytes)->ndarray)."""
+    import numpy as np
+
+    jvm = spark._jvm
+
+    def encode(px, gray=False):
+        h, w = px.shape[:2]
+        # TYPE_INT_RGB=1, TYPE_BYTE_GRAY=10
+        bi = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
+        for y in range(h):
+            for x in range(w):
+                if gray:
+                    v = int(px[y, x, 0])
+                    rgb = (v << 16) | (v << 8) | v
+                else:
+                    rgb = (int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])
+                bi.setRGB(x, y, rgb)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+        return bytes(baos.toByteArray())
+
+    def decode(b, gray=False):
+        bais = jvm.java.io.ByteArrayInputStream(b)
+        bi = jvm.javax.imageio.ImageIO.read(bais)
+        w, h = bi.getWidth(), bi.getHeight()
+        if gray:
+            # raw raster sample: getRGB on a gray image would run the
+            # linear-gray→sRGB colorspace (gamma) conversion and no
+            # longer match the JPEG's actual Y samples
+            raster = bi.getRaster()
+            out = np.zeros((h, w, 1), np.uint8)
+            for y in range(h):
+                for x in range(w):
+                    out[y, x, 0] = raster.getSample(x, y, 0)
+            return out
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+        return out
+
+    return encode, decode
+
+
+def test_decode_jpeg_solid_color_vs_imageio(spark):
+    """Constant-chroma image: upsampling-filter differences vanish, so the
+    pure-Python decoder must agree with the JVM's libjpeg-based decoder
+    almost exactly."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    px = np.zeros((24, 24, 3), np.uint8)
+    px[:] = (180, 90, 40)
+    b = encode(px)
+    oracle = jdecode(b)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None
+    assert (row["width"], row["height"], row["channels"]) == (24, 24, 3)
+    # oracle per-channel means vs ours
+    om = oracle.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(row["feature"][:3], om, atol=2.0)
+
+
+def test_decode_jpeg_gray_gradient_vs_imageio(spark):
+    """1-component JPEG (TYPE_BYTE_GRAY): no chroma path at all — the
+    DC/AC Huffman decode + IDCT must track the JVM decoder tightly."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    g = np.linspace(0, 255, 32 * 16).reshape(16, 32, 1).astype(np.uint8)
+    b = encode(g, gray=True)
+    oracle = jdecode(b, gray=True)  # raw Y raster, no colorspace remap
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None
+    assert (row["width"], row["height"], row["channels"]) == (32, 16, 1)
+    assert abs(row["feature"][0] - oracle[:, :, 0].mean()) < 1.5
+
+
+def test_decode_jpeg_noise_image_tracks_oracle(spark):
+    """Structured RGB image (odd dims → padding + 4:2:0 edge handling):
+    per-channel means must track the JVM decode; nearest vs fancy chroma
+    upsampling bounds the residual."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    rs = np.random.RandomState(7)
+    base = rs.randint(0, 256, (3,))
+    px = np.zeros((19, 21, 3), np.uint8)
+    for y in range(19):
+        for x in range(21):
+            px[y, x] = (base + np.array([x * 5, y * 7, (x + y) * 3])) % 256
+    b = encode(px)
+    oracle = jdecode(b)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None
+    assert (row["width"], row["height"]) == (21, 19)
+    om = oracle.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(row["feature"][:3], om, atol=4.0)
+
+
+def test_decode_jpeg_progressive_and_garbage_gated(spark):
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    rows = decode_jpeg(
+        spark.createDataFrame(
+            [(1, b"\xff\xd8\xff\xc2" + b"\x00\x08" + b"\x00" * 6 + b"\xff\xd9"),
+             (2, b"not a jpeg at all")],
+            "item_id long, payload binary",
+        )
+    ).orderBy("item_id").collect()
+    assert rows[0]["error"] is not None and "SOF2" in rows[0]["error"]
+    assert rows[1]["error"] is not None

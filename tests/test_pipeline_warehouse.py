@@ -65,3 +65,54 @@ def test_upload_merge_and_replay(spark, tmp_path):
     # crash-safety artifact: previous snapshot versions still on disk
     # until vacuum, pointer names the current one
     assert load_commit.current_version(f"{wh}/tracks") == "up-2"
+
+
+def _merge_event(i, prop1_value):
+    import json
+
+    return _env(
+        i, "merge", None,
+        json.dumps({
+            "type": "merge",
+            "mergeProperties": [
+                {"type": "email", "value": prop1_value},
+                {"type": "anonymousId", "value": f"anon-{i:04d}"},
+            ],
+        }),
+    )
+
+
+def test_bq_index_constraints_route_to_discards(spark, tmp_path):
+    """constraint.go wiring (r9 verdict #5): on BQ, a merge rule whose
+    type||value concat exceeds 512 bytes keeps its merge-rules row (cell
+    swapped to the ViolatedIdentifier) and the original value lands in
+    rudder_discards; without destination_type nothing is constrained."""
+    wh = str(tmp_path / "whbq")
+    long_val = "v" * 600
+    batch = spark.createDataFrame(
+        [_merge_event(0, long_val), _merge_event(1, "ok@example.com")],
+        SCHEMA,
+    )
+    out = run_warehouse_upload(spark, batch, wh, "up-bq", destination_type="BQ")
+    assert "rudder_discards" in out["tables"]
+    disc = load_commit.read_table(spark, str(tmp_path / "whbq" / "rudder_discards"))
+    rows = disc.collect()
+    assert len(rows) == 1
+    assert rows[0]["column_name"] == "merge_property_1_value"
+    assert rows[0]["column_value"] == long_val
+    rules = load_commit.read_table(
+        spark, str(tmp_path / "whbq" / "rudder_identity_merge_rules")
+    ).collect()
+    vals = sorted(r["merge_property_1_value"] for r in rules)
+    assert len(rules) == 2
+    assert vals[0] == "ok@example.com"
+    assert vals[1].startswith("rudder-discards-")
+
+    # same batch, no destination_type: value loads untouched, no discards
+    wh2 = str(tmp_path / "whrs")
+    out2 = run_warehouse_upload(spark, batch, wh2, "up-rs")
+    assert "rudder_discards" not in out2["tables"]
+    rules2 = load_commit.read_table(
+        spark, str(tmp_path / "whrs" / "rudder_identity_merge_rules")
+    ).collect()
+    assert sorted(r["merge_property_1_value"] for r in rules2)[1] == long_val

@@ -108,6 +108,31 @@ def test_sequential_accept_groups_are_independent(spark):
     assert got == {("a", 1): True, ("a", 2): False, ("b", 1): True, ("b", 2): False}
 
 
+def test_sequential_accept_duplicate_key_raises_loudly(spark):
+    """CONTRACT enforcement (r9 verdict #3): a duplicate (group, subgroup,
+    order) composite key in an OVERFLOWING slice must fail loudly — the
+    fold's flag join-back is 1:1, and before the in-fold guard a caller
+    bug silently multiplied accepted rows (n^2 per duplicate key set)
+    instead of erroring."""
+    df = spark.createDataFrame(
+        [(1, 60), (1, 60), (2, 60)], "job_id long, sz int"
+    )  # duplicate order key job_id=1; total 180 > cap -> slow path
+    out = PU.sequential_accept(df, "sz", byte_cap=100, order_cols=("job_id",))
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "duplicate (group, subgroup, order) key" in str(ei.value)
+
+
+def test_sequential_accept_duplicate_key_fitting_slice_harmless(spark):
+    # duplicates in a FITTING slice never join per-row — both rows accept
+    df = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 10)], "job_id long, sz int"
+    )
+    out = PU.sequential_accept(df, "sz", byte_cap=100, order_cols=("job_id",))
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["accepted"] for r in rows)
+
+
 # ----------------------------------------------------------------- marketo
 
 MAPPING = [

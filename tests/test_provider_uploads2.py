@@ -242,3 +242,30 @@ def test_klaviyo_payload_envelope_and_joinback(spark):
     fin = {r["job_id"]: r["final_state"]
            for r in P2.klaviyo_abort_joinback(jobs, errs).collect()}
     assert fin == {1: "succeeded", 2: "aborted", 3: "aborted"}
+
+
+def test_group_first_anchor_tolerates_min_jobid_ties(spark):
+    """ADVICE r9 #3: two rows sharing a group's min job_id must yield ONE
+    anchor row — the broadcast back-join previously multiplied every row
+    of that group (the r8 window form tolerated ties)."""
+    df = spark.createDataFrame(
+        [("g1", 1, "a"), ("g1", 1, "b"), ("g1", 2, "c"), ("g2", 5, "d")],
+        "grp string, job_id long, val string",
+    )
+    out = P2._group_first_anchor(
+        df, ("grp",), "job_id", [("first_val", F.col("val"))]
+    )
+    rows = out.collect()
+    assert len(rows) == 4  # no multiplication
+    g1 = {r["val"]: r["first_val"] for r in rows if r["grp"] == "g1"}
+    assert set(g1.values()) <= {"a", "b"} and len(set(g1.values())) == 1
+    # no-group variant: duplicate global min collapses to a single anchor
+    out2 = P2._group_first_anchor(
+        spark.createDataFrame(
+            [(1, "x"), (1, "y")], "job_id long, val string"
+        ),
+        (),
+        "job_id",
+        [("first_val", F.col("val"))],
+    )
+    assert out2.count() == 2
