@@ -2076,3 +2076,89 @@ def q97(spark, sf):
         )
         .orderBy("position", "attribute_key")
     )
+
+
+# --------------------------------------------------------------------------
+# Q110 warehouse index-length constraints — the BQ/Snowflake 512-byte cap
+# on rudder_identity_merge_rules' concatenated type||value index columns
+# (warehouse/constraints/constraint.go:23-125 via slave/worker.go:404-446):
+# violating cells are swapped for a discards identifier and the original
+# values land in rudder_discards. Values are deterministically padded so a
+# known ~1/3 of rules violate each property independently.
+@register(
+    "q110_index_constraints",
+    f"""
+    WITH merges AS (
+      SELECT message_id, user_id,
+        json_extract_string(payload, '$.mergeProperties[0].type') AS t1,
+        json_extract_string(payload, '$.mergeProperties[0].value')
+          || repeat('x', CAST(user_id % 37 AS INT) * 20) AS v1,
+        json_extract_string(payload, '$.mergeProperties[1].type') AS t2,
+        json_extract_string(payload, '$.mergeProperties[1].value')
+          || repeat('y', CAST(user_id % 41 AS INT) * 20) AS v2
+      FROM read_parquet('{_ORACLE_PATH}') WHERE event_type = 'merge'
+    ),
+    viol AS (
+      SELECT 'merge_property_1_value' AS column_name, v1 AS column_value,
+             message_id AS row_id
+      FROM merges
+      WHERE coalesce(octet_length(encode(t1)), 0)
+            + coalesce(octet_length(encode(v1)), 0) > 512
+      UNION ALL
+      SELECT 'merge_property_2_value', v2, message_id
+      FROM merges
+      WHERE coalesce(octet_length(encode(t2)), 0)
+            + coalesce(octet_length(encode(v2)), 0) > 512
+    )
+    SELECT column_name,
+           CAST(count(*) AS BIGINT) AS n_discards,
+           CAST(sum(octet_length(encode(column_value))) AS BIGINT) AS bytes_discarded,
+           min(row_id) AS min_row_id,
+           max(row_id) AS max_row_id
+    FROM viol GROUP BY column_name ORDER BY column_name
+    """,
+    doc=(
+        "Index-length constraint violations routed to rudder_discards. "
+        "Ref: warehouse/constraints/constraint.go:23-125, "
+        "warehouse/slave/worker.go:404-446"
+    ),
+    tags=("rudder", "warehouse"),
+)
+def q110(spark, sf):
+    from rudder_server_spark.operators.constraints import apply_index_constraints
+
+    df = _load(spark, sf).where(F.col("event_type") == "merge")
+    mp = "mergeProperties array<struct<type:string,value:string>>"
+    uid = F.col("user_id")
+    rules = df.select(
+        F.col("message_id").alias("row_id"),
+        "received_at",
+        F.from_json(F.col("payload"), mp).alias("_s"),
+        uid.alias("_uid"),
+    ).select(
+        "row_id",
+        "received_at",
+        F.element_at("_s.mergeProperties", 1).getField("type").alias("merge_property_1_type"),
+        F.concat(
+            F.element_at("_s.mergeProperties", 1).getField("value"),
+            F.repeat(F.lit("x"), ((F.col("_uid") % 37) * 20).cast("int")),
+        ).alias("merge_property_1_value"),
+        F.element_at("_s.mergeProperties", 2).getField("type").alias("merge_property_2_type"),
+        F.concat(
+            F.element_at("_s.mergeProperties", 2).getField("value"),
+            F.repeat(F.lit("y"), ((F.col("_uid") % 41) * 20).cast("int")),
+        ).alias("merge_property_2_value"),
+    )
+    _loaded, discards = apply_index_constraints(
+        rules, "BQ", "rudder_identity_merge_rules", row_id_col="row_id"
+    )
+    return (
+        discards.groupBy("column_name")
+        .agg(
+            F.count("*").alias("n_discards"),
+            F.sum(F.octet_length("column_value")).alias("bytes_discarded"),
+            F.min("row_id").alias("min_row_id"),
+            F.max("row_id").alias("max_row_id"),
+        )
+        .orderBy("column_name")
+    )

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # per-Column-op Python call-site capture (DataFrame query context)
+        # costs a conf RPC + stack walk + 2 extra py4j calls on EVERY
+        # Column method — measured 40% of q98's plan-build seconds (23k
+        # py4j round-trips → ~12k). Debug sugar, off in production; flip
+        # on when chasing a plan-origin error message.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
