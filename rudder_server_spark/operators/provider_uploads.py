@@ -109,6 +109,47 @@ def go_csv_line(cols: list[Column]) -> Column:
     return F.concat_ws(",", *[go_csv_field(c) for c in cols])
 
 
+# ------------------------------------------------ SQL-text twins (build cost)
+#
+# The Column-API builders above cost 2-4 py4j round-trips PER operation;
+# a provider's CSV render touches 40+ cells × ~15 ops, so q98's plan
+# CONSTRUCTION measured 2× its execution (r10 profile: 23k py4j calls,
+# ~4.5 s build vs 2.2 s exec warm). These twins emit the SAME expressions
+# as SQL text — strings compose in Python for free and one F.expr() call
+# ships the whole projection. They are exact mirrors of go_csv_field /
+# the variant-get value ladder; tests pin the two forms byte-equal.
+# `ref` must be a short SQL expression (a column name), since it is
+# spliced several times into the text.
+
+def sql_str(s: str) -> str:
+    """Spark SQL single-quoted string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def go_csv_field_sql(ref: str) -> str:
+    needs = (
+        f"({ref} = '\\\\.' OR contains({ref}, ',') OR contains({ref}, '\"')"
+        f" OR contains({ref}, chr(13)) OR contains({ref}, chr(10))"
+        f" OR substr({ref}, 1, 1) IN (' ', chr(9), chr(10), chr(11),"
+        f" chr(12), chr(13)))"
+    )
+    quoted = f"concat('\"', replace({ref}, '\"', '\"\"'), '\"')"
+    return (
+        f"CASE WHEN {ref} = '' THEN {ref} WHEN {needs} THEN {quoted} "
+        f"ELSE {ref} END"
+    )
+
+
+def go_csv_line_sql(refs: list[str]) -> str:
+    return "concat_ws(',', " + ", ".join(go_csv_field_sql(r) for r in refs) + ")"
+
+
+def vget_sql(doc_ref: str, key: str, typ: str) -> str:
+    """``try_variant_get(doc, '$[\"key\"]', 'typ')`` as SQL text (same
+    bracket-quoted path rules as _vpath)."""
+    return f"try_variant_get({doc_ref}, {sql_str(_vpath(key))}, {sql_str(typ)})"
+
+
 def _vpath(key: str) -> str:
     """Variant path for one object key, bracket-quoted so arbitrary
     mapping keys (dots, spaces, backslashes) can't break the path
@@ -442,30 +483,52 @@ def marketo_csv_rows(
     # try_variant_get stay inside codegen. An ABSENT key is a NULL variant
     # (raw NULL), a present JSON null renders "null" — the same absent/nil
     # split map_contains_key used to provide.
-    fields_v = F.try_parse_json(F.col(payload_col))
+    #
+    # Built as SQL text (one F.expr per staged column, see the SQL-text
+    # twins above): the Column form cost hundreds of py4j round-trips per
+    # header and made plan CONSTRUCTION the q98 bottleneck. The payload
+    # parses ONCE as a column (inlining the parse re-parses per header),
+    # dropped before the fold (Arrow can't ship variant); vals stage as
+    # _mk_N columns so the line, its byte length, and the hash reference
+    # them without duplicating the extraction trees.
+    names = [f"_mk_{i}" for i in range(len(headers))]
 
-    def val(h: str) -> Column:
-        raw = F.to_json(F.try_variant_get(F.col("_fv"), _vpath(h), "variant"))
+    def val_sql(h: str, raw_ref: str) -> str:
         return (
-            F.when(raw.isNull(), F.lit(""))
-            .when(raw == "null", F.lit("<nil>"))
-            .when(
-                raw.startswith('"'),
-                F.try_variant_get(F.col("_fv"), _vpath(h), "string"),
-            )
-            .otherwise(raw)
+            f"CASE WHEN {raw_ref} IS NULL THEN ''"
+            f" WHEN {raw_ref} = 'null' THEN '<nil>'"
+            f" WHEN startswith({raw_ref}, '\"')"
+            f" THEN {vget_sql('_fv', h, 'string')}"
+            f" ELSE {raw_ref} END"
         )
 
-    # parse the payload ONCE as a column (inlining fields_v re-parses it
-    # per header — see bingads_offline_rows), dropped before the fold
-    # (Arrow can't ship variant)
-    vals = [val(h) for h in headers]
-    line = go_csv_line(vals)
-    shaped = jobs.select("*", fields_v.alias("_fv")).select(
+    staged = (
+        jobs.select("*", F.try_parse_json(F.col(payload_col)).alias("_fv"))
+        .select(
+            "*",
+            *[
+                F.expr(f"to_json({vget_sql('_fv', h, 'variant')})").alias(
+                    f"_raw_{n}"
+                )
+                for h, n in zip(headers, names)
+            ],
+        )
+        .select(
+            "*",
+            *[
+                F.expr(val_sql(h, f"_raw_{n}")).alias(n)
+                for h, n in zip(headers, names)
+            ],
+        )
+    )
+    shaped = staged.select(
         *jobs.columns,
-        line.alias("csv_line"),
-        (F.octet_length(line) + F.lit(2)).alias("row_bytes"),
-        F.sha2(F.concat_ws(",", *vals), 256).alias("data_hash"),
+        F.expr(go_csv_line_sql(names)).alias("csv_line"),
+        F.expr(
+            "sha2(concat_ws(',', " + ", ".join(names) + "), 256)"
+        ).alias("data_hash"),
+    ).select(
+        "*", F.expr("octet_length(csv_line) + 2").alias("row_bytes")
     )
     return sequential_accept(
         shaped,
@@ -567,40 +630,40 @@ def bingads_audience_rows(
             "member_index", "_u"
         ),
     )
-    member = F.col("_u").isNotNull()
+    # final shaping as SQL text (build-cost twins): constant cells escape
+    # at PYTHON time via go_csv_field_py — same bytes the runtime
+    # escaping produced, zero runtime ops; only the two member-derived
+    # cells stay runtime expressions
+    client_id_sql = (
+        f"CASE WHEN _u IS NOT NULL THEN concat(cast({job_id_col} AS string),"
+        f" {sql_str(CLIENT_ID_SEPARATOR)}, coalesce(_u.hashedEmail, '')) END"
+    )
+    const = {c: sql_str(go_csv_field_py(c)) for c in
+             ("Customer List Item", audience_id, "Email", "")}
+    # an accepted job with an empty List stays accepted but writes no
+    # member rows (the reference's inner loop just doesn't run)
+    line_sql = (
+        "CASE WHEN _u IS NOT NULL THEN concat_ws(',', "
+        + ", ".join(
+            [const["Customer List Item"], const[""], const[""],
+             const[audience_id],
+             go_csv_field_sql("coalesce(client_id, '')")]
+            + [const[""]] * 6
+            + [const["Email"],
+               go_csv_field_sql("coalesce(_u.hashedEmail, '')")]
+        )
+        + ") END"
+    )
+    err_sql = (
+        "CASE WHEN _skip THEN 'invalid action' WHEN NOT accepted"
+        " THEN 'file size/event limit reached' END"
+    )
     return (
-        exploded.withColumn(
-            "client_id",
-            F.when(
-                member,
-                F.concat(
-                    F.col(job_id_col).cast("string"),
-                    F.lit(CLIENT_ID_SEPARATOR),
-                    F.coalesce(F.col("_u.hashedEmail"), F.lit("")),
-                ),
-            ),
-        )
-        .withColumn(
-            "csv_line",
-            # an accepted job with an empty List stays accepted but writes
-            # no member rows (the reference's inner loop just doesn't run)
-            F.when(
-                member,
-                go_csv_line(
-                    [F.lit("Customer List Item"), F.lit(""), F.lit(""),
-                     F.lit(audience_id),
-                     F.coalesce(F.col("client_id"), F.lit("")),
-                     F.lit(""), F.lit(""), F.lit(""), F.lit(""), F.lit(""),
-                     F.lit(""), F.lit("Email"),
-                     F.coalesce(F.col("_u.hashedEmail"), F.lit(""))]
-                ),
-            ),
-        )
-        .withColumn(
-            "error",
-            F.when(F.col("_skip"), F.lit("invalid action")).when(
-                ~F.col("accepted"), F.lit("file size/event limit reached")
-            ),
+        exploded.select("*", F.expr(client_id_sql).alias("client_id"))
+        .select(
+            "*",
+            F.expr(line_sql).alias("csv_line"),
+            F.expr(err_sql).alias("error"),
         )
         .drop("_u", "_skip", "_list")
     )
@@ -669,7 +732,10 @@ def bingads_offline_rows(
     # plain columns. Building them as per-call expression trees instead
     # (~20 variant-op subtrees per row) measured ~17x slower at sf0.01
     # because the trees re-evaluate past the fold's Arrow boundary where
-    # common-subexpression elimination can't see across.
+    # common-subexpression elimination can't see across. The staging
+    # projections are SQL text (one F.expr per column, see the SQL-text
+    # twins): the Column form's per-op py4j round-trips made plan
+    # construction the q98 bottleneck (r10 profile).
     keys = (
         "conversionName", "conversionTime", "adjustedConversionTime",
         "conversionValue", "microsoftClickId", "email", "phone",
@@ -677,20 +743,17 @@ def bingads_offline_rows(
         "externalAttributionModel",
     )
 
-    def _raw(k: str) -> Column:
-        return F.to_json(F.try_variant_get(F.col("_fv"), _vpath(k), "variant"))
+    def _raw_sql(k: str) -> str:
+        return f"to_json({vget_sql('_fv', k, 'variant')})"
 
-    def _sv(k: str) -> Column:
+    def _sv_sql(k: str) -> str:
         # the post-lo.MapValues stringification: nil → "", string as-is,
         # everything else via its JSON text
-        r = F.col(f"_raw_{k}")
+        r = f"_raw_{k}"
         return (
-            F.when(r.isNull() | (r == "null"), F.lit(""))
-            .when(
-                r.startswith('"'),
-                F.try_variant_get(F.col("_fv"), _vpath(k), "string"),
-            )
-            .otherwise(r)
+            f"CASE WHEN {r} IS NULL OR {r} = 'null' THEN ''"
+            f" WHEN startswith({r}, '\"') THEN {vget_sql('_fv', k, 'string')}"
+            f" ELSE {r} END"
         )
 
     staged = F.to_json(
@@ -717,8 +780,8 @@ def bingads_offline_rows(
             F.octet_length(staged).alias("line_bytes"),
             fields_v.alias("_fv"),
         )
-        .select("*", *[_raw(k).alias(f"_raw_{k}") for k in keys])
-        .select("*", *[_sv(k).alias(f"_s_{k}") for k in keys])
+        .select("*", *[F.expr(_raw_sql(k)).alias(f"_raw_{k}") for k in keys])
+        .select("*", *[F.expr(_sv_sql(k)).alias(f"_s_{k}") for k in keys])
     )
 
     def raw(k: str) -> Column:
@@ -727,89 +790,100 @@ def bingads_offline_rows(
     def sval(k: str) -> Column:
         return F.col(f"_s_{k}")
 
-    def present(k: str) -> Column:
-        return raw(k).isNotNull()
-
-    def is_nonempty_string(k: str) -> Column:
-        return present(k) & raw(k).startswith('"') & (raw(k) != '""')
-
     conv_time = _offline_parse_time(F.when(raw("conversionTime").startswith('"'), sval("conversionTime")))
     adj_time = _offline_parse_time(
         F.when(raw("adjustedConversionTime").startswith('"'), sval("adjustedConversionTime"))
     )
+    # rendered times + job id stage as columns: the error ladder and all
+    # three row shapes below are SQL text over plain column refs
+    withtimes = parsed.select(
+        "*",
+        conv_time.alias("_ct"),
+        adj_time.alias("_at"),
+        F.col(job_id_col).cast("string").alias("_jid"),
+    )
+
+    def present(k: str) -> str:
+        return f"_raw_{k} IS NOT NULL"
+
+    def nonempty(k: str) -> str:
+        return (
+            f"(_raw_{k} IS NOT NULL AND startswith(_raw_{k}, '\"')"
+            f" AND _raw_{k} != '\"\"')"
+        )
+
     # enhanced-conversion gate (bulk_uploader.go:78-104): clickId must be
     # non-null non-empty; email/phone need only be present with any value
     # other than "" (a JSON null passes Go's interface != "" check)
-    clickid_ok = present("microsoftClickId") & (raw("microsoftClickId") != "null") & (
-        raw("microsoftClickId") != '""'
+    enhanced = (
+        f"(({present('microsoftClickId')} AND _raw_microsoftClickId != 'null'"
+        f" AND _raw_microsoftClickId != '\"\"')"
+        f" OR ({present('email')} AND _raw_email != '\"\"')"
+        f" OR ({present('phone')} AND _raw_phone != '\"\"'))"
     )
-    email_ok = present("email") & (raw("email") != '""')
-    phone_ok = present("phone") & (raw("phone") != '""')
-    enhanced = clickid_ok | email_ok | phone_ok
-
-    err = (
-        F.when(~F.col("action").isin(*BINGADS_OFFLINE_ACTIONS), F.lit("invalid action"))
-        .when(~is_nonempty_string("conversionName"), F.lit("conversionName field invalid"))
-        .when(~is_nonempty_string("conversionTime"), F.lit("conversionTime field invalid"))
-        .when(conv_time.isNull(), F.lit("conversionTime format invalid"))
-        .when(
-            (F.col("action") != "insert") & present("adjustedConversionTime") & adj_time.isNull(),
-            F.lit("adjustedConversionTime format invalid"),
-        )
-        .when(~enhanced, F.lit("missing required field: microsoftClickId (or provide a hashed email/phone for enhanced conversions)"))
-        .when(
-            (F.col("action") != "insert") & ~(present("adjustedConversionTime") & (adj_time.isNotNull())),
-            F.lit("adjustedConversionTime field invalid"),
-        )
-        .when(
-            (F.col("action") == "update") & ~is_nonempty_string("conversionValue"),
-            F.lit("conversionValue field invalid"),
-        )
+    actions_in = ", ".join(sql_str(a) for a in BINGADS_OFFLINE_ACTIONS)
+    err_sql = (
+        f"CASE WHEN action NOT IN ({actions_in}) THEN 'invalid action'"
+        f" WHEN NOT {nonempty('conversionName')} THEN 'conversionName field invalid'"
+        f" WHEN NOT {nonempty('conversionTime')} THEN 'conversionTime field invalid'"
+        f" WHEN _ct IS NULL THEN 'conversionTime format invalid'"
+        f" WHEN action != 'insert' AND {present('adjustedConversionTime')}"
+        f" AND _at IS NULL THEN 'adjustedConversionTime format invalid'"
+        f" WHEN NOT {enhanced} THEN 'missing required field: microsoftClickId"
+        f" (or provide a hashed email/phone for enhanced conversions)'"
+        f" WHEN action != 'insert' AND NOT ({present('adjustedConversionTime')}"
+        f" AND _at IS NOT NULL) THEN 'adjustedConversionTime field invalid'"
+        f" WHEN action = 'update' AND NOT {nonempty('conversionValue')}"
+        f" THEN 'conversionValue field invalid' END"
     )
 
-    def hashed(k: str) -> Column:
+    def hashed(k: str) -> str:
         # hashFields hashes keys PRESENT in the (stringified) map — an
         # absent email/phone stays the struct-default "" unhashed
-        s = sval(k)
         if not is_hash_required:
-            return s
-        return F.when(present(k), F.sha2(s, 256)).otherwise(F.lit(""))
+            return f"_s_{k}"
+        return (
+            f"CASE WHEN {present(k)} THEN sha2(_s_{k}, 256) ELSE '' END"
+        )
 
     email, phone = hashed("email"), hashed("phone")
-    jid = F.col(job_id_col).cast("string")
-    ftype = F.lit("Offline Conversion")
-    insert_row = go_csv_line(
-        [ftype, F.lit(""), jid, F.lit(""), F.lit(""), F.lit(""),
-         sval("conversionCurrencyCode"), sval("conversionName"),
-         F.coalesce(conv_time, F.lit("")), sval("conversionValue"),
-         sval("microsoftClickId"), email, phone,
-         sval("externalAttributionCredit"), sval("externalAttributionModel")]
+    ftype = "'Offline Conversion'"
+    insert_row = go_csv_line_sql(
+        [ftype, "''", "_jid", "''", "''", "''",
+         "_s_conversionCurrencyCode", "_s_conversionName",
+         "coalesce(_ct, '')", "_s_conversionValue",
+         "_s_microsoftClickId", email, phone,
+         "_s_externalAttributionCredit", "_s_externalAttributionModel"]
     )
-    update_row = go_csv_line(
-        [ftype, F.lit("Restate"), F.lit(""), jid, F.lit(""),
-         sval("conversionName"), F.coalesce(conv_time, F.lit("")),
-         sval("conversionValue"), sval("microsoftClickId"), email, phone,
-         sval("conversionCurrencyCode"), F.coalesce(adj_time, F.lit(""))]
+    update_row = go_csv_line_sql(
+        [ftype, "'Restate'", "''", "_jid", "''",
+         "_s_conversionName", "coalesce(_ct, '')",
+         "_s_conversionValue", "_s_microsoftClickId", email, phone,
+         "_s_conversionCurrencyCode", "coalesce(_at, '')"]
     )
-    delete_row = go_csv_line(
-        [ftype, F.lit("Retract"), F.lit(""), jid, F.lit(""),
-         sval("conversionName"), F.coalesce(conv_time, F.lit("")),
-         sval("microsoftClickId"), email, phone,
-         F.coalesce(adj_time, F.lit(""))]
+    delete_row = go_csv_line_sql(
+        [ftype, "'Retract'", "''", "_jid", "''",
+         "_s_conversionName", "coalesce(_ct, '')",
+         "_s_microsoftClickId", email, phone,
+         "coalesce(_at, '')"]
     )
     # csv_line computed BEFORE the fold (same codegen stage as the error
     # ladder, shared subexpressions); the fold only appends `accepted`.
     # ONE fold over the whole frame — error rows ride through as skips
     # (they never reach the file and never advance its size), so the heavy
     # projection runs once instead of once per union branch.
-    base = parsed.select(
+    base = withtimes.select(
         "*",
-        err.alias("error"),
-        F.when(F.col("action") == "insert", insert_row)
-        .when(F.col("action") == "update", update_row)
-        .otherwise(delete_row)
-        .alias("_line"),
-    ).drop("_fv", "_ftext", *[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys])
+        F.expr(err_sql).alias("error"),
+        F.expr(
+            f"CASE WHEN action = 'insert' THEN {insert_row}"
+            f" WHEN action = 'update' THEN {update_row}"
+            f" ELSE {delete_row} END"
+        ).alias("_line"),
+    ).drop(
+        "_fv", "_ftext", "_ct", "_at", "_jid",
+        *[f"_raw_{k}" for k in keys], *[f"_s_{k}" for k in keys],
+    )
     folded = sequential_accept(
         base.withColumn("_skip", F.col("error").isNotNull()),
         size_col="line_bytes",

@@ -447,29 +447,25 @@ def q18(spark, sf):
         )
         q.awaitTermination(300)
 
-        # read-back as ONE scan (still under the batch-sized shuffle conf):
-        # project a single (possibly-absent → null) column so no per-table
-        # schema-inference job runs, recover the table from the file path,
-        # count per table. The result is bounded by the TABLE count (one
-        # row per fan-out table), so it collects safely and returns as a
-        # local frame — no join/sort machinery for a dozen rows; the
-        # listdir names guard the zero-row-table edge at no job cost.
+        # landed-count read-back from parquet FOOTERS (r9 verdict #6:
+        # "kill the 12-table sink read-back"): row counts are commit
+        # metadata, not data — sum num_rows per footer driver-side, zero
+        # Spark jobs (the prior ONE-scan read-back still paid a full scan
+        # job + shuffle over every landed file). The same move a cluster
+        # deployment makes: per-table landed counts come from the write
+        # commit protocol / manifest, never a post-hoc scan (A6's
+        # table-upload counts read jobsdb state, not the warehouse).
+        import pyarrow.parquet as _pq
+
         names = sorted(os.listdir(out))
-        counts = {
-            r["table_name"]: r["n"]
-            for r in (
-                spark.read.schema("message_id string")
-                .parquet(*[os.path.join(out, n) for n in names])
-                .select(
-                    F.regexp_extract(
-                        F.input_file_name(), r"/([^/]+)/[^/]+$", 1
-                    ).alias("table_name")
-                )
-                .groupBy("table_name")
-                .agg(F.count("*").alias("n"))
-                .collect()
+        counts = {}
+        for n in names:
+            tdir = os.path.join(out, n)
+            counts[n] = sum(
+                _pq.ParquetFile(os.path.join(tdir, f)).metadata.num_rows
+                for f in os.listdir(tdir)
+                if f.endswith(".parquet")
             )
-        }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         spark.conf.set(

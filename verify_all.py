@@ -118,6 +118,22 @@ def main() -> None:
                     f"BUDGET {query_sec[name]}s > {budget:.0f}s per-query cap"
                 )
                 print(f"{name}: BUDGET-FAIL {query_sec[name]}s", flush=True)
+    # trend vs the PREVIOUS committed sweep artifact (VERDICT r9 #8): a
+    # creeping per-query regression must be visible before it trips the
+    # budget. Significant = |delta| >= max(2 s, 30% of the old time).
+    fname = "VERIFY_ALL.json" if sf_name == "sf0.01" else f"VERIFY_ALL_{sf_name}.json"
+    prev_sec: dict = {}
+    try:
+        with open(os.path.join(REPO, fname)) as fh:
+            prev_sec = json.load(fh).get("query_sec", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+    trend = {
+        n: {"prev": prev_sec[n], "now": query_sec[n]}
+        for n in query_sec
+        if n in prev_sec
+        and abs(query_sec[n] - prev_sec[n]) >= max(2.0, 0.3 * prev_sec[n])
+    }
     out = {
         "sf": sf_name,
         "n_queries": len(queries),
@@ -126,6 +142,7 @@ def main() -> None:
         "rows_only": rows_only,
         "elapsed_sec": round(time.time() - t0, 1),
         "query_sec": query_sec,
+        "query_sec_moved": trend,
         "query_budget_sec": budget,
         # recorded so the artifact proves which driver heap the sweep ran
         # under (VERDICT r5 #7: keep every row deterministic at 1g)
@@ -133,7 +150,6 @@ def main() -> None:
     }
     # sf0.01 is the driver's gate -> canonical VERIFY_ALL.json; other SFs
     # (e.g. the 10x sf0.1 re-check) write a suffixed artifact alongside
-    fname = "VERIFY_ALL.json" if sf_name == "sf0.01" else f"VERIFY_ALL_{sf_name}.json"
     with open(os.path.join(REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "rows_only"}))
