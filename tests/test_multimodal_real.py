@@ -324,3 +324,91 @@ def test_decode_jpeg_progressive_and_garbage_gated(spark):
     ).orderBy("item_id").collect()
     assert rows[0]["error"] is not None and "SOF2" in rows[0]["error"]
     assert rows[1]["error"] is not None
+
+
+def _mini_jpeg_gray_flat(block_vals, dri=1):
+    """Hand-rolled minimal baseline JPEG encoder for the test: 8-bit GRAY,
+    16x16 (2x2 blocks of flat 8x8 tiles), all-ones quant table (so a flat
+    tile of value v encodes exactly as DC=8*(v-128) and decodes back to v
+    bit-exactly), custom canonical Huffman tables, and a DRI/RSTn restart
+    every ``dri`` MCUs — the restart + DC-predictor-reset path no encoder
+    in this container exercises."""
+    import struct
+
+    assert len(block_vals) == 4
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT tq=0, all ones
+    # SOF0: 8-bit, 16x16, 1 component h1v1 q0
+    seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+    # DHT DC table 0: 12 symbols (categories 0..11), all code length 4
+    counts_dc = [0, 0, 0, 12] + [0] * 12
+    seg(0xC4, bytes([0x00]) + bytes(counts_dc) + bytes(range(12)))
+    # DHT AC table 0: single EOB symbol at code length 2
+    counts_ac = [0, 1] + [0] * 14
+    seg(0xC4, bytes([0x10]) + bytes(counts_ac) + bytes([0x00]))
+    seg(0xDD, struct.pack(">H", dri))  # DRI
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS: comp 1, td=0 ta=0
+
+    # canonical codes: DC cat t -> code t at length 4; AC EOB -> code 0 len 2
+    bits = []
+
+    def put(code, n):
+        for i in range(n - 1, -1, -1):
+            bits.append((code >> i) & 1)
+
+    def flush_segment():
+        while len(bits) % 8:
+            bits.append(1)  # pad with 1s per spec
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            data.append(b)
+            if b == 0xFF:
+                data.append(0x00)  # byte stuffing
+        bits.clear()
+        return bytes(data)
+
+    for i, v in enumerate(block_vals):
+        d = 8 * (v - 128)  # DC diff (predictor resets each restart segment)
+        if d == 0:
+            t = 0
+        else:
+            t = d.bit_length() if d > 0 else (-d).bit_length()
+        put(t, 4)  # DC category code (canonical: code value == index t)
+        if t:
+            put(d if d > 0 else d + (1 << t) - 1, t)
+        put(0, 2)  # AC EOB
+        out.extend(flush_segment())
+        if i < len(block_vals) - 1:
+            out.extend(bytes([0xFF, 0xD0 + (i % 8)]))  # RSTn
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_decode_jpeg_restart_markers_exact(spark):
+    """DRI/RSTn: DC predictors reset at every restart segment, and the
+    all-ones quant + flat tiles make the decode EXACT — pins the restart
+    path, negative DC extend(), custom (non-Annex-K) Huffman tables and
+    byte alignment at segment boundaries."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    vals = [40, 200, 128, 90]
+    b = _mini_jpeg_gray_flat(vals, dri=1)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None, row["error"]
+    assert (row["width"], row["height"], row["channels"]) == (16, 16, 1)
+    # block layout: [[40, 200], [128, 90]] -> mean is the exact average
+    assert row["feature"][0] == np.mean(vals)
+    # std of the 4 flat tiles, exact
+    px = np.repeat(np.repeat(np.array(vals).reshape(2, 2), 8, 0), 8, 1)
+    assert abs(row["feature"][1] - px.std()) < 1e-9
