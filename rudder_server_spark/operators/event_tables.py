@@ -249,6 +249,57 @@ def identity_merge_rules(
     return out
 
 
+def _mappings_idents(r: DataFrame) -> DataFrame:
+    """The mappings grain: one row per (merge_property_type, value) with
+    the latest received_at — single-property rules (NULL prop2) contribute
+    prop1 only (idresolution.go mappings upsert)."""
+    return (
+        r.select(
+            F.col("merge_property_1_type").alias("merge_property_type"),
+            F.col("merge_property_1_value").alias("merge_property_value"),
+            "received_at",
+        )
+        .unionByName(
+            r.where(F.col("merge_property_2_value").isNotNull()).select(
+                F.col("merge_property_2_type").alias("merge_property_type"),
+                F.col("merge_property_2_value").alias("merge_property_value"),
+                "received_at",
+            )
+        )
+        .groupBy("merge_property_type", "merge_property_value")
+        .agg(F.max("received_at").alias("updated_at"))
+    )
+
+
+def _sql_quote(v: str) -> str:
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _mappings_from_local(r: DataFrame, pairs: dict) -> DataFrame:
+    """Mappings table with component labels attached from a LOCAL dict
+    (identifier → component, non-identity entries only): the lookup is a
+    map literal in ONE SQL-text expr, so the plan is a single aggregate +
+    projection — no label createDataFrame, no broadcast join-back. Labels
+    are byte-identical to the join path (same union-find)."""
+    idents = _mappings_idents(r)
+    if pairs:
+        entries = ", ".join(
+            _sql_quote(k) + ", " + _sql_quote(v) for k, v in sorted(pairs.items())
+        )
+        rid = F.expr(
+            f"coalesce(element_at(map({entries}), merge_property_value), "
+            "merge_property_value)"
+        )
+    else:
+        rid = F.col("merge_property_value")
+    return idents.select(
+        "merge_property_type",
+        "merge_property_value",
+        rid.alias("rudder_id"),
+        "updated_at",
+    )
+
+
 def event_table_fanout(
     df: DataFrame,
     payload_col: str = "payload",
@@ -259,6 +310,7 @@ def event_table_fanout(
     normalized: bool = False,
     identity_rule_sources: tuple = ("merge",),
     max_event_tables: int = 10_000,
+    small_graph: bool = False,
 ) -> dict[str, DataFrame]:
     """Fan an envelope+payload event frame out into warehouse tables.
 
@@ -597,30 +649,29 @@ def event_table_fanout(
         # the mappings table is built lazily — callers that only want
         # tracks/identifies never pay for identity resolution
         r = rules()
-        comps = connected_components(
-            r.select(
-                F.col("merge_property_1_value").alias("src"),
-                F.col("merge_property_2_value").alias("dst"),
-            )
+        edges = r.select(
+            F.col("merge_property_1_value").alias("src"),
+            F.col("merge_property_2_value").alias("dst"),
         )
-        # single-property rules (NULL prop2 — alias without previousId,
-        # default events with one identifier) contribute prop1 only
-        idents = (
-            r.select(
-                F.col("merge_property_1_type").alias("merge_property_type"),
-                F.col("merge_property_1_value").alias("merge_property_value"),
-                "received_at",
+        if small_graph:
+            # caller-vouched bounded batch (the streaming sink's
+            # micro-batches): labels resolve in ONE capped-collect job and
+            # attach as a map LITERAL — no createDataFrame, no broadcast
+            # join-back exchange. Non-identity labels only (identifier ==
+            # its own component rides the coalesce fallback), SQL-text
+            # composed (one expr, not 2N py4j lit calls); the map literal
+            # stays small by construction. Over the cap → the normal
+            # distributed path below (the vouch was wrong, stay safe).
+            from rudder_server_spark.operators.identity import (
+                connected_components_local,
             )
-            .unionByName(
-                r.where(F.col("merge_property_2_value").isNotNull()).select(
-                    F.col("merge_property_2_type").alias("merge_property_type"),
-                    F.col("merge_property_2_value").alias("merge_property_value"),
-                    "received_at",
-                )
-            )
-            .groupBy("merge_property_type", "merge_property_value")
-            .agg(F.max("received_at").alias("updated_at"))
-        )
+
+            labels = connected_components_local(edges, cap=2000)
+            if labels is not None:
+                pairs = {k: v for k, v in labels.items() if k != v}
+                return _mappings_from_local(r, pairs)
+        comps = connected_components(edges)
+        idents = _mappings_idents(r)
         return idents.join(
             comps, idents.merge_property_value == comps.identifier, "left"
         ).select(

@@ -29,6 +29,64 @@ from pyspark.sql import DataFrame, functions as F
 LAST_RUN: dict = {"path": None, "iterations": 0}
 
 
+def _union_find(rows) -> list:
+    """Driver-side union-find over collected (a, b) edge rows → list of
+    (identifier, min-identifier-of-component) pairs — the shared kernel
+    of the driver fast path and the local-labels helper."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if comp_min.get(r) is None or v < comp_min[r]:
+            comp_min[r] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
+def connected_components_local(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cap: int = 65_536,
+) -> dict | None:
+    """Caller-vouched small-graph components as a LOCAL dict
+    {identifier: component}, in ONE Spark job (a capped collect — no
+    byte-stats gate, so only call this when the edge strings are known
+    to be identifier-sized). Returns None when the deduped edge set
+    exceeds ``cap`` — the caller falls back to
+    :func:`connected_components`. The labels are byte-identical to the
+    distributed path's (same union-find the driver fast path runs)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    rows = sym.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    LAST_RUN["path"] = "driver"
+    LAST_RUN["iterations"] = 0
+    return dict(_union_find(rows))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -36,6 +94,7 @@ def connected_components(
     max_iter: int = 50,
     broadcast_threshold: int = 1_000_000,
     broadcast_bytes: int = 256 * 2**20,
+    assume_small: bool = False,
 ) -> DataFrame:
     """Compute connected components over an undirected graph whose node ids
     are any orderable Spark type (string identifiers, long doc ids, ...).
@@ -74,7 +133,20 @@ def connected_components(
     id_type = sym.schema["a"].dataType.simpleString()
     fits_driver = False
     rows = None
-    if broadcast_threshold:
+    if broadcast_threshold and assume_small and id_type == "string":
+        # caller-vouched small graph (a micro-batch, a bounded staging
+        # slice): skip the byte-stats job and gate-and-fetch in ONE job —
+        # a capped collect whose transient driver footprint the caller
+        # vouches is identifier-sized strings, not blobs. Over the cap →
+        # fall through to the normal two-job gate below (safe for a
+        # caller that vouched wrong).
+        cap = min(65_536, 2 * broadcast_threshold)
+        rows = sym.limit(cap + 1).collect()
+        if len(rows) <= cap:
+            fits_driver = True
+        else:
+            rows = None
+    if broadcast_threshold and not fits_driver:
         if id_type == "string":
             # variable-width ids: byte-gate BEFORE collecting — edge count
             # alone doesn't bound driver memory when identifiers are long
@@ -105,28 +177,8 @@ def connected_components(
     LAST_RUN["iterations"] = 0
     if fits_driver:
         spark = edges.sparkSession
-        parent: dict = {}
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for a, b in rows:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        comp_min: dict = {}
-        for v in parent:
-            r = find(v)
-            if comp_min.get(r) is None or v < comp_min[r]:
-                comp_min[r] = v
-        rows = [(v, comp_min[find(v)]) for v in parent]
         return spark.createDataFrame(
-            rows, f"identifier {id_type}, component {id_type}"
+            _union_find(rows), f"identifier {id_type}, component {id_type}"
         )
 
     # label(node) starts as min(node, min neighbor)

@@ -137,7 +137,12 @@ def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | Non
             return
         batch_df = batch_df.localCheckpoint(eager=True)
         tables = event_table_fanout(
-            batch_df, materialize=True, schemas=schemas, promote=promote
+            batch_df, materialize=True, schemas=schemas, promote=promote,
+            # micro-batches are bounded by the trigger: vouch the identity
+            # graph small so mappings resolves in one capped-collect job
+            # with a map-literal label attach (falls back to the normal
+            # distributed CC path if a batch exceeds the cap)
+            small_graph=True,
         )
         names = list(tables)
         # identity tables derive from their own merge-payload parse — NOT

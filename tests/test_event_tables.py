@@ -447,3 +447,45 @@ def test_fanout_event_table_cap_bounds_driver_discovery(spark):
     # a sane cap admits the same frame (the fixed tables are unaffected)
     ok = event_table_fanout(rows, discovery_limit=1000, max_event_tables=n + 10)
     assert "tracks" in ok and len(set(ok)) >= n
+
+
+def test_mappings_small_graph_path_identical(spark):
+    """small_graph=True (the streaming sink's vouch) must produce the
+    byte-identical rudder_identity_mappings table through the one-job
+    capped-collect + map-literal path, including identifiers with quote
+    and backslash characters in the map-literal SQL."""
+    import json
+
+    from rudder_server_spark.operators.event_tables import event_table_fanout
+
+    def merge_evt(i, a, b):
+        return (
+            f"msg-{i:06d}", i, f"anon-{i}", "merge", None,
+            T0, T0, T0,
+            json.dumps({
+                "type": "merge",
+                "mergeProperties": [
+                    {"type": "email", "value": a},
+                    {"type": "anonymousId", "value": b},
+                ],
+            }),
+        )
+
+    rows = [
+        merge_evt(0, "a@x.io", "anon-1"),
+        merge_evt(1, "b@x.io", "anon-1"),
+        merge_evt(2, "we'ird\\id", "anon-2"),  # quote + backslash in value
+        merge_evt(3, "c@x.io", "anon-3"),
+    ]
+    schema = (
+        "message_id string, user_id long, anonymous_id string, "
+        "event_type string, event_name string, received_at timestamp, "
+        "sent_at timestamp, original_timestamp timestamp, payload string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    base = event_table_fanout(df)["rudder_identity_mappings"]
+    fast = event_table_fanout(df, small_graph=True)["rudder_identity_mappings"]
+    key = lambda r: (r["merge_property_type"], r["merge_property_value"])  # noqa: E731
+    b = {key(r): r["rudder_id"] for r in base.collect()}
+    f = {key(r): r["rudder_id"] for r in fast.collect()}
+    assert b == f and len(b) == 7
