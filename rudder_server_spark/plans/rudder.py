@@ -433,7 +433,10 @@ def q18(spark, sf):
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     # 4 shuffle/state-store partitions: sized to the staged fixture volume
     # (per-partition state-store commit + task overhead dominates at this
-    # batch size; at cluster volume this is a throughput-keyed config)
+    # batch size; at cluster volume this is a throughput-keyed config).
+    # r10 A/B: stream-body-only timings hinted 2 was marginally better
+    # (1.40 vs 1.48 s), but interleaved END-TO-END runs said 4 (1.81 vs
+    # 1.96 s warm-min) — kept at 4; the difference is within host noise.
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     # watermark dedup passes every surviving row through in its data batch;
     # the trailing no-data micro-batch only evicts expired dedup keys —
