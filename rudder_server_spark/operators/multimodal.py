@@ -916,3 +916,88 @@ def decode_jpeg(
             )
 
     return src.mapInPandas(gen, schema=PNG_SCHEMA)
+
+
+JPEG_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("expected_mean", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_jpeg_corpus(
+    df: DataFrame, id_col: str = "item_id"
+) -> DataFrame:
+    """Deterministic baseline-JPEG corpus synthesizer: one 16x16 gray
+    JPEG per input row (2x2 flat 8x8 tiles whose values derive from the
+    id), with an all-ones quant table so the decode is BIT-EXACT — the
+    binary-media source stand-in for pipelines tested without real image
+    files, and the distributed round-trip partner of ``decode_jpeg``
+    (t67). Encoding runs worker-side in mapInPandas (self-contained
+    closure, no module references); ~300 bytes/image.
+
+    Returns (item_id, payload, expected_mean) where expected_mean is the
+    exact pixel mean the decoder must reproduce."""
+    src = df.select(F.col(id_col).cast("long").alias("item_id"))
+
+    def gen(batches):
+        import struct
+
+        import pandas as _pd
+
+        def encode(vals):
+            out = bytearray(b"\xff\xd8")
+
+            def seg(marker, payload):
+                out.extend(
+                    bytes([0xFF, marker])
+                    + struct.pack(">H", len(payload) + 2)
+                    + payload
+                )
+
+            seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+            seg(0xC0, struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0]))
+            seg(0xC4, bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+            seg(0xC4, bytes([0x10]) + bytes([0, 1] + [0] * 14) + bytes([0x00]))
+            seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            bits = []
+
+            def put(code, n):
+                for i in range(n - 1, -1, -1):
+                    bits.append((code >> i) & 1)
+
+            pred = 0
+            for v in vals:
+                d = 8 * (v - 128) - pred
+                pred = 8 * (v - 128)
+                t = abs(d).bit_length() if d else 0
+                put(t, 4)
+                if t:
+                    put(d if d > 0 else d + (1 << t) - 1, t)
+                put(0, 2)
+            while len(bits) % 8:
+                bits.append(1)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+            out.extend(b"\xff\xd9")
+            return bytes(out)
+
+        for pdf in batches:
+            ids = pdf["item_id"]
+            payloads, means = [], []
+            for i in ids:
+                vals = [int((i * 37 + 11 * c + 7) % 256) for c in range(4)]
+                payloads.append(encode(vals))
+                means.append(sum(vals) / 4.0)
+            yield _pd.DataFrame(
+                {"item_id": ids, "payload": payloads, "expected_mean": means}
+            )
+
+    return src.mapInPandas(gen, schema=JPEG_SYNTH_SCHEMA)

@@ -2833,3 +2833,67 @@ def t66(spark, sf):
     bench = d.where(F.col("doc_id") % 10 == 0)
     train = d.where(F.col("doc_id") % 10 != 0)
     return strip_contaminated_spans(train, bench, n=8)
+
+
+@register(
+    "t67_jpeg_roundtrip",
+    None,  # binary-media decode has no SQL oracle; strict invariant below
+    doc=(
+        "Distributed baseline-JPEG round trip: synthesize one 16x16 gray "
+        "JPEG per document worker-side (all-ones quant → bit-exact "
+        "decode), run the pure-Python Huffman+IDCT decoder "
+        "(operators/multimodal.py::decode_jpeg) through mapInPandas, and "
+        "roll up exactness — the end-to-end proof the JPEG path runs "
+        "DISTRIBUTED over a binary column, not just in unit tests. The "
+        "invariant requires zero decode errors and every image's mean to "
+        "match its encoded blocks exactly."
+    ),
+    tags=("training", "multimodal"),
+    invariant=lambda rows: (
+        None
+        if len(rows) == 1
+        and rows[0]["n_images"] > 0
+        and rows[0]["n_errors"] == 0
+        and rows[0]["n_exact"] == rows[0]["n_images"]
+        and rows[0]["n_dims_ok"] == rows[0]["n_images"]
+        else f"JPEG round trip drifted: {rows}"
+    ),
+)
+def t67(spark, sf):
+    from rudder_server_spark.operators.multimodal import (
+        decode_jpeg,
+        synthesize_jpeg_corpus,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("item_id")
+    )
+    corpus = synthesize_jpeg_corpus(d)
+    decoded = decode_jpeg(corpus)
+    # expected mean recomputed from item_id JVM-side (the synthesizer's
+    # block formula) — no join back to the corpus, no second synth pass
+    expected = F.expr(
+        "aggregate(sequence(0, 3), 0L, "
+        "(acc, c) -> acc + pmod(item_id * 37 + 11 * c + 7, 256)) / 4.0"
+    )
+    joined = decoded.withColumn("expected_mean", expected)
+    return joined.agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.sum(
+            F.when(
+                F.col("error").isNull()
+                & (F.abs(F.element_at("feature", 1) - F.col("expected_mean")) < 1e-9),
+                1,
+            ).otherwise(0)
+        ).alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("width") == 16) & (F.col("height") == 16)
+                & (F.col("channels") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_dims_ok"),
+    )
