@@ -338,7 +338,157 @@ def _mailchimp_subscribe_adapter(df: DataFrame) -> DataFrame:
     )
 
 
+def _sendgrid_events_adapter(df: DataFrame) -> DataFrame:
+    """SendGrid event webhook: the body is a TOP-LEVEL JSON ARRAY of event
+    objects (the batch-POST family, but with no wrapper key) — one track
+    per element, named by the element's ``event``. ``sg_event_id`` is the
+    vendor's redelivery-stable id → the message id, so upstream F1 dedup
+    makes retries idempotent; event time from the element's unix
+    ``timestamp``."""
+    els = F.from_json(
+        F.col("body"),
+        "array<struct<email string, timestamp long, event string,"
+        " sg_event_id string, sg_message_id string, category string,"
+        " url string, reason string>>",
+    )
+    rows = df.select(F.col("received_at"), F.explode(els).alias("_e"))
+    e = F.col("_e")
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(e.getField("timestamp"))),
+        F.col("received_at"),
+    )
+    return rows.select(
+        F.coalesce(e.getField("sg_event_id"), F.expr("uuid()")).alias("message_id"),
+        e.getField("email").alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(e.getField("event"), F.lit("sendgrid_event")).alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                e.getField("event").alias("event"),
+                F.struct(
+                    e.getField("sg_message_id").alias("message_id"),
+                    e.getField("category").alias("category"),
+                    e.getField("url").alias("url"),
+                    e.getField("reason").alias("reason"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _intercom_notification_adapter(df: DataFrame) -> DataFrame:
+    """Intercom notification envelope ``{type: "notification_event",
+    topic: "user.created" | "conversation.user.replied" | ..., data:
+    {item: {...}}}`` — TOPIC-ROUTED mapping: user topics become identify
+    events carrying the item's user traits; every other topic a track
+    named by the topic. User from ``data.item.id`` (email fallback)."""
+    b = F.col("body")
+    item = lambda pth: F.get_json_object(b, f"$.data.item.{pth}")  # noqa: E731
+    topic = F.coalesce(F.get_json_object(b, "$.topic"), F.lit("unknown"))
+    is_user = topic.startswith("user.")
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(F.get_json_object(b, "$.created_at"))),
+        F.col("received_at"),
+    )
+    identify_payload = F.to_json(
+        F.struct(
+            F.lit("identify").alias("type"),
+            F.struct(
+                item("email").alias("email"),
+                item("name").alias("name"),
+                item("phone").alias("phone"),
+            ).alias("traits"),
+        )
+    )
+    track_payload = F.to_json(
+        F.struct(
+            F.lit("track").alias("type"),
+            topic.alias("event"),
+            F.struct(
+                item("id").alias("item_id"),
+                F.get_json_object(b, "$.data.item.conversation_message.body").alias(
+                    "body"
+                ),
+            ).alias("properties"),
+        )
+    )
+    return df.select(
+        F.coalesce(F.get_json_object(b, "$.id"), F.expr("uuid()")).alias(
+            "message_id"
+        ),
+        F.coalesce(item("id"), item("email")).alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.when(is_user, "identify").otherwise("track").alias("event_type"),
+        topic.alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.when(is_user, identify_payload).otherwise(track_payload).alias("payload"),
+    )
+
+
+def _iterable_event_adapter(df: DataFrame) -> DataFrame:
+    """Iterable system webhook ``{eventName, email, userId, dataFields:
+    {...}}`` — the DYNAMIC-properties family: dataFields has no fixed
+    schema, so its raw JSON subtree rides into the payload verbatim
+    (parsed downstream by P5 flattening/schema discovery, like the
+    reference's transformer passes properties through untyped)."""
+    b = F.col("body")
+    ts = F.coalesce(
+        F.to_timestamp(
+            F.from_unixtime(F.get_json_object(b, "$.dataFields.createdAt"))
+        ),
+        F.col("received_at"),
+    )
+    data_fields = F.coalesce(F.get_json_object(b, "$.dataFields"), F.lit("{}"))
+    return df.select(
+        F.expr("uuid()").alias("message_id"),
+        F.coalesce(
+            F.get_json_object(b, "$.userId"), F.get_json_object(b, "$.email")
+        ).alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(F.get_json_object(b, "$.eventName"), F.lit("iterable_event")).alias(
+            "event_name"
+        ),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        # properties spliced as RAW JSON text — concat, not re-parse: the
+        # dynamic dataFields keep their exact vendor value text. The
+        # type/event prefix renders through to_json(struct(...)) (JSON
+        # string escaping for free), then the closing brace swaps for the
+        # spliced subtree.
+        F.concat(
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.lit("track").alias("type"),
+                        F.coalesce(
+                            F.get_json_object(b, "$.eventName"),
+                            F.lit("iterable_event"),
+                        ).alias("event"),
+                    )
+                ),
+                r"\}$",
+                "",
+            ),
+            F.lit(',"properties":'),
+            data_fields,
+            F.lit("}"),
+        ).alias("payload"),
+    )
+
+
 register_webhook_adapter("shopify_order", _shopify_order_adapter)
+register_webhook_adapter("sendgrid_events", _sendgrid_events_adapter)
+register_webhook_adapter("intercom_notification", _intercom_notification_adapter)
+register_webhook_adapter("iterable_event", _iterable_event_adapter)
 register_webhook_adapter("stripe_event", _stripe_event_adapter)
 register_webhook_adapter("github_push", _github_push_adapter)
 register_webhook_adapter("mailchimp_subscribe", _mailchimp_subscribe_adapter)

@@ -122,3 +122,64 @@ def test_mailchimp_subscribe_golden(spark):
     assert p["traits"]["email"] == "api@mailchimp.com"
     assert p["traits"]["list_id"] == "a6b5da1054"
     assert p["traits"]["first_name"] == "Api"
+
+
+SENDGRID_BATCH = [
+    {"email": "a@x.io", "timestamp": 1706777400, "event": "open",
+     "sg_event_id": "ev-1", "sg_message_id": "m-1", "category": "promo"},
+    {"email": "b@x.io", "timestamp": 1706777460, "event": "click",
+     "sg_event_id": "ev-2", "sg_message_id": "m-1", "url": "https://x.io"},
+    {"email": "c@x.io", "timestamp": 1706777520, "event": "bounce",
+     "sg_event_id": "ev-3", "sg_message_id": "m-2", "reason": "550"},
+]
+
+
+def test_sendgrid_top_level_array_explodes(spark):
+    out = adapt_webhook(_raw(spark, json.dumps(SENDGRID_BATCH)), "sendgrid_events")
+    rows = {r["message_id"]: r for r in out.collect()}
+    assert set(rows) == {"ev-1", "ev-2", "ev-3"}
+    assert rows["ev-2"]["event_name"] == "click"
+    assert rows["ev-2"]["user_id"] == "b@x.io"
+    p = json.loads(rows["ev-2"]["payload"])
+    assert p["properties"]["url"] == "https://x.io"
+    assert rows["ev-3"]["event_type"] == "track"
+    # redelivery-stable vendor id is the dedup key
+    assert rows["ev-1"]["sent_at"] is not None
+
+
+def test_intercom_topic_routing(spark):
+    user_created = {
+        "type": "notification_event", "id": "notif-1",
+        "topic": "user.created", "created_at": 1706777400,
+        "data": {"item": {"id": "u-9", "email": "u9@x.io", "name": "U Nine"}},
+    }
+    reply = {
+        "type": "notification_event", "id": "notif-2",
+        "topic": "conversation.user.replied", "created_at": 1706777500,
+        "data": {"item": {"id": "c-4",
+                          "conversation_message": {"body": "hello"}}},
+    }
+    r1 = adapt_webhook(_raw(spark, json.dumps(user_created)), "intercom_notification").head()
+    assert r1["event_type"] == "identify" and r1["user_id"] == "u-9"
+    assert json.loads(r1["payload"])["traits"]["email"] == "u9@x.io"
+    r2 = adapt_webhook(_raw(spark, json.dumps(reply)), "intercom_notification").head()
+    assert r2["event_type"] == "track"
+    assert r2["event_name"] == "conversation.user.replied"
+    assert json.loads(r2["payload"])["properties"]["body"] == "hello"
+    assert r2["message_id"] == "notif-2"
+
+
+def test_iterable_dynamic_datafields_verbatim(spark):
+    body = {
+        "eventName": "emailSend",
+        "email": "it@x.io",
+        "dataFields": {"campaignId": 12345, "custom": {"deep": [1, 2, 3]},
+                       "createdAt": 1706777400},
+    }
+    r = adapt_webhook(_raw(spark, json.dumps(body)), "iterable_event").head()
+    assert r["event_type"] == "track" and r["event_name"] == "emailSend"
+    assert r["user_id"] == "it@x.io"
+    p = json.loads(r["payload"])
+    # dynamic subtree rides verbatim — nested arrays/objects intact
+    assert p["properties"]["custom"]["deep"] == [1, 2, 3]
+    assert p["properties"]["campaignId"] == 12345
