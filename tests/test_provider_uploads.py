@@ -490,3 +490,44 @@ def test_duplicate_json_keys_render_empty_documented(spark):
     ).collect()
     assert out[0]["csv_line"] == ","  # all cells empty: doc rejected whole
     assert out[0]["accepted"]  # rejection affects rendering, not admission
+
+
+def test_go_csv_field_sql_twin_differential(spark):
+    """The SQL-text twin (go_csv_field_sql) must render byte-identically
+    to the Column builder (go_csv_field) AND the Python reference
+    (go_csv_field_py) over adversarial cells — quotes, commas, CRLF,
+    leading whitespace/control chars, the literal backslash-dot, empty,
+    and unicode."""
+    from pyspark.sql import functions as F
+
+    cells = [
+        "", "plain", "with,comma", 'with"quote', "with\rcr", "with\nlf",
+        " leading space", "\tleading tab", "\x0bvtab", "\x0cformfeed",
+        "\rleading cr", r"\.", "trailing space ", "uniécode",
+        'both",and\nnewline', '""', ",", "\n",
+    ]
+    df = spark.createDataFrame([(c,) for c in cells], "cell string")
+    got = df.select(
+        PU.go_csv_field(F.col("cell")).alias("col_api"),
+        F.expr(PU.go_csv_field_sql("cell")).alias("sql_twin"),
+        "cell",
+    ).collect()
+    for r in got:
+        assert r["col_api"] == r["sql_twin"], r["cell"]
+        # the Column/SQL escaping set matches the Python reference on the
+        # go fieldNeedsQuotes character class (isspace() beyond these six
+        # chars never occurs in provider cells — documented divergence)
+        if not (r["cell"][:1].isspace() and r["cell"][:1] not in " \t\n\x0b\x0c\r"):
+            assert r["sql_twin"] == PU.go_csv_field_py(r["cell"]), r["cell"]
+
+
+def test_go_csv_line_sql_twin_differential(spark):
+    from pyspark.sql import functions as F
+
+    vals = ["a", "b,c", 'd"e', "", " f"]
+    df = spark.createDataFrame([tuple(vals)], "c0 string, c1 string, c2 string, c3 string, c4 string")
+    got = df.select(
+        PU.go_csv_line([F.col(f"c{i}") for i in range(5)]).alias("col_api"),
+        F.expr(PU.go_csv_line_sql([f"c{i}" for i in range(5)])).alias("sql_twin"),
+    ).head()
+    assert got["col_api"] == got["sql_twin"] == PU.go_csv_line_py(vals)
