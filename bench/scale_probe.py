@@ -120,11 +120,12 @@ def build_scaled_events(spark, k: int, sf_dir: str) -> str:
 
     corpus = reduce(lambda a, b: a.unionByName(b), reps)
     # reproduce the base fixture's layout discipline EXACTLY
-    # (rudder_events.py:159-181: single file, stable event_type cluster,
-    # 64k-row row groups): DuckDB's window/dedup oracles are strongly
-    # layout-sensitive (measured 40x on q69 between the clustered 64k-
-    # row-group single file and a 32 MB-block Spark directory of the SAME
-    # rows), and the probe must not handicap the baseline side.
+    # (rudder_events.py: single file, stable event_type cluster, 16k-row
+    # row groups since r10 — keep this in lockstep with the generator):
+    # DuckDB's window/dedup oracles are strongly layout-sensitive
+    # (measured 40x on q69 between the clustered single file and a 32 MB-
+    # block Spark directory of the SAME rows), and the probe must not
+    # handicap the baseline side.
     tmp = out + ".spark_tmp"
     (
         corpus.repartition(1)
@@ -144,7 +145,7 @@ def build_scaled_events(spark, k: int, sf_dir: str) -> str:
     # materialization at 25x is tens of GB
     writer = None
     for batch in pads.dataset(tmp, format="parquet").to_batches(
-        batch_size=64 * 1024
+        batch_size=16 * 1024
     ):
         if batch.num_rows == 0:
             continue
