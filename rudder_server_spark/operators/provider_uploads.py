@@ -399,12 +399,17 @@ def sequential_accept(
     # overflowing slices (bytes or count): ship the 5 narrow columns
     # through the Arrow fold, then join the flags back to just these rows
     slow_src = decided.where(~F.col("__sa_allfit"))
-    sel = list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
-    slow_narrow = slow_src.select(*dict.fromkeys(sel)).withColumn(
-        size_name, size0
-    )
+    sel = list(dict.fromkeys(
+        list(key_cols) + [size_name] + ([skip_name] if skip_name else [])
+    ))
+    slow_narrow = slow_src.select(*sel).withColumn(size_name, size0)
+    # fold schema from the CALLER's already-analyzed input schema (same
+    # names/types — size0 only coalesces, never retypes): asking
+    # slow_narrow for its schema re-analyzes the whole checkpoint lineage
+    # for nothing (~50-80 ms of the per-call build cost)
+    by_name = {f.name: f for f in df.schema.fields}
     out_schema = StructType(
-        list(slow_narrow.schema.fields) + [StructField(out_col, BooleanType())]
+        [by_name[c] for c in sel] + [StructField(out_col, BooleanType())]
     )
     if group_cols:
         grouped = slow_narrow.groupBy(*[F.col(c) for c in group_cols])
