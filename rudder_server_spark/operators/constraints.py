@@ -131,10 +131,15 @@ def apply_index_constraints(
         for ic in INDEX_CONSTRAINTS.get(destination_type, ())
         if ic.table_name.lower() == table_name.lower()
     ]
+    have = {c.lower(): c for c in df.columns}
+    # worker_job.go:586-589 — handleDiscardTypes falls back to now() when the
+    # row carries no received_at, so discard rows ALWAYS have a timestamp.
+    # Lookup is case-insensitive like every other column lookup here.
+    recv_actual = have.get(received_at_col.lower())
     recv = (
-        F.col(received_at_col).cast("string")
-        if received_at_col in df.columns
-        else F.lit(None).cast("string")
+        F.col(recv_actual).cast("string")
+        if recv_actual is not None
+        else F.current_timestamp().cast("string")
     )
 
     def empty_discards() -> DataFrame:
@@ -150,7 +155,6 @@ def apply_index_constraints(
     if not active:
         return df, empty_discards()
 
-    have = {c.lower(): c for c in df.columns}
     loaded = df
     discard_parts = []
     for ic in active:

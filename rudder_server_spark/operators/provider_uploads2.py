@@ -324,11 +324,21 @@ def _group_first_anchor(
         # ties: if two rows share a group's min job_id, keep exactly one
         # anchor row — otherwise the back-join below would multiply every
         # row of that group (the r8 window form tolerated ties; this form
-        # must too). Arbitrary-but-single pick matches the reference,
-        # which reads whichever "first" row the scan yields.
-        anchor = first_rows.select(
-            *gcols, *[expr.alias(name) for name, expr in derived]
-        ).dropDuplicates(gcols)
+        # must too). The pick is DETERMINISTIC: min_by over the derived
+        # struct keyed on its own JSON text, so repeated runs (and the
+        # DuckDB differential harness) see the same anchor even when tied
+        # rows carry differing derived values. Ordinary groups have one
+        # first row and the agg is a trivial pass-through.
+        dstruct = F.struct(*[expr.alias(name) for name, expr in derived])
+        anchor = (
+            first_rows.select(*gcols, dstruct.alias("__fa_d"))
+            .groupBy(*[F.col(c) for c in gcols])
+            .agg(F.min_by("__fa_d", F.to_json("__fa_d")).alias("__fa_d"))
+            .select(
+                *gcols,
+                *[F.col(f"__fa_d.{name}").alias(name) for name, _ in derived],
+            )
+        )
         back = reduce(
             lambda a, b: a & b,
             [F.col(f"__fb_l.{c}").eqNullSafe(F.col(f"__fb_r.{c}")) for c in gcols],
@@ -344,9 +354,14 @@ def _group_first_anchor(
     first_rows = df.join(
         F.broadcast(firsts), F.col(job_id_col) == F.col("__first_id"), "inner"
     ).select(df.columns)
-    anchor = first_rows.select(
-        *[expr.alias(name) for name, expr in derived]
-    ).limit(1)
+    # same deterministic tie-break as the grouped branch (limit(1) would
+    # pick whichever tied min-job_id row the scan yields first)
+    dstruct = F.struct(*[expr.alias(name) for name, expr in derived])
+    anchor = (
+        first_rows.select(dstruct.alias("__fa_d"))
+        .agg(F.min_by("__fa_d", F.to_json("__fa_d")).alias("__fa_d"))
+        .select(*[F.col(f"__fa_d.{name}").alias(name) for name, _ in derived])
+    )
     return df.crossJoin(F.broadcast(anchor))
 
 

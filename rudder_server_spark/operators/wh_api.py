@@ -65,13 +65,22 @@ def syncs_rollup(
     # fractional seconds. The fraction is stripped before parsing (its
     # digit count is free-form; this check only needs validity, not
     # sub-second value) and XXX matches both Z and numeric offsets.
+    # The strip is ANCHORED to the seconds position with the zone
+    # immediately after — a stray '.5' after the zone ('…00Z.5') or a
+    # double fraction ('…00.1.2Z'), both rejected by Go, stays in place
+    # and fails try_to_timestamp instead of being laundered into a valid
+    # string. Fixed-width lookbehind keeps the regex janino/ICU-safe.
     # Remaining divergence (documented): Go rejects out-of-range offsets
     # like +24:00 that XXX also rejects, but Go additionally accepts a
     # lone 'Z' only uppercase — matched, since XXX is case-sensitive too.
     next_retry_ok = (
         ~finished
         & F.try_to_timestamp(
-            F.regexp_replace(next_retry, r"\.\d+", ""),
+            F.regexp_replace(
+                next_retry,
+                r"(?<=\d{2}:\d{2}:\d{2})\.\d+(?=(?:Z|[+-]\d{2}:\d{2})$)",
+                "",
+            ),
             F.lit("yyyy-MM-dd'T'HH:mm:ssXXX"),
         ).isNotNull()
     )

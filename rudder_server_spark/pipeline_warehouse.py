@@ -58,24 +58,31 @@ def run_warehouse_upload(
     # cells swap to their ViolatedIdentifier and the originals land in
     # rudder_discards, loaded like any other table
     overrides: dict[str, DataFrame] = {}
-    if destination_type is not None and "rudder_identity_merge_rules" in tables:
-        from rudder_server_spark.operators.constraints import (
-            apply_index_constraints,
-        )
+    from rudder_server_spark.operators.constraints import (
+        INDEX_CONSTRAINTS,
+        apply_index_constraints,
+    )
 
+    if (
+        destination_type in INDEX_CONSTRAINTS
+        and "rudder_identity_merge_rules" in tables
+    ):
         loaded, discards = apply_index_constraints(
             tables["rudder_identity_merge_rules"],
             destination_type,
             "rudder_identity_merge_rules",
         )
         overrides["rudder_identity_merge_rules"] = loaded
-        overrides["rudder_discards"] = (
-            tables["rudder_discards"].unionByName(
+        # worker_job.go:592-615 only creates the discards load file when
+        # discard rows exist — a zero-violation upload must not commit an
+        # empty rudder_discards table (the emptiness probe is a narrow
+        # filter over the small merge-rules frame, not a corpus scan)
+        if "rudder_discards" in tables:
+            overrides["rudder_discards"] = tables["rudder_discards"].unionByName(
                 discards, allowMissingColumns=True
             )
-            if "rudder_discards" in tables
-            else discards
-        )
+        elif not discards.isEmpty():
+            overrides["rudder_discards"] = discards
     names = list(tables)
     names += [n for n in overrides if n not in names]
     committed: dict[str, bool] = {}

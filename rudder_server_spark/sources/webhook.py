@@ -445,7 +445,15 @@ def _iterable_event_adapter(df: DataFrame) -> DataFrame:
         ),
         F.col("received_at"),
     )
-    data_fields = F.coalesce(F.get_json_object(b, "$.dataFields"), F.lit("{}"))
+    # get_json_object returns the UNQUOTED text for scalar subtrees
+    # (dataFields:"abc" → abc), which would splice as malformed JSON —
+    # only object/array subtrees ride through verbatim; scalars and
+    # missing dataFields fall back to {} (the transformer likewise only
+    # forwards object dataFields as properties).
+    raw_fields = F.get_json_object(b, "$.dataFields")
+    data_fields = F.when(
+        F.substring(raw_fields, 1, 1).isin("{", "["), raw_fields
+    ).otherwise(F.lit("{}"))
     return df.select(
         F.expr("uuid()").alias("message_id"),
         F.coalesce(

@@ -166,3 +166,32 @@ def test_registry_shape_mirrors_reference():
         assert len(ics) == 2
         assert all(ic.limit == 512 for ic in ics)
         assert all(len(ic.index_columns) == 2 for ic in ics)
+
+
+def test_received_at_fallback_now_when_absent(spark):
+    # worker_job.go:586-589 — handleDiscardTypes falls back to now() when
+    # the row has no received_at; discard rows are never NULL-timestamped
+    df = spark.createDataFrame(
+        [(VIOL_TYPE, VIOL_VALUE)],
+        "merge_property_1_type string, merge_property_1_value string",
+    )
+    _loaded, discards = apply_index_constraints(
+        df, "BQ", "rudder_identity_merge_rules"
+    )
+    d = discards.collect()
+    assert len(d) == 1 and d[0]["received_at"] is not None
+
+
+def test_received_at_lookup_is_case_insensitive(spark):
+    # the Snowflake path carries uppercase identifiers — RECEIVED_AT must
+    # resolve through the same case-insensitive map as the index columns
+    df = spark.createDataFrame(
+        [(VIOL_TYPE, VIOL_VALUE, "2024-01-01 00:00:00")],
+        "MERGE_PROPERTY_1_TYPE string, MERGE_PROPERTY_1_VALUE string, "
+        "RECEIVED_AT string",
+    )
+    _loaded, discards = apply_index_constraints(
+        df, "SNOWFLAKE", "RUDDER_IDENTITY_MERGE_RULES"
+    )
+    d = discards.collect()
+    assert len(d) == 1 and d[0]["received_at"] == "2024-01-01 00:00:00"

@@ -1190,3 +1190,37 @@ def test_syncs_rollup_rfc3339_lenient(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["n_next_retry"] == 4  # Z, +offset, fractional Z, fractional offset
+
+
+def test_syncs_rollup_rfc3339_rejects_misplaced_fractions(spark):
+    """ADVICE r10 #3: the fraction strip is anchored to the seconds
+    position — shapes Go's time.Parse(RFC3339) rejects (fraction after
+    the zone, double fractions, fraction with no zone digits after it)
+    must NOT be laundered into parseable strings."""
+    import pyspark.sql.functions as F
+
+    from rudder_server_spark.operators.wh_api import syncs_rollup
+
+    rows = [
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00:00Z.5"}'),      # after zone
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00:00.1.2Z"}'),    # double
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00:00.5"}'),       # no zone
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00.5:00Z"}'),      # in minutes
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00:00.5+05:30"}'), # valid
+        ("waiting", '{"nextRetryTime":"2026-01-01T00:00:00.5Z"}'),      # valid
+    ]
+    df = spark.createDataFrame(
+        [
+            (i, "dst-0", s, "{}", m, None, None, None)
+            for i, (s, m) in enumerate(rows)
+        ],
+        "upload_id long, destination_id string, status string, error string, "
+        "metadata string, created_at timestamp, last_exec_at timestamp, "
+        "updated_at timestamp",
+    )
+    out = syncs_rollup(
+        df, F.lit("2026-01-16 00:00:00").cast("timestamp"),
+        group_cols=("destination_id",),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_next_retry"] == 2  # only the two genuinely valid shapes

@@ -116,3 +116,24 @@ def test_bq_index_constraints_route_to_discards(spark, tmp_path):
         spark, str(tmp_path / "whrs" / "rudder_identity_merge_rules")
     ).collect()
     assert sorted(r["merge_property_1_value"] for r in rules2)[1] == long_val
+
+def test_bq_zero_violation_upload_writes_no_discards_table(spark, tmp_path):
+    """worker_job.go:592-615 — the discards load file only exists when
+    discard rows exist; a clean BQ upload must not commit an empty
+    rudder_discards table."""
+    wh = str(tmp_path / "whbq_clean")
+    batch = spark.createDataFrame(
+        [_merge_event(0, "a@example.com"), _merge_event(1, "b@example.com")],
+        SCHEMA,
+    )
+    out = run_warehouse_upload(spark, batch, wh, "up-bq-clean", destination_type="BQ")
+    assert "rudder_discards" not in out["tables"]
+    assert "rudder_discards" not in out["committed"]
+    assert load_commit.read_table(
+        spark, str(tmp_path / "whbq_clean" / "rudder_discards")
+    ) is None
+    # the merge-rules table itself still lands
+    rules = load_commit.read_table(
+        spark, str(tmp_path / "whbq_clean" / "rudder_identity_merge_rules")
+    )
+    assert rules.count() == 2

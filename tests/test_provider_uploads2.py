@@ -269,3 +269,32 @@ def test_group_first_anchor_tolerates_min_jobid_ties(spark):
         [("first_val", F.col("val"))],
     )
     assert out2.count() == 2
+
+
+def test_group_first_anchor_tie_pick_is_deterministic(spark):
+    """ADVICE r10 #5: when tied min-job_id rows carry DIFFERING derived
+    values, the anchor pick is deterministic (min_by over the derived
+    struct's JSON text), so repeated runs and the differential harness
+    never flake."""
+    df = spark.createDataFrame(
+        [("g1", 1, "zeta"), ("g1", 1, "alpha"), ("g1", 1, "mid"), ("g2", 3, "q")],
+        "grp string, job_id long, val string",
+    )
+    for _ in range(3):
+        rows = P2._group_first_anchor(
+            df, ("grp",), "job_id", [("first_val", F.col("val"))]
+        ).collect()
+        g1 = {r["first_val"] for r in rows if r["grp"] == "g1"}
+        # min over {"first_val":"alpha"} < "mid" < "zeta"
+        assert g1 == {"alpha"}
+    # ungrouped branch: same deterministic rule
+    for _ in range(3):
+        rows = P2._group_first_anchor(
+            spark.createDataFrame(
+                [(1, "zz"), (1, "aa")], "job_id long, val string"
+            ),
+            (),
+            "job_id",
+            [("first_val", F.col("val"))],
+        ).collect()
+        assert {r["first_val"] for r in rows} == {"aa"}

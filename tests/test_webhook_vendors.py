@@ -183,3 +183,22 @@ def test_iterable_dynamic_datafields_verbatim(spark):
     # dynamic subtree rides verbatim — nested arrays/objects intact
     assert p["properties"]["custom"]["deep"] == [1, 2, 3]
     assert p["properties"]["campaignId"] == 12345
+
+
+def test_iterable_scalar_datafields_does_not_break_payload_json(spark):
+    """ADVICE r10 #4: get_json_object returns UNQUOTED text for scalar
+    subtrees; a scalar/missing dataFields must fall back to {} instead of
+    splicing malformed JSON into the payload."""
+    for body in (
+        {"eventName": "emailSend", "email": "s@x.io", "dataFields": "abc"},
+        {"eventName": "emailSend", "email": "s@x.io", "dataFields": 42},
+        {"eventName": "emailSend", "email": "s@x.io"},
+    ):
+        r = adapt_webhook(_raw(spark, json.dumps(body)), "iterable_event").head()
+        p = json.loads(r["payload"])  # must parse — the r10 bug made this throw
+        assert p["properties"] == {}
+        assert p["event"] == "emailSend"
+    # arrays still ride verbatim
+    body = {"eventName": "e", "email": "s@x.io", "dataFields": [1, {"k": "v"}]}
+    r = adapt_webhook(_raw(spark, json.dumps(body)), "iterable_event").head()
+    assert json.loads(r["payload"])["properties"] == [1, {"k": "v"}]
