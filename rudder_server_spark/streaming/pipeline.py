@@ -108,11 +108,24 @@ def _write(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("append").parquet(path)
 
 
-def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | None = None):
+def warehouse_sink(
+    out_dir: str,
+    schemas: dict | None = None,
+    promote: set | None = None,
+    destination_type: str | None = None,
+):
     """foreachBatch: materialize the event fan-out tables per micro-batch.
 
     Parquet append per table; the streaming checkpoint provides the
     effectively-once guarantee the reference gets from its jobsdb txn.
+
+    ``destination_type`` routes the identity merge rules through the same
+    index-length constraints as the batch upload path
+    (operators/constraints.py; warehouse/constraints/constraint.go via
+    slave/worker.go:404-446): on BQ/Snowflake a violating cell swaps to
+    its ViolatedIdentifier and the original value appends to
+    ``rudder_discards`` — streaming and batch loads share the operator,
+    so a violating rule is discarded identically in both.
 
     ``schemas``/``promote`` are the cached consolidation verdicts from the
     schema registry (wh_schemas, warehouse/schema/schema.go:205-343): the
@@ -144,7 +157,40 @@ def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | Non
             # distributed CC path if a batch exceeds the cap)
             small_graph=True,
         )
+        # side dict, not item assignment: tables is a lazy mapping whose
+        # deferred thunks must stay unforced until their write
+        overrides: dict[str, DataFrame] = {}
+        if (
+            destination_type is not None
+            and "rudder_identity_merge_rules" in tables
+        ):
+            from rudder_server_spark.operators.constraints import (
+                INDEX_CONSTRAINTS,
+                apply_index_constraints,
+            )
+
+            if destination_type in INDEX_CONSTRAINTS:
+                loaded, discards = apply_index_constraints(
+                    tables["rudder_identity_merge_rules"],
+                    destination_type,
+                    "rudder_identity_merge_rules",
+                )
+                overrides["rudder_identity_merge_rules"] = loaded
+                # same gate as the batch path (pipeline_warehouse.py): the
+                # discards load file only exists when discard rows exist —
+                # the emptiness probe is a narrow filter over the small
+                # per-batch merge-rules frame
+                if "rudder_discards" in tables:
+                    overrides["rudder_discards"] = tables[
+                        "rudder_discards"
+                    ].unionByName(discards, allowMissingColumns=True)
+                elif not discards.isEmpty():
+                    overrides["rudder_discards"] = discards
         names = list(tables)
+        names += [n for n in overrides if n not in names]
+
+        def table(n: str) -> DataFrame:
+            return overrides[n] if n in overrides else tables[n]
         # identity tables derive from their own merge-payload parse — NOT
         # the shared flattened frame — and mappings runs the connected-
         # components convergence loop (several sequential jobs: the sink's
@@ -162,18 +208,18 @@ def warehouse_sink(out_dir: str, schemas: dict | None = None, promote: set | Non
         standard = [n for n in names if not n.startswith("rudder_identity_")]
         with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
             if identity:
-                _write(tables[identity[0]], os.path.join(out_dir, identity[0]))
+                _write(table(identity[0]), os.path.join(out_dir, identity[0]))
             futs = [
-                ex.submit(_write, tables[n], os.path.join(out_dir, n))
+                ex.submit(_write, table(n), os.path.join(out_dir, n))
                 for n in identity[1:]
             ]
             if standard:
                 # first standard write serially: it materializes the shared
                 # flattened frame's lazy checkpoint exactly once (concurrent
                 # first-touch would re-parse per thread)
-                _write(tables[standard[0]], os.path.join(out_dir, standard[0]))
+                _write(table(standard[0]), os.path.join(out_dir, standard[0]))
                 futs += [
-                    ex.submit(_write, tables[n], os.path.join(out_dir, n))
+                    ex.submit(_write, table(n), os.path.join(out_dir, n))
                     for n in standard[1:]
                 ]
             for f in futs:
@@ -263,12 +309,15 @@ def run_warehouse_pipeline(
     available_now: bool = True,
     schemas: dict | None = None,
     promote: set | None = None,
+    destination_type: str | None = None,
 ):
     """End-to-end: stream JSON event files → dedup → envelope → fan-out
     tables under ``out_dir``. Returns the StreamingQuery."""
     stream = processed_stream(read_event_stream(spark, source_dir), watermark)
     writer = (
-        stream.writeStream.foreachBatch(warehouse_sink(out_dir, schemas, promote))
+        stream.writeStream.foreachBatch(
+            warehouse_sink(out_dir, schemas, promote, destination_type)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

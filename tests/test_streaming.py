@@ -484,3 +484,84 @@ def test_anomaly_stream_flags_spike_hours(spark, tmp_path):
     assert row["event_type"] == "click"
     assert row["hour"] == t0
     assert row["n"] == 10 and row["z"] == 8.0
+
+
+def test_streaming_index_constraints_match_batch_path(spark, tmp_path):
+    """VERDICT r10 #7: the streaming fan-out shares apply_index_constraints
+    with the batch upload path — a violating merge rule is cell-swapped and
+    discarded IDENTICALLY in both (deterministic ViolatedIdentifier)."""
+    import datetime as dt
+
+    from rudder_server_spark.pipeline_warehouse import run_warehouse_upload
+    from rudder_server_spark.sources import load_commit
+
+    long_val = "v" * 600
+
+    def merge_event(i, value):
+        return {
+            "message_id": f"mrg-{i:06d}",
+            "user_id": i,
+            "anonymous_id": f"anon-{i:04d}",
+            "event_type": "merge",
+            "event_name": None,
+            "received_at": f"2024-02-01T00:00:{i:02d}.000Z",
+            "sent_at": f"2024-02-01T00:00:{i:02d}.000Z",
+            "original_timestamp": f"2024-02-01T00:00:{i:02d}.000Z",
+            "payload": json.dumps({
+                "type": "merge",
+                "mergeProperties": [
+                    {"type": "email", "value": value},
+                    {"type": "anonymousId", "value": f"anon-{i:04d}"},
+                ],
+            }),
+        }
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(src, [merge_event(0, long_val), merge_event(1, "ok@x.io")])
+    q = run_warehouse_pipeline(spark, src, out, ckpt, destination_type="BQ")
+    q.awaitTermination(120)
+
+    disc_s = spark.read.parquet(os.path.join(out, "rudder_discards")).collect()
+    assert len(disc_s) == 1
+    assert disc_s[0]["column_value"] == long_val
+    assert disc_s[0]["column_name"] == "merge_property_1_value"
+    rules_s = spark.read.parquet(
+        os.path.join(out, "rudder_identity_merge_rules")
+    ).collect()
+    swapped_s = sorted(r["merge_property_1_value"] for r in rules_s)
+
+    # same two events through the BATCH upload path
+    t0 = dt.datetime(2024, 2, 1, 0, 0, 0)
+    batch = spark.createDataFrame(
+        [
+            (f"mrg-{i:06d}", i, f"anon-{i:04d}", "merge", None, t0, t0, t0,
+             merge_event(i, v)["payload"])
+            for i, v in ((0, long_val), (1, "ok@x.io"))
+        ],
+        "message_id string, user_id long, anonymous_id string, "
+        "event_type string, event_name string, received_at timestamp, "
+        "sent_at timestamp, original_timestamp timestamp, payload string",
+    )
+    wh = str(tmp_path / "wh")
+    run_warehouse_upload(spark, batch, wh, "up-1", destination_type="BQ")
+    disc_b = load_commit.read_table(spark, os.path.join(wh, "rudder_discards")).collect()
+    rules_b = load_commit.read_table(
+        spark, os.path.join(wh, "rudder_identity_merge_rules")
+    ).collect()
+    swapped_b = sorted(r["merge_property_1_value"] for r in rules_b)
+
+    # identical discard routing AND identical deterministic identifiers
+    assert disc_b[0]["column_value"] == disc_s[0]["column_value"]
+    assert disc_b[0]["column_name"] == disc_s[0]["column_name"]
+    assert disc_b[0]["row_id"] == disc_s[0]["row_id"]
+    assert swapped_s == swapped_b
+    assert swapped_s[1].startswith("rudder-discards-")
+
+    # clean stream (no violations) must not create the discards table
+    src2, out2, ckpt2 = (str(tmp_path / p) for p in ("src2", "out2", "ckpt2"))
+    _write_events(src2, [merge_event(2, "a@x.io")])
+    q2 = run_warehouse_pipeline(spark, src2, out2, ckpt2, destination_type="BQ")
+    q2.awaitTermination(120)
+    assert not os.path.exists(os.path.join(out2, "rudder_discards"))
