@@ -176,6 +176,14 @@ def chunk_bq_events(
     def fold(pdf):
         # self-contained: workers may not have the repo on sys.path
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        # uniqueness contract enforced loudly: a duplicate job id makes
+        # the greedy reset scan order — and so every chunk boundary —
+        # nondeterministic
+        if bool(pdf.duplicated(subset=[order]).any()):
+            raise ValueError(
+                "chunk_bq_events: duplicate order key within a group — "
+                "the greedy chunk fold requires unique job ids"
+            )
         chunk, cur = 0, 0
         idx = []
         for sz in pdf[size_name]:

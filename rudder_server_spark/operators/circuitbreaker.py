@@ -54,6 +54,12 @@ def circuit_breaker_replay(
     Skipped ticks record no outcome (the reference's open-state Execute
     rejects the call), so they never advance the failure count —
     which is why this is a fold and not a prefix window.
+
+    CONTRACT (enforced, loudly): (partition_cols, ts_col, order_cols)
+    uniquely keys ticks — a duplicate composite key makes the replay's
+    scan order, and therefore the whole state machine, nondeterministic.
+    The fold raises ValueError on a duplicate instead of silently
+    producing run-dependent admissions.
     """
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
@@ -72,6 +78,15 @@ def circuit_breaker_replay(
 
     def fold(pdf):
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        # uniqueness contract enforced where it matters: the state machine
+        # reads ticks in (ts, order_cols) order, so a tie would replay
+        # differently run to run
+        if bool(pdf.duplicated(subset=order).any()):
+            raise ValueError(
+                "circuit_breaker_replay: duplicate (ts, order) key within "
+                "a partition — the breaker replay requires a unique tick "
+                "ordering"
+            )
         state, consec, open_until = "closed", 0, None
         admitted, before, tripped = [], [], []
         for ts, ok in zip(pdf[ts_name], pdf[ok_name]):

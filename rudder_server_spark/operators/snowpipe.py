@@ -75,6 +75,13 @@ def split_insert_requests(
 
     ``size_col`` is MessageDataByteSize — the raw byte length of the
     event's ``message.data`` subtree (eventsFromFile, :376).
+
+    CONTRACT (enforced, loudly): ``job_id_col`` is unique per table —
+    jobsdb ids are — because the window's cumulative total at a tie is
+    order-dependent, so a duplicate key would make the included/
+    overflowed boundary nondeterministic. A ``lag`` over the SAME
+    window spec detects adjacent duplicates with no extra exchange and
+    raises instead of silently flaking.
     """
     over = F.col(size_col) > max_insert_bytes
     non_over = events.where(~over)
@@ -85,9 +92,28 @@ def split_insert_requests(
     )
     rn = F.count("*").over(w)
     batch_bytes = F.lit(2) + F.sum(size_col).over(w) + (rn - F.lit(1))
+    dup = (
+        F.lag(job_id_col).over(W.partitionBy(table_col).orderBy(job_id_col))
+        == F.col(job_id_col)
+    )
     split = non_over.withColumn(
         "disposition",
-        F.when(batch_bytes <= max_insert_bytes, "included").otherwise("overflowed"),
+        F.when(
+            dup,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "split_insert_requests: duplicate (table, job_id) "
+                        "key — the size split requires unique job ids: "
+                    ),
+                    F.col(table_col).cast("string"),
+                    F.lit("/"),
+                    F.col(job_id_col).cast("string"),
+                )
+            ).cast("string"),
+        )
+        .when(batch_bytes <= max_insert_bytes, "included")
+        .otherwise("overflowed"),
     )
     return split.unionByName(
         events.where(over).withColumn("disposition", F.lit("oversized"))

@@ -426,3 +426,63 @@ def test_go_v_array_keeps_nil_elements(spark):
     vals, disc = _coerce(spark, rows, wh)
     d = disc.collect()
     assert len(d) == 1 and d[0]["column_value"] == "[1 <nil> 2]"
+
+
+def test_chunk_duplicate_job_id_raises_loudly(spark):
+    """CONTRACT (r10 verdict #6): a duplicate order key makes the greedy
+    reset scan — and every chunk boundary — nondeterministic; the fold
+    must raise instead of silently mis-chunking."""
+    df = spark.createDataFrame(
+        [("t", 1, 50), ("t", 1, 50), ("t", 2, 50)],
+        "table string, job_id long, message_data_byte_size long",
+    )
+    out = chunk_bq_events(df, max_chunk_bytes=80)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "duplicate order key" in str(ei.value)
+
+
+def test_chunk_property_unique_ids_match_go_loop(spark):
+    """Hypothesis: unique job ids never trip the guard and the chunk
+    assignment matches the literal Go greedy loop (events.go:88-126);
+    one injected duplicate always trips it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def go_chunks(sizes, cap):
+        chunk, cur, idx = 0, 0, []
+        for sz in sizes:
+            if cur + sz > cap and cur > 0:
+                chunk, cur = chunk + 1, 0
+            idx.append(chunk)
+            cur += sz
+        return idx
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(1, 120), min_size=1, max_size=10),
+           st.integers(40, 200), st.integers(0, 9))
+    def check(sizes, cap, dup_at):
+        df = spark.createDataFrame(
+            [("t", i + 1, s) for i, s in enumerate(sizes)],
+            "table string, job_id long, message_data_byte_size long",
+        )
+        got = {
+            r["job_id"]: r["chunk_idx"]
+            for r in chunk_bq_events(df, cap).collect()
+        }
+        assert [got[i + 1] for i in range(len(sizes))] == go_chunks(sizes, cap)
+        i = dup_at % len(sizes)
+        bad_rows = [("t", j + 1, s) for j, s in enumerate(sizes)]
+        bad_rows.append(("t", i + 1, sizes[i]))
+        bad = chunk_bq_events(
+            spark.createDataFrame(
+                bad_rows,
+                "table string, job_id long, message_data_byte_size long",
+            ),
+            cap,
+        )
+        with pytest.raises(Exception):
+            bad.collect()
+
+    check()

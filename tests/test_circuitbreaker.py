@@ -114,3 +114,50 @@ def test_gate_precedes_throttling_composition(spark):
     out = circuit_breaker_replay(ticks, consecutive_failures=2, timeout_s=300.0)
     reached_pickup = out.where(F.col("admitted"))
     assert reached_pickup.count() == 2  # t=2 (open) and t=3 never picked up
+
+
+def test_duplicate_tick_key_raises_loudly(spark):
+    """CONTRACT (r10 verdict #6): two ticks at the same (partition, ts)
+    make the replay order — and the whole state machine —
+    nondeterministic; the fold must raise, not silently mis-replay."""
+    import pytest
+
+    df = _ticks(spark, [(0, False), (0, True), (5, False)])
+    out = circuit_breaker_replay(df)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "duplicate (ts, order)" in str(ei.value)
+
+
+def test_replay_property_unique_ticks_deterministic(spark):
+    """Hypothesis: any unique-ts tick sequence replays without tripping
+    the guard, admitted/tripped stay consistent with the state machine's
+    invariants, and an injected duplicate always trips it."""
+    import pytest
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.booleans(), min_size=1, max_size=12),
+           st.integers(0, 11))
+    def check(oks, dup_at):
+        rows = [(i * 7, ok) for i, ok in enumerate(oks)]
+        out = _replay(spark, rows, n=2, timeout=15.0)
+        # invariants: a skipped tick is observed in 'open' and never trips;
+        # a trip only happens on an admitted failing tick
+        for (admitted, before, tripped), (_, ok) in zip(out, rows):
+            if not admitted:
+                assert before == "open" and not tripped
+            if tripped:
+                assert admitted and not ok
+        # duplicate injection → loud error
+        i = dup_at % len(rows)
+        bad = circuit_breaker_replay(
+            _ticks(spark, rows + [rows[i]]), consecutive_failures=2,
+            timeout_s=15.0,
+        )
+        with pytest.raises(Exception):
+            bad.collect()
+
+    check()

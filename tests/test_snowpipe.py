@@ -186,3 +186,44 @@ def test_idempotent_replay(spark):
     )
     dups_neg = SP.duplicate_stats(inc_neg, st).collect()[0]
     assert dups_neg["dup_due_to_offset"] == 5
+
+
+def test_split_duplicate_job_id_raises_loudly(spark):
+    """CONTRACT (r10 verdict #6): a duplicate (table, job_id) makes the
+    cumulative boundary order-dependent — fail loudly, don't flake."""
+    df = _events(spark, [("T", 1, 40), ("T", 1, 40), ("T", 2, 40)])
+    out = SP.split_insert_requests(df, max_insert_bytes=100)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "duplicate (table, job_id)" in str(ei.value)
+
+
+def test_split_unique_keys_property(spark):
+    """Hypothesis: unique job ids never trip the guard and the split
+    still matches the literal Go loop; injecting one duplicate always
+    trips it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(st.integers(1, 80), min_size=1, max_size=10),
+           st.integers(30, 150), st.integers(0, 9))
+    def check(sizes, cap, dup_at):
+        df = _events(spark, [("T", i + 1, s) for i, s in enumerate(sizes)])
+        got = {
+            r["job_id"]: r["disposition"]
+            for r in SP.split_insert_requests(df, cap).collect()
+        }
+        want = _go_split({"T": sizes}, cap)["T"]
+        assert [got[i + 1] for i in range(len(sizes))] == want
+        # same data with one duplicated NON-oversized job id → loud error
+        i = dup_at % len(sizes)
+        if sizes[i] <= cap:
+            rows = [("T", j + 1, s) for j, s in enumerate(sizes)]
+            rows.append(("T", i + 1, sizes[i]))
+            bad = SP.split_insert_requests(_events(spark, rows), cap)
+            with pytest.raises(Exception):
+                bad.collect()
+
+    check()
