@@ -493,6 +493,45 @@ def probe_provider(spark, reg, ks) -> None:
             )
 
 
+def probe_uploads(spark, reg, ks) -> None:
+    """r10 verdict #2: the three big-ratio bounded-dimension audits with
+    no committed probe — q94 live-events (debugger.py), q93 wh_archive
+    (wh_archive.py), q84 async destinations (async_destinations.py). All
+    three derive their uploads/statuses from the events table, so the
+    scaled-sf fixture grows the corpus side while the bounded dimension
+    (enabled destinations / eligible uploads / upload windows) stays
+    bounded-or-linear — the structural claim the sf0.1 ratios can't show.
+    Same build_scaled_sf layout discipline as probe_provider."""
+    for k in ks:
+        sf_dir = build_scaled_sf(spark, k, f"/tmp/rss_sf_{k}x")
+        glob_ev = os.path.join(sf_dir, "events.parquet", "*.parquet")
+        setup = [
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{glob_ev}')"
+        ]
+        for name in (
+            "q84_async_destinations",
+            "q93_wh_archive",
+            "q94_live_events",
+        ):
+            qd = reg[name]
+
+            def run():
+                qd.spark_fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    rdd.unpersist()
+                spark.catalog.clearCache()
+
+            engine = _time_engine(spark, run)
+            duck = _time_duck(setup, qd.oracle)
+            _emit(
+                k=k, events=100_000 * k, query=name, engine_warm_sec=engine,
+                duckdb_warm_sec=duck,
+                ratio=round(engine / duck, 2) if duck else None,
+            )
+
+
 def main() -> None:
     from rudder_server_spark.plans.registry import load_all
     from rudder_server_spark.session import get_spark
@@ -513,6 +552,8 @@ def main() -> None:
         probe_floors2(spark, reg, ks)
     if which == "provider":
         probe_provider(spark, reg, ks)
+    if which == "uploads":
+        probe_uploads(spark, reg, ks)
 
 
 if __name__ == "__main__":
