@@ -19,8 +19,10 @@ Decoder status (round 8):
   gray/RGB/gray-alpha/RGBA). These exercise the full Spark contract
   (Arrow batching, one-to-one and one-to-many mapInPandas, binary
   columns) on genuinely decoded media.
-- Codecs with no stdlib inflate path (JPEG via PIL, video via ffmpeg)
-  are NOT in this container: `decode_media` / `resize_stub` /
+- JPEG is REAL too (r10 baseline, r11 progressive): `decode_jpeg` is a
+  zero-dependency Huffman + IDCT decoder covering SOF0/1/2, value-checked
+  against javax.imageio. Only video (ffmpeg) and arithmetic/lossless
+  JPEG variants have no stdlib path: `decode_media` / `resize_stub` /
   `frame_sample` keep the same schema/partitioning/batch shape and raise
   NotImplementedError unless `fake=True` (deterministic stand-in),
   flipping to the real libraries when the environment provides them.
@@ -600,16 +602,22 @@ def decode_png(
 def decode_jpeg(
     df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL baseline-JPEG decode with zero third-party codecs: marker
-    parse, canonical Huffman entropy decode, dequantize + de-zigzag,
-    vectorized 8x8 IDCT (one einsum per component over all blocks),
-    chroma upsampling (any h/v sampling factors, incl. 4:2:0 / 4:2:2),
-    JFIF YCbCr→RGB. Supports SOF0/SOF1 (baseline + extended sequential
-    Huffman), 8-bit precision, 1- or 3-component scans, restart markers,
-    16-bit quant tables. Progressive (SOF2), arithmetic coding, and
-    12-bit stay env-gated with a clear error — matching the r8 PNG
-    precedent, the common-default encoder shape is fully real and
-    value-checked (tests decode javax.imageio output and compare pixels).
+    """REAL JPEG decode with zero third-party codecs: marker parse,
+    canonical Huffman entropy decode, dequantize + de-zigzag, vectorized
+    8x8 IDCT (one einsum per component over all blocks), chroma
+    upsampling (any h/v sampling factors, incl. 4:2:0 / 4:2:2), JFIF
+    YCbCr→RGB. Supports SOF0/SOF1 (baseline + extended sequential
+    Huffman) AND SOF2 (progressive Huffman, r11): multi-scan spectral
+    selection + successive approximation — DC first/refine in MCU order,
+    AC first/refine per component in raster block order with EOBRUN runs
+    (T.81 G.1.2, the libjpeg jdphuff.c algorithm), restart markers
+    resetting predictors and EOB runs, raw coefficients accumulated
+    across scans and dequantized once at the end. 8-bit precision, 1- or
+    3-component frames, 16-bit quant tables. Arithmetic coding,
+    lossless/hierarchical, and 12-bit stay env-gated with a clear error —
+    the Huffman encoder shapes are fully real and value-checked (tests
+    decode javax.imageio baseline AND progressive output and compare
+    pixels).
 
     Output mirrors decode_png: (width, height, channels,
     per-channel [means..., stds...] feature, error) keep-with-status rows.
@@ -693,8 +701,197 @@ def decode_jpeg(
             frame = None
             ri = 0
             adobe_transform = None
-            scan = None
-            while pos + 4 <= len(data):
+            progressive = False
+            geom_done = False
+            any_scan = False
+            comps = []
+            n = len(data)
+
+            def collect(spos):
+                """Entropy segments from ``spos``: unstuff FF00, split at
+                RSTn, stop at any other marker. Returns (segs, end) where
+                ``end`` indexes the terminating marker's 0xFF (or EOF)."""
+                segs, cur = [], bytearray()
+                i = spos
+                while i < n:
+                    byte = data[i]
+                    if byte == 0xFF and i + 1 < n:
+                        nxt = data[i + 1]
+                        if nxt == 0x00:
+                            cur.append(0xFF)
+                            i += 2
+                            continue
+                        if 0xD0 <= nxt <= 0xD7:
+                            segs.append(bytes(cur))
+                            cur = bytearray()
+                            i += 2
+                            continue
+                        # spec: FF + any other marker ends the scan
+                        break
+                    cur.append(byte)
+                    i += 1
+                segs.append(bytes(cur))
+                return segs, i
+
+            def init_geometry():
+                nonlocal geom_done, hmax, vmax, mcux, mcuy, nmcu
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-frame["w"] // (8 * hmax))
+                mcuy = -(-frame["h"] // (8 * vmax))
+                nmcu = mcux * mcuy
+                for c in comps:
+                    c["bx"] = mcux * c["h"]
+                    c["by"] = mcuy * c["v"]
+                    # non-interleaved scans cover the component's OWN
+                    # (un-MCU-padded) block grid (T.81 A.2.2)
+                    c["cw"] = -(-(-(-frame["w"] * c["h"] // hmax)) // 8)
+                    c["ch"] = -(-(-(-frame["h"] * c["v"] // vmax)) // 8)
+                    c["coef"] = _np.zeros((c["by"] * c["bx"], 64), _np.int32)
+                    c["pred"] = 0
+                geom_done = True
+
+            hmax = vmax = mcux = mcuy = nmcu = 0
+
+            def prog_scan(order, ss, se, ah, al, segs):
+                """One progressive scan (T.81 G.1.2 / libjpeg jdphuff.c):
+                DC first/refine interleaved in MCU order, AC first/refine
+                single-component in the component's raster block order,
+                EOBRUN and DC predictors reset at every restart."""
+                p1, m1 = 1 << al, -(1 << al)
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("bad DC spectral selection")
+                    interleaved = len(order) > 1
+                    if interleaved:
+                        units = nmcu
+                    else:
+                        c0 = order[0]
+                        units = c0["cw"] * c0["ch"]
+                    done = 0
+                    for seg_bytes in segs:
+                        if done >= units:
+                            break
+                        br = Bits(seg_bytes)
+                        for c in order:
+                            c["pred"] = 0
+                        stop = min(units, done + ri) if ri else units
+                        while done < stop:
+                            if interleaved:
+                                my, mx = divmod(done, mcux)
+                                blocks = [
+                                    (c, (my * c["v"] + v) * c["bx"]
+                                     + (mx * c["h"] + u))
+                                    for c in order
+                                    for v in range(c["v"])
+                                    for u in range(c["h"])
+                                ]
+                            else:
+                                c0 = order[0]
+                                row, col = divmod(done, c0["cw"])
+                                blocks = [(c0, row * c0["bx"] + col)]
+                            for c, bi in blocks:
+                                coef = c["coef"]
+                                if ah == 0:
+                                    t = br.huff(hdc[c["td"]])
+                                    diff = extend(br.bits(t), t) if t else 0
+                                    c["pred"] += diff
+                                    coef[bi, 0] = c["pred"] << al
+                                elif br.bit():
+                                    coef[bi, 0] |= p1
+                            done += 1
+                    if done < units:
+                        raise ValueError("truncated progressive DC scan")
+                    return
+                # AC scan: single component, raster block order
+                if len(order) != 1:
+                    raise ValueError("progressive AC scan must be 1 component")
+                c = order[0]
+                ac_t = hac[c["ta"]]
+                coef = c["coef"]
+                units = c["cw"] * c["ch"]
+                done = 0
+                eobrun = 0
+                for seg_bytes in segs:
+                    if done >= units:
+                        break
+                    br = Bits(seg_bytes)
+                    eobrun = 0
+                    stop = min(units, done + ri) if ri else units
+                    while done < stop:
+                        row, col = divmod(done, c["cw"])
+                        bi = row * c["bx"] + col
+                        if ah == 0:  # AC first pass
+                            if eobrun > 0:
+                                eobrun -= 1
+                            else:
+                                k = ss
+                                while k <= se:
+                                    rs = br.huff(ac_t)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r != 15:
+                                            eobrun = (1 << r) - 1
+                                            if r:
+                                                eobrun += br.bits(r)
+                                            break
+                                        k += 16
+                                        continue
+                                    k += r
+                                    if k > se:
+                                        raise ValueError("AC overflow")
+                                    coef[bi, k] = extend(br.bits(s), s) << al
+                                    k += 1
+                        else:  # AC refinement pass (jdphuff refine loop)
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = br.huff(ac_t)
+                                    r, s = rs >> 4, rs & 15
+                                    newval = 0
+                                    if s == 0:
+                                        if r < 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.bits(r)
+                                            break
+                                        # r == 15: pass over 16 zero-history
+                                    else:
+                                        if s != 1:
+                                            raise ValueError(
+                                                "bad AC refinement code"
+                                            )
+                                        newval = p1 if br.bit() else m1
+                                    while k <= se:
+                                        v = coef[bi, k]
+                                        if v != 0:
+                                            if br.bit() and (v & p1) == 0:
+                                                coef[bi, k] = (
+                                                    v + p1 if v >= 0 else v + m1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval and k <= se:
+                                        coef[bi, k] = newval
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    v = coef[bi, k]
+                                    if v != 0:
+                                        if br.bit() and (v & p1) == 0:
+                                            coef[bi, k] = (
+                                                v + p1 if v >= 0 else v + m1
+                                            )
+                                    k += 1
+                                eobrun -= 1
+                        done += 1
+                if done < units:
+                    raise ValueError("truncated progressive AC scan")
+
+            while pos + 2 <= n:
                 if data[pos] != 0xFF:
                     raise ValueError("bad marker stream")
                 m = data[pos + 1]
@@ -703,6 +900,8 @@ def decode_jpeg(
                     break
                 if m == 0x01 or 0xD0 <= m <= 0xD7:
                     continue
+                if pos + 2 > n:
+                    raise ValueError("truncated marker segment")
                 ln = struct.unpack_from(">H", data, pos)[0]
                 seg = data[pos + 2 : pos + ln]
                 if m == 0xDB:  # DQT
@@ -726,11 +925,12 @@ def decode_jpeg(
                     while i < len(seg):
                         tc, th = seg[i] >> 4, seg[i] & 15
                         counts = list(seg[i + 1 : i + 17])
-                        n = sum(counts)
-                        syms = list(seg[i + 17 : i + 17 + n])
+                        nsym = sum(counts)
+                        syms = list(seg[i + 17 : i + 17 + nsym])
                         (hdc if tc == 0 else hac)[th] = build_huff(counts, syms)
-                        i += 17 + n
-                elif m in (0xC0, 0xC1):  # SOF0/1 baseline+ext sequential
+                        i += 17 + nsym
+                elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / prog
+                    progressive = m == 0xC2
                     prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                     if prec != 8:
                         raise ValueError(f"unsupported precision {prec}")
@@ -743,121 +943,110 @@ def decode_jpeg(
                             {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                         )
                     frame = {"h": h, "w": w, "comps": comps}
-                elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                            0xCB, 0xCD, 0xCE, 0xCF):
                     raise ValueError(
                         f"unsupported JPEG SOF{m - 0xC0} "
-                        "(progressive/arithmetic/lossless) — baseline only"
+                        "(arithmetic/lossless/hierarchical) — "
+                        "baseline + progressive Huffman only"
                     )
                 elif m == 0xDD:  # DRI
                     ri = struct.unpack_from(">H", seg, 0)[0]
                 elif m == 0xEE and seg[:5] == b"Adobe":  # APP14
                     adobe_transform = seg[11] if len(seg) > 11 else None
                 elif m == 0xDA:  # SOS
+                    if frame is None:
+                        raise ValueError("SOS before SOF")
                     ns = seg[0]
                     sel = []
                     for ci in range(ns):
                         cs, tt = seg[1 + 2 * ci], seg[2 + 2 * ci]
                         sel.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
-                    scan = (sel, pos + ln)
-                    break
+                    if not geom_done:
+                        init_geometry()
+                        for c in comps:
+                            if c["tq"] not in qt:
+                                raise ValueError("missing quant table")
+                    by_id = {c["id"]: c for c in comps}
+                    order = [by_id[s["cs"]] for s in sel]
+                    for c, s in zip(order, sel):
+                        c["td"], c["ta"] = s["td"], s["ta"]
+                    segs, end = collect(pos + ln)
+                    if progressive:
+                        ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                        ahal = seg[3 + 2 * ns]
+                        prog_scan(order, ss, se, ahal >> 4, ahal & 15, segs)
+                        any_scan = True
+                        pos = end
+                        continue
+                    # sequential: exactly one scan covering every component
+                    if len(sel) != len(comps):
+                        raise ValueError("non-interleaved multi-scan unsupported")
+                    mcu = 0
+                    for seg_bytes in segs:
+                        if mcu >= nmcu:
+                            break
+                        br = Bits(seg_bytes)
+                        for c in comps:
+                            c["pred"] = 0
+                        stop = min(nmcu, mcu + ri) if ri else nmcu
+                        while mcu < stop:
+                            my, mx = divmod(mcu, mcux)
+                            for c in order:
+                                q = qt[c["tq"]]
+                                dc_t, ac_t = hdc[c["td"]], hac[c["ta"]]
+                                for v in range(c["v"]):
+                                    for u in range(c["h"]):
+                                        blk = _np.zeros(64, _np.int32)
+                                        t = br.huff(dc_t)
+                                        diff = (
+                                            extend(br.bits(t), t) if t else 0
+                                        )
+                                        c["pred"] += diff
+                                        blk[0] = c["pred"] * q[0]
+                                        k = 1
+                                        while k < 64:
+                                            rs = br.huff(ac_t)
+                                            r, s = rs >> 4, rs & 15
+                                            if s == 0:
+                                                if r != 15:
+                                                    break
+                                                k += 16
+                                                continue
+                                            k += r
+                                            if k > 63:
+                                                raise ValueError("AC overflow")
+                                            blk[k] = (
+                                                extend(br.bits(s), s) * q[k]
+                                            )
+                                            k += 1
+                                        bi = (my * c["v"] + v) * c["bx"] + (
+                                            mx * c["h"] + u
+                                        )
+                                        c["coef"][bi] = blk
+                            mcu += 1
+                    if mcu < nmcu:
+                        raise ValueError("truncated entropy data")
+                    any_scan = True
+                    pos = end
+                    continue
                 pos += ln
-            if frame is None or scan is None:
+            if frame is None or not any_scan:
                 raise ValueError("missing SOF/SOS")
-            sel, spos = scan
-            comps = frame["comps"]
-            if len(sel) != len(comps):
-                raise ValueError("non-interleaved multi-scan unsupported")
-            by_id = {c["id"]: c for c in comps}
-            order = [by_id[s["cs"]] for s in sel]
-            for c, s in zip(order, sel):
-                c["td"], c["ta"] = s["td"], s["ta"]
-
-            # entropy segments: unstuff FF00, split at RSTn, stop at EOI
-            segs, cur = [], bytearray()
-            i = spos
-            n = len(data)
-            while i < n:
-                byte = data[i]
-                if byte == 0xFF and i + 1 < n:
-                    nxt = data[i + 1]
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        i += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        segs.append(bytes(cur))
-                        cur = bytearray()
-                        i += 2
-                        continue
-                    if nxt == 0xD9:
-                        break
-                    # spec: FF followed by any other marker ends the scan
-                    break
-                cur.append(byte)
-                i += 1
-            segs.append(bytes(cur))
-
-            hmax = max(c["h"] for c in comps)
-            vmax = max(c["v"] for c in comps)
             w, h = frame["w"], frame["h"]
-            mcux = -(-w // (8 * hmax))
-            mcuy = -(-h // (8 * vmax))
-            nmcu = mcux * mcuy
-            for c in comps:
-                c["bx"] = mcux * c["h"]
-                c["by"] = mcuy * c["v"]
-                c["coef"] = _np.zeros((c["by"] * c["bx"], 64), _np.int32)
-                c["pred"] = 0
-                if c["tq"] not in qt:
-                    raise ValueError("missing quant table")
-
-            mcu = 0
-            for seg_bytes in segs:
-                if mcu >= nmcu:
-                    break
-                br = Bits(seg_bytes)
-                for c in comps:
-                    c["pred"] = 0
-                stop = min(nmcu, mcu + ri) if ri else nmcu
-                while mcu < stop:
-                    my, mx = divmod(mcu, mcux)
-                    for c in order:
-                        q = qt[c["tq"]]
-                        dc_t, ac_t = hdc[c["td"]], hac[c["ta"]]
-                        for v in range(c["v"]):
-                            for u in range(c["h"]):
-                                blk = _np.zeros(64, _np.int32)
-                                t = br.huff(dc_t)
-                                diff = extend(br.bits(t), t) if t else 0
-                                c["pred"] += diff
-                                blk[0] = c["pred"] * q[0]
-                                k = 1
-                                while k < 64:
-                                    rs = br.huff(ac_t)
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r != 15:
-                                            break
-                                        k += 16
-                                        continue
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC overflow")
-                                    blk[k] = extend(br.bits(s), s) * q[k]
-                                    k += 1
-                                bi = (my * c["v"] + v) * c["bx"] + (
-                                    mx * c["h"] + u
-                                )
-                                c["coef"][bi] = blk
-                    mcu += 1
-            if mcu < nmcu:
-                raise ValueError("truncated entropy data")
 
             planes = []
             for c in comps:
                 coefs = _np.zeros((c["by"] * c["bx"], 64), _np.float64)
-                coefs[:, ZZ] = c["coef"]  # de-zigzag
+                # progressive scans accumulate RAW successive-approximation
+                # coefficients — dequantize at the end; sequential already
+                # multiplied during entropy decode
+                dq = (
+                    c["coef"] * qt[c["tq"]][None, :]
+                    if progressive
+                    else c["coef"]
+                )
+                coefs[:, ZZ] = dq  # de-zigzag
                 blocks = coefs.reshape(-1, 8, 8)
                 px = _np.einsum("ub,nbc,cd->nud", A.T, blocks, A) + 128.0
                 plane = (

@@ -204,7 +204,7 @@ def _jvm_jpeg_tools(spark):
 
     jvm = spark._jvm
 
-    def encode(px, gray=False):
+    def encode(px, gray=False, progressive=False):
         h, w = px.shape[:2]
         # TYPE_INT_RGB=1, TYPE_BYTE_GRAY=10
         bi = jvm.java.awt.image.BufferedImage(w, h, 10 if gray else 1)
@@ -217,8 +217,24 @@ def _jvm_jpeg_tools(spark):
                     rgb = (int(px[y, x, 0]) << 16) | (int(px[y, x, 1]) << 8) | int(px[y, x, 2])
                 bi.setRGB(x, y, rgb)
         baos = jvm.java.io.ByteArrayOutputStream()
-        assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
-        return bytes(baos.toByteArray())
+        if not progressive:
+            assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
+            return bytes(baos.toByteArray())
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "jpg"
+        ).next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT
+        )
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.flush()
+        writer.dispose()
+        out = bytes(baos.toByteArray())
+        assert b"\xff\xc2" in out  # really progressive (SOF2 present)
+        return out
 
     def decode(b, gray=False):
         bais = jvm.java.io.ByteArrayInputStream(b)
@@ -312,17 +328,19 @@ def test_decode_jpeg_noise_image_tracks_oracle(spark):
     assert np.allclose(row["feature"][:3], om, atol=4.0)
 
 
-def test_decode_jpeg_progressive_and_garbage_gated(spark):
+def test_decode_jpeg_arithmetic_and_garbage_gated(spark):
+    """SOF2 (progressive Huffman) is REAL since r11; arithmetic coding
+    (SOF10) and garbage stay loud errors."""
     from rudder_server_spark.operators.multimodal import decode_jpeg
 
     rows = decode_jpeg(
         spark.createDataFrame(
-            [(1, b"\xff\xd8\xff\xc2" + b"\x00\x08" + b"\x00" * 6 + b"\xff\xd9"),
+            [(1, b"\xff\xd8\xff\xca" + b"\x00\x08" + b"\x00" * 6 + b"\xff\xd9"),
              (2, b"not a jpeg at all")],
             "item_id long, payload binary",
         )
     ).orderBy("item_id").collect()
-    assert rows[0]["error"] is not None and "SOF2" in rows[0]["error"]
+    assert rows[0]["error"] is not None and "SOF10" in rows[0]["error"]
     assert rows[1]["error"] is not None
 
 
@@ -412,3 +430,96 @@ def test_decode_jpeg_restart_markers_exact(spark):
     # std of the 4 flat tiles, exact
     px = np.repeat(np.repeat(np.array(vals).reshape(2, 2), 8, 0), 8, 1)
     assert abs(row["feature"][1] - px.std()) < 1e-9
+
+
+def test_decode_jpeg_progressive_gray_vs_imageio(spark):
+    """SOF2 progressive (r11): 1-component multi-scan stream from the
+    JVM's progressive encoder — spectral selection + successive
+    approximation, DC refinement, AC first + refinement with EOBRUN.
+    Must track the JVM's own decode of the same bytes."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    g = np.linspace(0, 255, 32 * 24).reshape(24, 32, 1).astype(np.uint8)
+    b = encode(g, gray=True, progressive=True)
+    oracle = jdecode(b, gray=True)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None, row["error"]
+    assert (row["width"], row["height"], row["channels"]) == (32, 24, 1)
+    assert abs(row["feature"][0] - oracle[:, :, 0].mean()) < 1.5
+
+
+def test_decode_jpeg_progressive_rgb_vs_imageio(spark):
+    """Progressive 3-component 4:2:0 with odd dimensions: interleaved DC
+    scans + per-component AC scans over the un-MCU-padded block grid,
+    chroma upsampling after multi-scan accumulation."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    rs = np.random.RandomState(11)
+    base = rs.randint(0, 256, (3,))
+    px = np.zeros((19, 21, 3), np.uint8)
+    for y in range(19):
+        for x in range(21):
+            px[y, x] = (base + np.array([x * 5, y * 7, (x + y) * 3])) % 256
+    b = encode(px, progressive=True)
+    oracle = jdecode(b)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None, row["error"]
+    assert (row["width"], row["height"], row["channels"]) == (21, 19, 3)
+    om = oracle.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(row["feature"][:3], om, atol=4.0)
+
+
+def test_decode_jpeg_progressive_solid_vs_imageio(spark):
+    """Constant-chroma progressive image: upsampling differences vanish,
+    so the multi-scan accumulation must agree almost exactly."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, jdecode = _jvm_jpeg_tools(spark)
+    px = np.zeros((24, 24, 3), np.uint8)
+    px[:] = (180, 90, 40)
+    b = encode(px, progressive=True)
+    oracle = jdecode(b)
+    row = decode_jpeg(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None, row["error"]
+    om = oracle.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(row["feature"][:3], om, atol=2.0)
+
+
+def test_decode_jpeg_progressive_matches_baseline_decode(spark):
+    """The SAME image encoded baseline and progressive must decode to
+    near-identical features — the two entropy paths share the IDCT /
+    upsample / colorspace stages, so residuals are quantization-identical
+    (the JVM encoder uses the same tables for both modes)."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_jpeg
+
+    encode, _ = _jvm_jpeg_tools(spark)
+    rs = np.random.RandomState(23)
+    px = rs.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    bb = encode(px)
+    bp = encode(px, progressive=True)
+    rows = {
+        r["item_id"]: r
+        for r in decode_jpeg(
+            spark.createDataFrame(
+                [(1, bb), (2, bp)], "item_id long, payload binary"
+            )
+        ).collect()
+    }
+    assert rows[1]["error"] is None and rows[2]["error"] is None
+    assert np.allclose(rows[1]["feature"], rows[2]["feature"], atol=1.0)
