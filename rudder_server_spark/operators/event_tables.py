@@ -271,32 +271,49 @@ def _mappings_idents(r: DataFrame) -> DataFrame:
     )
 
 
-def _sql_quote(v: str) -> str:
-    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+def _mappings_driver_side(spark, rule_rows) -> DataFrame:
+    """The full mappings table from collected rule rows (caller-vouched
+    bounded micro-batch): Python union-find for the component labels plus
+    the idents latest-received_at fold — semantics identical to
+    ``_mappings_idents`` + the CC join-back (byte-identical labels: same
+    union-find kernel, and UTF-8 byte order == code-point order so the
+    min-identifier election matches Spark's string ordering)."""
+    from rudder_server_spark.operators.identity import LAST_RUN, _union_find
 
-
-def _mappings_from_local(r: DataFrame, pairs: dict) -> DataFrame:
-    """Mappings table with component labels attached from a LOCAL dict
-    (identifier → component, non-identity entries only): the lookup is a
-    map literal in ONE SQL-text expr, so the plan is a single aggregate +
-    projection — no label createDataFrame, no broadcast join-back. Labels
-    are byte-identical to the join path (same union-find)."""
-    idents = _mappings_idents(r)
-    if pairs:
-        entries = ", ".join(
-            _sql_quote(k) + ", " + _sql_quote(v) for k, v in sorted(pairs.items())
+    edges = [
+        (row[1], row[3])
+        for row in rule_rows
+        if row[1] is not None and row[3] is not None and row[1] != row[3]
+    ]
+    labels = dict(_union_find(edges))
+    LAST_RUN["path"] = "driver"
+    LAST_RUN["iterations"] = 0
+    latest: dict = {}  # (type, value) -> max received_at, NULLs ignored
+    for p1t, p1v, p2t, p2v, recv in rule_rows:
+        for t, v in ((p1t, p1v),) + (((p2t, p2v),) if p2v is not None else ()):
+            if (t, v) not in latest:
+                latest[(t, v)] = recv
+            elif recv is not None and (
+                latest[(t, v)] is None or recv > latest[(t, v)]
+            ):
+                latest[(t, v)] = recv
+    out = [
+        (
+            t,
+            v,
+            labels.get(v, v) if v is not None else None,
+            ts,
         )
-        rid = F.expr(
-            f"coalesce(element_at(map({entries}), merge_property_value), "
-            "merge_property_value)"
-        )
-    else:
-        rid = F.col("merge_property_value")
-    return idents.select(
-        "merge_property_type",
-        "merge_property_value",
-        rid.alias("rudder_id"),
-        "updated_at",
+        for (t, v), ts in latest.items()
+    ]
+    # ONE slice, explicitly: plain createDataFrame parallelizes the list
+    # into defaultParallelism slices, and the single coalesced write task
+    # then pays one Python-worker round PER SLICE — measured 4.7 s for a
+    # 300-row frame on local[32] vs 0.2 s with numSlices=1
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        "merge_property_type string, merge_property_value string, "
+        "rudder_id string, updated_at timestamp",
     )
 
 
@@ -655,21 +672,25 @@ def event_table_fanout(
         )
         if small_graph:
             # caller-vouched bounded batch (the streaming sink's
-            # micro-batches): labels resolve in ONE capped-collect job and
-            # attach as a map LITERAL — no createDataFrame, no broadcast
-            # join-back exchange. Non-identity labels only (identifier ==
-            # its own component rides the coalesce fallback), SQL-text
-            # composed (one expr, not 2N py4j lit calls); the map literal
-            # stays small by construction. Over the cap → the normal
-            # distributed path below (the vouch was wrong, stay safe).
-            from rudder_server_spark.operators.identity import (
-                connected_components_local,
-            )
-
-            labels = connected_components_local(edges, cap=2000)
-            if labels is not None:
-                pairs = {k: v for k, v in labels.items() if k != v}
-                return _mappings_from_local(r, pairs)
+            # micro-batches): the WHOLE mappings table assembles driver-
+            # side from ONE capped collect of the (already-checkpointed)
+            # rules frame — union-find labels AND the idents max-
+            # received_at fold both run in Python, so the only remaining
+            # Spark work is the tiny createDataFrame write. This removes
+            # the idents groupBy exchange + the edge-distinct job the r10
+            # shape still paid (BASELINE.md q18 decomposition: the
+            # mappings path was the sink's 0.7 s critical path). Output
+            # is byte-identical to the distributed join path (parity-
+            # pinned). Over the cap → distributed (the vouch was wrong).
+            capped = r.select(
+                "merge_property_1_type",
+                "merge_property_1_value",
+                "merge_property_2_type",
+                "merge_property_2_value",
+                "received_at",
+            ).limit(2001).collect()
+            if len(capped) <= 2000:
+                return _mappings_driver_side(df.sparkSession, capped)
         comps = connected_components(edges)
         idents = _mappings_idents(r)
         return idents.join(

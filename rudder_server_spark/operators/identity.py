@@ -55,38 +55,6 @@ def _union_find(rows) -> list:
     return [(v, comp_min[find(v)]) for v in parent]
 
 
-def connected_components_local(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    cap: int = 65_536,
-) -> dict | None:
-    """Caller-vouched small-graph components as a LOCAL dict
-    {identifier: component}, in ONE Spark job (a capped collect — no
-    byte-stats gate, so only call this when the edge strings are known
-    to be identifier-sized). Returns None when the deduped edge set
-    exceeds ``cap`` — the caller falls back to
-    :func:`connected_components`. The labels are byte-identical to the
-    distributed path's (same union-find the driver fast path runs)."""
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .where(
-            F.col("a").isNotNull()
-            & F.col("b").isNotNull()
-            & (F.col("a") != F.col("b"))
-        )
-    )
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    rows = sym.limit(cap + 1).collect()
-    if len(rows) > cap:
-        return None
-    LAST_RUN["path"] = "driver"
-    LAST_RUN["iterations"] = 0
-    return dict(_union_find(rows))
-
-
 def connected_components(
     edges: DataFrame,
     src: str = "src",

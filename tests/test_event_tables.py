@@ -482,10 +482,24 @@ def test_mappings_small_graph_path_identical(spark):
         "event_type string, event_name string, received_at timestamp, "
         "sent_at timestamp, original_timestamp timestamp, payload string"
     )
+    # a duplicate rule with a LATER received_at exercises the idents fold
+    rows.append((
+        "msg-000005", 5, "anon-5", "merge", None,
+        T0 + dt.timedelta(hours=3), T0, T0,
+        json.dumps({
+            "type": "merge",
+            "mergeProperties": [
+                {"type": "email", "value": "a@x.io"},
+                {"type": "anonymousId", "value": "anon-1"},
+            ],
+        }),
+    ))
     df = spark.createDataFrame(rows, schema)
     base = event_table_fanout(df)["rudder_identity_mappings"]
     fast = event_table_fanout(df, small_graph=True)["rudder_identity_mappings"]
     key = lambda r: (r["merge_property_type"], r["merge_property_value"])  # noqa: E731
-    b = {key(r): r["rudder_id"] for r in base.collect()}
-    f = {key(r): r["rudder_id"] for r in fast.collect()}
+    b = {key(r): (r["rudder_id"], r["updated_at"]) for r in base.collect()}
+    f = {key(r): (r["rudder_id"], r["updated_at"]) for r in fast.collect()}
     assert b == f and len(b) == 7
+    # the duplicate rule's later received_at won the idents fold
+    assert f[("email", "a@x.io")][1] == T0 + dt.timedelta(hours=3)
