@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame, functions as F
+from rudder_server_spark.functions.localframe import local_frame
 
 
 class _LazyTables(Mapping):
@@ -306,12 +307,13 @@ def _mappings_driver_side(spark, rule_rows) -> DataFrame:
         )
         for (t, v), ts in latest.items()
     ]
-    # ONE slice, explicitly: plain createDataFrame parallelizes the list
-    # into defaultParallelism slices, and the single coalesced write task
-    # then pays one Python-worker round PER SLICE — measured 4.7 s for a
-    # 300-row frame on local[32] vs 0.2 s with numSlices=1
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1),
+    # local_frame, not plain createDataFrame: the default slicing makes
+    # the single coalesced write task pay one Python-worker round per
+    # slice — measured 4.7 s for a 300-row frame on local[32] vs 0.2 s
+    # (functions/localframe.py)
+    return local_frame(
+        spark,
+        out,
         "merge_property_type string, merge_property_value string, "
         "rudder_id string, updated_at timestamp",
     )
@@ -894,8 +896,9 @@ def fanout_table_counts(df: DataFrame, payload_col: str = "payload") -> DataFram
 
     # empty standard tables still get a (name, 0) row, as the reference's
     # per-table upload states do
-    seed = spark.createDataFrame(
-        [(t, 0) for t in [*_PLURAL.values(), "users"]], "table_name string, n bigint"
+    seed = local_frame(
+        spark, [(t, 0) for t in [*_PLURAL.values(), "users"]],
+        "table_name string, n bigint",
     )
 
     return (

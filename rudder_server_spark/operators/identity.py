@@ -21,6 +21,7 @@ skew (celebrity identifiers) is handled by AQE skew-join splitting.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from rudder_server_spark.functions.localframe import local_frame
 
 # Introspection for probes/tests: connected_components records which path
 # the last call took and how many propagation rounds the distributed loop
@@ -145,8 +146,8 @@ def connected_components(
     LAST_RUN["iterations"] = 0
     if fits_driver:
         spark = edges.sparkSession
-        return spark.createDataFrame(
-            _union_find(rows), f"identifier {id_type}, component {id_type}"
+        return local_frame(
+            spark, _union_find(rows), f"identifier {id_type}, component {id_type}"
         )
 
     # label(node) starts as min(node, min neighbor)

@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
     pd = None
 
 from pyspark.sql import Column, DataFrame, functions as F
+from rudder_server_spark.functions.localframe import local_frame
 
 
 def _flit(v: float) -> str:
@@ -652,7 +653,7 @@ def knn_join_ivf(
         for _, j in sorted(d2)[: int(nprobe)]:
             probe_rows.append((qid, j))
     spark = queries.sparkSession
-    probes = spark.createDataFrame(probe_rows, "q_id long, _cell int")
+    probes = local_frame(spark, probe_rows, "q_id long, _cell int")
 
     # The cell repartition IS the IVF storage statement (cells co-located,
     # the probe join prunes whole partitions); it also gives the generated
@@ -777,6 +778,7 @@ def mmr_select(
         out_rows.append((rank, int(ids[best]), float(rel[best]), round(float(score[best]), 6)))
         selected.append(best)
         max_sim = np.maximum(max_sim, unit @ unit[best])
-    return df.sparkSession.createDataFrame(
-        out_rows, f"rank long, {id_col} long, rel double, mmr_score double"
+    return local_frame(
+        df.sparkSession, out_rows,
+        f"rank long, {id_col} long, rel double, mmr_score double"
     )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from rudder_server_spark.operators.asof import asof_join
 from rudder_server_spark.plans.registry import register
+from rudder_server_spark.functions.localframe import local_frame
 from rudder_server_spark.sources.fixtures import fan_out, load_table
 
 
@@ -504,7 +505,7 @@ def q24(spark, sf):
     hi = o.where(F.col("o_totalprice") > 400000).select("o_orderkey")
     lo = o.where(F.col("o_totalprice") < 50000).select("o_orderkey")
     n_union = hi.union(lo).distinct().count()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(n_inter, n_exc, n_union)], "n_intersect bigint, n_except bigint, n_union bigint"
     )
 
@@ -1766,7 +1767,7 @@ def q57(spark, sf):
         sync_window_start_expr,
     )
 
-    configs = spark.createDataFrame(
+    configs = local_frame(spark,
         [("wh_a", 60, 0, 2, 4), ("wh_b", 30, 15, 22, 1)],
         "dest string, freq int, start_min int, es int, ee int",
     )
@@ -3184,7 +3185,7 @@ def q94(spark, sf):
         .alias("job_state"),
         F.col("ts").alias("sent_at"),
     )
-    enabled = spark.createDataFrame(
+    enabled = local_frame(spark,
         [("dst-0",), ("dst-2",)], "destination_id string"
     )
     buf = live_events_buffer(
@@ -4812,7 +4813,7 @@ def q104(spark, sf):
         ("signup", "label", "string"), ("signup", "loaded_at", "datetime"),
         ("error", "revenue", "float"),
     ]
-    wh = spark.createDataFrame(
+    wh = local_frame(spark,
         wh_rows, "table string, column_name string, column_type string"
     )
     actions, merged = B.reconcile_bq_schema(es, wh)
@@ -5002,7 +5003,7 @@ def q105(spark, sf):
         F.col("__mirror_json").alias("output_json"),
         "status_code", "error",
     )
-    filtered = spark.createDataFrame(
+    filtered = local_frame(spark,
         [("tr-3",)], "transformation_id string"
     )
     cmp = ut_mirror_compare(primary, mirror)
@@ -5121,7 +5122,7 @@ def q106(spark, sf):
         eid.alias("job_id"), ws.alias("workspace_id"),
         params.alias("parameters"), payload.alias("event_payload"),
     )
-    cats = spark.createDataFrame(
+    cats = local_frame(spark,
         [("src-0", "warehouse"), ("src-1", "event-stream"),
          ("src-2", "WAREHOUSE")],
         "source_id string, category string",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from rudder_server_spark.operators.flatten import flatten_events
 from rudder_server_spark.operators.identity import connected_components
 from rudder_server_spark.plans.registry import register
+from rudder_server_spark.functions.localframe import local_frame
 from rudder_server_spark.sources.fixtures import fan_out
 from rudder_server_spark.sources.rudder_events import rudder_events_path
 
@@ -475,7 +476,7 @@ def q18(spark, sf):
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
         )
     rows = [(n, int(counts.get(n, 0))) for n in sorted(names)]
-    return spark.createDataFrame(rows, "table_name string, n long")
+    return local_frame(spark, rows, "table_name string, n long")
 
 
 # --------------------------------------------------------------------------
@@ -605,7 +606,7 @@ def q19(spark, sf):
     df = _load(spark, sf).select(
         F.get_json_object("payload", "$.context.ip").alias("context_ip")
     )
-    ranges = spark.createDataFrame(
+    ranges = local_frame(spark,
         [(10 * 16777216 + net * 256, 10 * 16777216 + net * 256 + 255, f"r{net % 16}")
          for net in range(256)],
         "ip_lo long, ip_hi long, region string",
@@ -1580,7 +1581,7 @@ def q88(spark, sf):
         .otherwise(F.lit(""))
         .alias("source_job_run_id"),
     )
-    registry = spark.createDataFrame(
+    registry = local_frame(spark,
         [("view", True), ("click", True), ("purchase", True), ("error", False)],
         "destination_id string, enabled boolean",
     )

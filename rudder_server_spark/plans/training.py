@@ -14,6 +14,7 @@ from rudder_server_spark.operators import dedup as D
 from rudder_server_spark.operators import similarity as S
 from rudder_server_spark.operators import text as X
 from rudder_server_spark.operators.multimodal import decode_media
+from rudder_server_spark.functions.localframe import local_frame
 from rudder_server_spark.plans.registry import register, topk_shape_invariant
 from rudder_server_spark.sources.fixtures import load_table
 
@@ -1362,7 +1363,7 @@ def t36(spark, sf):
     lsh = D.minhash_lsh_pairs(d, threshold=0.8).select("a", "b")
     both = exact.intersect(lsh).count()
     ne, nl = exact.count(), lsh.count()
-    return spark.createDataFrame(
+    return local_frame(spark,
         [(ne, nl, both,
           round(both / ne, 6) if ne else 1.0,
           round(both / nl, 6) if nl else 1.0)],
@@ -1961,7 +1962,7 @@ def t48(spark, sf):
     d = load_table(spark, sf, "documents")
     ntok = X.token_count(F.col("text"))
     base = d.select(ntok.alias("ntok")).where(F.col("ntok") > 0)
-    lens = spark.createDataFrame([(128,), (512,), (2048,)], "seq_len int")
+    lens = local_frame(spark, [(128,), (512,), (2048,)], "seq_len int")
     per = (
         base.crossJoin(F.broadcast(lens))
         .groupBy("seq_len")
@@ -2252,7 +2253,7 @@ def t54(spark, sf):
         (r["tok"], r["cnt"], r["cnt"] <= cms.estimate(r["tok"]) <= r["cnt"] + eps * n)
         for r in rows
     ]
-    return spark.createDataFrame(checked, "tok string, cnt long, cms_ok boolean")
+    return local_frame(spark, checked, "tok string, cnt long, cms_ok boolean")
 
 
 _T55_SQL = f"""

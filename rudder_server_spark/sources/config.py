@@ -33,6 +33,8 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rudder_server_spark.functions.localframe import local_frame
+
 _SOURCES_SCHEMA = (
     "workspace_id string, source_id string, name string, write_key string, "
     "enabled boolean, transient boolean, geo_enabled boolean, "
@@ -139,7 +141,7 @@ def load_workspace_config(
     for row in dest_rows:
         seen[row[1]] = row
     return {
-        "sources": spark.createDataFrame(src_rows, _SOURCES_SCHEMA),
-        "destinations": spark.createDataFrame(list(seen.values()), _DESTS_SCHEMA),
-        "connections": spark.createDataFrame(sorted(conn_rows), _CONN_SCHEMA),
+        "sources": local_frame(spark, src_rows, _SOURCES_SCHEMA),
+        "destinations": local_frame(spark, list(seen.values()), _DESTS_SCHEMA),
+        "connections": local_frame(spark, sorted(conn_rows), _CONN_SCHEMA),
     }
