@@ -493,6 +493,151 @@ def _iterable_event_adapter(df: DataFrame) -> DataFrame:
     )
 
 
+def _customerio_reporting_adapter(df: DataFrame) -> DataFrame:
+    """Customer.io reporting webhook ``{event_id, object_type, metric,
+    timestamp, data: {customer_id, identifiers, recipient, ...}}`` → one
+    track event named ``<object_type>_<metric>`` (email_opened,
+    sms_clicked, ...). ``event_id`` is the message id — Customer.io
+    redelivers with the same id, so upstream exact-dedup (F1) makes
+    redelivery idempotent, same contract as the Stripe adapter."""
+    b = F.col("body")
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(F.get_json_object(b, "$.timestamp"))),
+        F.col("received_at"),
+    )
+    name = F.concat_ws(
+        "_",
+        F.coalesce(F.get_json_object(b, "$.object_type"), F.lit("event")),
+        F.coalesce(F.get_json_object(b, "$.metric"), F.lit("triggered")),
+    )
+    return df.select(
+        F.coalesce(F.get_json_object(b, "$.event_id"), F.expr("uuid()")).alias(
+            "message_id"
+        ),
+        F.coalesce(
+            F.get_json_object(b, "$.data.customer_id"),
+            F.get_json_object(b, "$.data.identifiers.id"),
+            F.get_json_object(b, "$.data.recipient"),
+        ).alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        name.alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                name.alias("event"),
+                F.struct(
+                    F.get_json_object(b, "$.data.delivery_id").alias(
+                        "delivery_id"
+                    ),
+                    F.get_json_object(b, "$.data.campaign_id")
+                    .cast("long")
+                    .alias("campaign_id"),
+                    F.get_json_object(b, "$.data.recipient").alias("recipient"),
+                    F.get_json_object(b, "$.data.subject").alias("subject"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
+def _typeform_response_adapter(df: DataFrame) -> DataFrame:
+    """Typeform ``form_response`` webhook: the response ``token`` is the
+    anonymous id, ``submitted_at`` (RFC3339) the event time, and the
+    free-form ``answers`` array rides into the payload VERBATIM — the
+    same dynamic-subtree splice (with the scalar guard) as the Iterable
+    adapter, since answer shapes vary per field type and are parsed
+    downstream by P5 schema discovery."""
+    b = F.col("body")
+    fr = lambda p: F.get_json_object(b, f"$.form_response.{p}")  # noqa: E731
+    ts = F.coalesce(F.to_timestamp(fr("submitted_at")), F.col("received_at"))
+    raw_answers = F.get_json_object(b, "$.form_response.answers")
+    answers = F.when(
+        F.substring(raw_answers, 1, 1).isin("{", "["), raw_answers
+    ).otherwise(F.lit("[]"))
+    return df.select(
+        F.coalesce(F.get_json_object(b, "$.event_id"), F.expr("uuid()")).alias(
+            "message_id"
+        ),
+        fr("hidden.user_id").alias("user_id"),
+        fr("token").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(
+            F.get_json_object(b, "$.event_type"), F.lit("form_response")
+        ).alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.concat(
+            F.regexp_replace(
+                F.to_json(
+                    F.struct(
+                        F.lit("track").alias("type"),
+                        F.lit("form_response").alias("event"),
+                        F.struct(
+                            # coalesce: to_json omits null struct fields, and
+                            # an EMPTY properties object would leave the
+                            # spliced ',"answers":' with a leading comma
+                            F.coalesce(fr("form_id"), F.lit("")).alias(
+                                "form_id"
+                            ),
+                            fr("definition.title").alias("form_title"),
+                        ).alias("properties"),
+                    )
+                ),
+                r"\}\}$",
+                "",
+            ),
+            F.lit(',"answers":'),
+            answers,
+            F.lit("}}"),
+        ).alias("payload"),
+    )
+
+
+def _slack_event_adapter(df: DataFrame) -> DataFrame:
+    """Slack Events API ``event_callback`` envelope ``{token, team_id,
+    event_id, event_time, event: {type, user, channel, ...}}`` → one
+    track event named by the INNER ``$.event.type`` (message,
+    reaction_added, ...). ``event_id`` is the message id (Slack retries
+    with the same id); the team id rides as a property so multi-
+    workspace installs stay distinguishable."""
+    b = F.col("body")
+    ev = lambda p: F.get_json_object(b, f"$.event.{p}")  # noqa: E731
+    ts = F.coalesce(
+        F.to_timestamp(F.from_unixtime(F.get_json_object(b, "$.event_time"))),
+        F.col("received_at"),
+    )
+    return df.select(
+        F.coalesce(F.get_json_object(b, "$.event_id"), F.expr("uuid()")).alias(
+            "message_id"
+        ),
+        ev("user").alias("user_id"),
+        F.lit(None).cast("string").alias("anonymous_id"),
+        F.lit("track").alias("event_type"),
+        F.coalesce(ev("type"), F.lit("slack_event")).alias("event_name"),
+        F.col("received_at"),
+        ts.alias("sent_at"),
+        ts.alias("original_timestamp"),
+        F.to_json(
+            F.struct(
+                F.lit("track").alias("type"),
+                F.coalesce(ev("type"), F.lit("slack_event")).alias("event"),
+                F.struct(
+                    F.get_json_object(b, "$.team_id").alias("team_id"),
+                    ev("channel").alias("channel"),
+                    ev("text").alias("text"),
+                    ev("ts").alias("slack_ts"),
+                    ev("reaction").alias("reaction"),
+                ).alias("properties"),
+            )
+        ).alias("payload"),
+    )
+
+
 register_webhook_adapter("shopify_order", _shopify_order_adapter)
 register_webhook_adapter("sendgrid_events", _sendgrid_events_adapter)
 register_webhook_adapter("intercom_notification", _intercom_notification_adapter)
@@ -500,6 +645,9 @@ register_webhook_adapter("iterable_event", _iterable_event_adapter)
 register_webhook_adapter("stripe_event", _stripe_event_adapter)
 register_webhook_adapter("github_push", _github_push_adapter)
 register_webhook_adapter("mailchimp_subscribe", _mailchimp_subscribe_adapter)
+register_webhook_adapter("customerio_reporting", _customerio_reporting_adapter)
+register_webhook_adapter("typeform_response", _typeform_response_adapter)
+register_webhook_adapter("slack_event", _slack_event_adapter)
 
 
 def verify_webhook_signatures(

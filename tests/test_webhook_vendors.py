@@ -202,3 +202,106 @@ def test_iterable_scalar_datafields_does_not_break_payload_json(spark):
     body = {"eventName": "e", "email": "s@x.io", "dataFields": [1, {"k": "v"}]}
     r = adapt_webhook(_raw(spark, json.dumps(body)), "iterable_event").head()
     assert json.loads(r["payload"])["properties"] == [1, {"k": "v"}]
+
+
+CUSTOMERIO_OPENED = {
+    "event_id": "01E4C4CT6YDC7Y5M7FE1GWWPQJ",
+    "object_type": "email",
+    "metric": "opened",
+    "timestamp": 1706777400,
+    "data": {
+        "customer_id": "42",
+        "delivery_id": "RPILAgUBcRhIBqSfeiIwdIYJKxTY",
+        "campaign_id": 23,
+        "identifiers": {"id": "42", "email": "cio@x.io"},
+        "recipient": "cio@x.io",
+        "subject": "Re: your order",
+    },
+}
+
+
+def test_customerio_reporting_golden(spark):
+    r = adapt_webhook(
+        _raw(spark, json.dumps(CUSTOMERIO_OPENED)), "customerio_reporting"
+    ).head()
+    assert r["message_id"] == "01E4C4CT6YDC7Y5M7FE1GWWPQJ"  # idempotent redelivery
+    assert r["user_id"] == "42"
+    assert r["event_type"] == "track" and r["event_name"] == "email_opened"
+    p = json.loads(r["payload"])
+    assert p["event"] == "email_opened"
+    assert p["properties"]["campaign_id"] == 23
+    assert p["properties"]["recipient"] == "cio@x.io"
+    # unix timestamp → event time
+    assert r["sent_at"].timetuple()[:3] == (2024, 2, 1)
+
+
+TYPEFORM_RESPONSE = {
+    "event_id": "LtWXD3crgy",
+    "event_type": "form_response",
+    "form_response": {
+        "form_id": "lT4Z3j",
+        "token": "a3a12ec67a1365927098a606107fac15",
+        "submitted_at": "2024-01-18T18:17:02Z",
+        "definition": {"title": "Customer survey"},
+        "hidden": {"user_id": "u-77"},
+        "answers": [
+            {"type": "text", "text": "Engineer",
+             "field": {"id": "DlXFaesGBpoF", "type": "short_text"}},
+            {"type": "number", "number": 5,
+             "field": {"id": "NRsxU591jIW9", "type": "rating"}},
+        ],
+    },
+}
+
+
+def test_typeform_response_golden(spark):
+    r = adapt_webhook(
+        _raw(spark, json.dumps(TYPEFORM_RESPONSE)), "typeform_response"
+    ).head()
+    assert r["message_id"] == "LtWXD3crgy"
+    assert r["user_id"] == "u-77"
+    assert r["anonymous_id"] == "a3a12ec67a1365927098a606107fac15"
+    assert r["event_name"] == "form_response"
+    p = json.loads(r["payload"])
+    assert p["properties"]["form_id"] == "lT4Z3j"
+    assert p["properties"]["form_title"] == "Customer survey"
+    # dynamic answers ride verbatim inside properties
+    assert p["properties"]["answers"][0]["text"] == "Engineer"
+    assert p["properties"]["answers"][1]["number"] == 5
+    # no hidden user / no answers: payload still parses (scalar guard +
+    # non-empty properties)
+    body = {"event_type": "form_response",
+            "form_response": {"token": "t1", "answers": "oops"}}
+    r2 = adapt_webhook(_raw(spark, json.dumps(body)), "typeform_response").head()
+    p2 = json.loads(r2["payload"])
+    assert p2["properties"]["answers"] == []
+    assert r2["user_id"] is None and r2["anonymous_id"] == "t1"
+
+
+SLACK_EVENT = {
+    "token": "z26uFbvR1xHJEdHE1OQiO6t8",
+    "team_id": "T123ABC456",
+    "api_app_id": "A123ABC456",
+    "event": {
+        "type": "reaction_added",
+        "user": "U123ABC456",
+        "reaction": "tada",
+        "channel": "C123ABC456",
+        "ts": "1360782804.083113",
+    },
+    "type": "event_callback",
+    "event_id": "Ev123ABC456",
+    "event_time": 1706777400,
+}
+
+
+def test_slack_event_golden(spark):
+    r = adapt_webhook(_raw(spark, json.dumps(SLACK_EVENT)), "slack_event").head()
+    assert r["message_id"] == "Ev123ABC456"  # Slack retries share the id
+    assert r["user_id"] == "U123ABC456"
+    assert r["event_name"] == "reaction_added"
+    p = json.loads(r["payload"])
+    assert p["properties"]["team_id"] == "T123ABC456"
+    assert p["properties"]["channel"] == "C123ABC456"
+    assert p["properties"]["reaction"] == "tada"
+    assert r["sent_at"].timetuple()[:3] == (2024, 2, 1)
