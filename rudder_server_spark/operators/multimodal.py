@@ -1107,6 +1107,351 @@ def decode_jpeg(
     return src.mapInPandas(gen, schema=PNG_SCHEMA)
 
 
+# ---------------------------------------------------------------- real: GIF
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("delay_ms", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _gif_gen(sample_every: int, max_frames: int | None):
+    """Shared mapInPandas generator for the GIF family: full LZW decode
+    (variable code width, clear/EOI, 4096-entry dictionary), global and
+    local color tables, interlace de-scrambling, GCE transparency →
+    alpha channel, per-frame delay. Self-contained closure (workers may
+    not have the repo on sys.path)."""
+
+    def gen(batches):
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def lzw_decode(buf, min_code, npix):
+            clear = 1 << min_code
+            eoi = clear + 1
+            out = []
+
+            def reset():
+                return {i: (i,) for i in range(clear)}, min_code + 1, clear + 2
+
+            table, width, next_code = reset()
+            prev = None
+            acc = 0
+            nbits = 0
+            i = 0
+            while len(out) < npix:
+                while nbits < width and i < len(buf):
+                    acc |= buf[i] << nbits  # GIF packs codes LSB-first
+                    nbits += 8
+                    i += 1
+                if nbits < width:
+                    break
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    table, width, next_code = reset()
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None or code in table:
+                    entry = table.get(code)
+                    if entry is None:
+                        raise ValueError("bad LZW code")
+                elif code == next_code:
+                    entry = prev + (prev[0],)
+                else:
+                    raise ValueError("bad LZW code")
+                out.extend(entry)
+                if prev is not None and next_code < 4096:
+                    table[next_code] = prev + (entry[0],)
+                    next_code += 1
+                    if next_code == (1 << width) and width < 12:
+                        width += 1
+                prev = entry
+            if len(out) < npix:
+                raise ValueError("truncated LZW stream")
+            return _np.array(out[:npix], _np.int32)
+
+        def parse(data):
+            if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF")
+            W, H, flags = struct.unpack_from("<HHB", data, 6)
+            pos = 13
+            gct = None
+            if flags & 0x80:
+                n = 2 ** ((flags & 7) + 1)
+                gct = _np.frombuffer(data[pos : pos + 3 * n], _np.uint8).reshape(
+                    n, 3
+                )
+                pos += 3 * n
+            frames = []
+            transparent, delay_cs = None, 0
+            nlen = len(data)
+            while pos < nlen:
+                b0 = data[pos]
+                pos += 1
+                if b0 == 0x3B:  # trailer
+                    break
+                if b0 == 0x21:  # extension: label + sub-blocks to 0x00
+                    label = data[pos]
+                    pos += 1
+                    subs = []
+                    while True:
+                        sz = data[pos]
+                        pos += 1
+                        if sz == 0:
+                            break
+                        subs.append(data[pos : pos + sz])
+                        pos += sz
+                    if label == 0xF9 and subs:  # Graphic Control Extension
+                        blk = subs[0]
+                        delay_cs = blk[1] | (blk[2] << 8)
+                        transparent = blk[3] if (blk[0] & 1) else None
+                elif b0 == 0x2C:  # image descriptor
+                    x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+                    pos += 9
+                    lct = None
+                    if iflags & 0x80:
+                        n = 2 ** ((iflags & 7) + 1)
+                        lct = _np.frombuffer(
+                            data[pos : pos + 3 * n], _np.uint8
+                        ).reshape(n, 3)
+                        pos += 3 * n
+                    min_code = data[pos]
+                    pos += 1
+                    chunks = []
+                    while True:
+                        sz = data[pos]
+                        pos += 1
+                        if sz == 0:
+                            break
+                        chunks.append(data[pos : pos + sz])
+                        pos += sz
+                    idx = lzw_decode(b"".join(chunks), min_code, w * h).reshape(
+                        h, w
+                    )
+                    if iflags & 0x40:  # interlaced: 0::8, 4::8, 2::4, 1::2
+                        rows = (
+                            list(range(0, h, 8))
+                            + list(range(4, h, 8))
+                            + list(range(2, h, 4))
+                            + list(range(1, h, 2))
+                        )
+                        img = _np.empty_like(idx)
+                        img[rows] = idx
+                        idx = img
+                    pal = lct if lct is not None else gct
+                    if pal is None:
+                        raise ValueError("frame without a color table")
+                    frames.append((idx, pal, transparent, delay_cs))
+                    transparent, delay_cs = None, 0
+                else:
+                    raise ValueError(f"bad GIF block 0x{b0:02x}")
+            if not frames:
+                raise ValueError("GIF with no image data")
+            return frames
+
+        def features(idx, pal, transparent):
+            rgb = pal[_np.clip(idx, 0, len(pal) - 1)].astype(_np.float64)
+            if transparent is not None:
+                alpha = _np.where(idx == transparent, 0.0, 255.0)
+                px = _np.dstack([rgb, alpha])
+            else:
+                px = rgb
+            flat = px.reshape(-1, px.shape[2])
+            return (
+                int(idx.shape[1]),
+                int(idx.shape[0]),
+                int(px.shape[2]),
+                list(flat.mean(axis=0)) + list(flat.std(axis=0)),
+            )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "item_id", "frame_idx", "n_frames", "width", "height",
+                "channels", "delay_ms", "feature", "error",
+            )}
+
+            def emit(iid, fi, nf, w, h, c, d, feat, err):
+                out["item_id"].append(iid)
+                out["frame_idx"].append(fi)
+                out["n_frames"].append(nf)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["delay_ms"].append(d)
+                out["feature"].append(feat)
+                out["error"].append(err)
+
+            for iid, b in zip(pdf["item_id"], pdf["payload"]):
+                try:
+                    frames = parse(bytes(b) if b is not None else b"")
+                    nf = len(frames)
+                    picked = frames[:: max(1, sample_every)]
+                    if max_frames is not None:
+                        picked = picked[:max_frames]
+                    for k, (idx, pal, tr, dcs) in enumerate(picked):
+                        w, h, c, feat = features(idx, pal, tr)
+                        emit(
+                            iid, k * max(1, sample_every), nf,
+                            w, h, c, dcs * 10, feat, None,
+                        )
+                except Exception as e:  # keep-with-status
+                    emit(iid, None, None, None, None, None, None, None,
+                         str(e)[:200])
+            yield _pd.DataFrame(out)
+
+    return gen
+
+
+def decode_gif(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL GIF decode with zero third-party codecs (GIF87a/89a): LZW
+    entropy decode, global/local color tables, interlace, GCE
+    transparency (adds an alpha channel). First frame only — output
+    mirrors decode_png/decode_jpeg: (width, height, channels,
+    [means..., stds...], error). Per-image work is independent →
+    mapInPandas over the binary column, no shuffle."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+    gen = _gif_gen(sample_every=1, max_frames=1)
+
+    def first_only(batches):
+        for pdf in gen(batches):
+            yield pdf.drop(columns=["frame_idx", "n_frames", "delay_ms"])
+
+    return src.mapInPandas(first_only, schema=PNG_SCHEMA)
+
+
+def gif_frame_sample(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int | None = 32,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL frame sampling over animated GIFs — the frame_sample contract
+    (one-to-many mapInPandas, expansion partition-local) running against
+    an actual codec instead of the video stub: one output row per
+    sampled frame (every ``every_n``-th, capped at ``max_frames``) with
+    frame_idx, total n_frames, per-frame delay_ms (GCE delay x10) and
+    the same per-channel feature vector as decode_gif. At 100 TB the
+    expansion factor is n_frames/every_n — repartition AFTER sampling if
+    downstream needs balance (same note as frame_sample)."""
+    src = df.select(
+        F.col(id_col).alias("item_id"), F.col(payload_col).alias("payload")
+    )
+    return src.mapInPandas(
+        _gif_gen(sample_every=int(every_n), max_frames=max_frames),
+        schema=GIF_FRAME_SCHEMA,
+    )
+
+
+GIF_SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_gif_corpus(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Worker-side animated-GIF synthesis for the distributed round-trip
+    invariant (t68, the GIF analogue of synthesize_jpeg_corpus): one 8x8
+    ``n_frames``-frame GIF89a per input row. Frame ``f`` uses a 4-entry
+    gray palette ``(item_id*37 + 11*c + 19*f + 7) % 256`` and indices
+    ``(p + item_id) % 4`` — every index appears exactly 16 times, so the
+    per-frame mean is analytically ``avg_c`` of the palette formula and
+    the lossless decode must reproduce it EXACTLY. Per-frame delay is
+    ``(10 + f) x10 ms``. Self-contained closure (raw-code LZW with
+    in-band CLEAR resets keeps codes fixed-width)."""
+    src = df.select(F.col("item_id"))
+    nf = int(n_frames)
+
+    def gen(batches):
+        import struct
+
+        import pandas as _pd
+
+        def lzw(indices, min_code):
+            clear = 1 << min_code
+            eoi = clear + 1
+            width = min_code + 1
+            out = bytearray()
+            acc = nacc = 0
+
+            def put(code):
+                nonlocal acc, nacc
+                acc |= code << nacc
+                nacc += width
+                while nacc >= 8:
+                    out.append(acc & 255)
+                    acc >>= 8
+                    nacc -= 8
+
+            put(clear)
+            next_code = clear + 2
+            for v in indices:
+                put(int(v))
+                next_code += 1
+                if next_code >= (1 << width) - 1:
+                    put(clear)
+                    next_code = clear + 2
+            put(eoi)
+            if nacc:
+                out.append(acc & 255)
+            return bytes(out)
+
+        def one(item_id):
+            iid = int(item_id)
+            out = bytearray(b"GIF89a")
+            # 4-color global table slot exp=1; frame palettes ride as LCTs
+            out += struct.pack("<HHBBB", 8, 8, 0x81, 0, 0)
+            out += bytes(12)  # placeholder GCT (every frame carries a LCT)
+            idx = [(p + iid) % 4 for p in range(64)]
+            for f in range(nf):
+                d = 10 + f
+                out += bytes([0x21, 0xF9, 0x04, 0x00, d & 255, d >> 8, 0, 0])
+                out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, 8, 8, 0x81)
+                pal = bytearray()
+                for c in range(4):
+                    g = (iid * 37 + 11 * c + 19 * f + 7) % 256
+                    pal += bytes([g, g, g])
+                out += pal
+                out += bytes([3])  # LZW min code size
+                data = lzw(idx, 3)
+                for i in range(0, len(data), 255):
+                    chunk = data[i : i + 255]
+                    out += bytes([len(chunk)]) + chunk
+                out += bytes([0x00])
+            out += bytes([0x3B])
+            return bytes(out)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "payload": [one(i) for i in pdf["item_id"]],
+                }
+            )
+
+    return src.mapInPandas(gen, schema=GIF_SYNTH_SCHEMA)
+
+
 JPEG_SYNTH_SCHEMA = T.StructType(
     [
         T.StructField("item_id", T.LongType()),

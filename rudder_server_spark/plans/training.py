@@ -2898,3 +2898,76 @@ def t67(spark, sf):
             ).otherwise(0)
         ).alias("n_dims_ok"),
     )
+
+
+@register(
+    "t68_gif_roundtrip",
+    None,  # binary-media decode has no SQL oracle; strict invariant below
+    doc=(
+        "Distributed animated-GIF round trip: synthesize one 4-frame 8x8 "
+        "GIF89a per document worker-side (lossless palette codec → exact "
+        "decode), run the pure-Python LZW decoder + frame sampler "
+        "(operators/multimodal.py::gif_frame_sample) through the "
+        "one-to-many mapInPandas shape, and roll up exactness. The "
+        "invariant requires one row per (document, frame), zero decode "
+        "errors, every frame's mean matching its palette formula exactly, "
+        "8x8x3 dims, and the per-frame GCE delays surviving the trip."
+    ),
+    tags=("training", "multimodal"),
+    invariant=lambda rows: (
+        None
+        if len(rows) == 1
+        and rows[0]["n_rows"] > 0
+        and rows[0]["n_rows"] == 4 * rows[0]["n_docs"]
+        and rows[0]["n_errors"] == 0
+        and rows[0]["n_exact"] == rows[0]["n_rows"]
+        and rows[0]["n_dims_ok"] == rows[0]["n_rows"]
+        and rows[0]["n_delay_ok"] == rows[0]["n_rows"]
+        else f"GIF round trip drifted: {rows}"
+    ),
+)
+def t68(spark, sf):
+    from rudder_server_spark.operators.multimodal import (
+        gif_frame_sample,
+        synthesize_gif_corpus,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("item_id")
+    )
+    corpus = synthesize_gif_corpus(d, n_frames=4)
+    decoded = gif_frame_sample(corpus, every_n=1, max_frames=None)
+    # expected per-frame mean recomputed JVM-side from (item_id, frame_idx)
+    # — the synthesizer's palette formula; indices are uniform over the 4
+    # palette entries so the mean is the plain average
+    expected = F.expr(
+        "aggregate(sequence(0, 3), 0L, (acc, c) -> "
+        "acc + pmod(item_id * 37 + 11 * c + 19 * frame_idx + 7, 256)) / 4.0"
+    )
+    joined = decoded.withColumn("expected_mean", expected)
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("item_id").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.sum(
+            F.when(
+                F.col("error").isNull()
+                & (F.abs(F.element_at("feature", 1) - F.col("expected_mean")) < 1e-9),
+                1,
+            ).otherwise(0)
+        ).alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("width") == 8) & (F.col("height") == 8)
+                & (F.col("channels") == 3),
+                1,
+            ).otherwise(0)
+        ).alias("n_dims_ok"),
+        F.sum(
+            F.when(
+                F.col("delay_ms") == (F.lit(10) + F.col("frame_idx")) * 10, 1
+            ).otherwise(0)
+        ).alias("n_delay_ok"),
+    )

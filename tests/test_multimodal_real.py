@@ -523,3 +523,264 @@ def test_decode_jpeg_progressive_matches_baseline_decode(spark):
     }
     assert rows[1]["error"] is None and rows[2]["error"] is None
     assert np.allclose(rows[1]["feature"], rows[2]["feature"], atol=1.0)
+
+
+# ----------------------------------------------------------------- GIF
+
+def _lzw_gif_encode(indices, min_code):
+    """Raw-code LZW for the test encoder: emit CLEAR whenever the code
+    table would force a width change, so codes stay fixed-width — valid
+    GIF any decoder accepts."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def put(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nacc -= 8
+
+    put(clear)
+    next_code = clear + 2
+    for v in indices:
+        put(int(v))
+        next_code += 1
+        if next_code >= (1 << width) - 1:
+            put(clear)
+            next_code = clear + 2
+    put(eoi)
+    if nacc:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _gif_bytes(frames, W, H, gct, interlaced=False, delays_cs=None,
+               transparent=None, lct_for=None):
+    """Minimal GIF89a encoder for the tests: global palette, optional
+    per-frame GCE (delay + transparency), optional local palette for one
+    frame, optional interlacing on every frame."""
+    import struct
+
+    import numpy as np
+
+    def pal_block(pal):
+        n = len(pal)
+        exp = max(1, (n - 1).bit_length()) - 1  # 2^(exp+1) >= n
+        while 2 ** (exp + 1) < n:
+            exp += 1
+        full = np.zeros((2 ** (exp + 1), 3), np.uint8)
+        full[:n] = pal
+        return exp, full.tobytes()
+
+    exp, gbytes = pal_block(gct)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | exp, 0, 0)
+    out += gbytes
+    for fi, idx in enumerate(frames):
+        h, w = idx.shape
+        if delays_cs is not None or transparent is not None:
+            d = (delays_cs or [0] * len(frames))[fi]
+            packed = 0x01 if transparent is not None else 0x00
+            out += bytes([0x21, 0xF9, 0x04, packed, d & 255, d >> 8,
+                          transparent or 0, 0x00])
+        flags = 0
+        lct_bytes = b""
+        if lct_for is not None and fi == lct_for[0]:
+            lexp, lct_bytes = pal_block(lct_for[1])
+            flags |= 0x80 | lexp
+        if interlaced:
+            flags |= 0x40
+            rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2)))
+            stored = idx[rows]
+        else:
+            stored = idx
+        out += bytes([0x2C]) + struct.pack("<HHHHB", 0, 0, w, h, flags)
+        out += lct_bytes
+        min_code = max(2, exp + 1)
+        out += bytes([min_code])
+        data = _lzw_gif_encode(stored.reshape(-1), min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0x00])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def _jvm_gif_tools(spark):
+    """GIF encode (static + animated sequence) / per-frame decode oracle
+    via javax.imageio."""
+    import numpy as np
+
+    jvm = spark._jvm
+
+    def to_bi(px):
+        h, w = px.shape[:2]
+        bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+        for y in range(h):
+            for x in range(w):
+                bi.setRGB(x, y, (int(px[y, x, 0]) << 16)
+                          | (int(px[y, x, 1]) << 8) | int(px[y, x, 2]))
+        return bi
+
+    def encode(frames_px):
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "gif"
+        ).next()
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        if len(frames_px) == 1:
+            writer.write(to_bi(frames_px[0]))
+        else:
+            writer.prepareWriteSequence(None)
+            for px in frames_px:
+                writer.writeToSequence(
+                    jvm.javax.imageio.IIOImage(to_bi(px), None, None), None
+                )
+            writer.endWriteSequence()
+        ios.flush()
+        writer.dispose()
+        return bytes(baos.toByteArray())
+
+    def decode_frame(b, i):
+        reader = jvm.javax.imageio.ImageIO.getImageReadersByFormatName(
+            "gif"
+        ).next()
+        iis = jvm.javax.imageio.ImageIO.createImageInputStream(
+            jvm.java.io.ByteArrayInputStream(b)
+        )
+        reader.setInput(iis)
+        n = reader.getNumImages(True)
+        bi = reader.read(i)
+        w, h = bi.getWidth(), bi.getHeight()
+        out = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                rgb = bi.getRGB(x, y)
+                out[y, x] = [(rgb >> 16) & 255, (rgb >> 8) & 255, rgb & 255]
+        reader.dispose()
+        return n, out
+
+    return encode, decode_frame
+
+
+def test_decode_gif_vs_imageio(spark):
+    """Static GIF from the JVM's writer: lossless palette codec, so our
+    LZW + palette decode must match the JVM's own decode EXACTLY."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import decode_gif
+
+    encode, jdecode = _jvm_gif_tools(spark)
+    px = np.zeros((13, 17, 3), np.uint8)
+    for y in range(13):
+        for x in range(17):
+            px[y, x] = [(x * 16) % 256, (y * 20) % 256, ((x + y) * 8) % 256]
+    b = encode([px])
+    _, oracle = jdecode(b, 0)
+    row = decode_gif(
+        spark.createDataFrame([(1, b)], "item_id long, payload binary")
+    ).head()
+    assert row["error"] is None, row["error"]
+    assert (row["width"], row["height"], row["channels"]) == (17, 13, 3)
+    flat = oracle.reshape(-1, 3).astype(float)
+    want = list(flat.mean(axis=0)) + list(flat.std(axis=0))
+    assert np.allclose(row["feature"], want)
+
+
+def test_gif_frame_sample_animated_vs_imageio(spark):
+    """Animated GIF (ImageIO sequence writer): one row per frame, each
+    frame's pixels matching the JVM reader's per-frame raster exactly."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import gif_frame_sample
+
+    encode, jdecode = _jvm_gif_tools(spark)
+    frames = []
+    for k in range(4):
+        px = np.zeros((8, 8, 3), np.uint8)
+        px[:] = [k * 60, 255 - k * 60, (k * 90) % 256]
+        frames.append(px)
+    b = encode(frames)
+    n, _ = jdecode(b, 0)
+    assert n == 4
+    rows = (
+        gif_frame_sample(
+            spark.createDataFrame([(7, b)], "item_id long, payload binary")
+        )
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["n_frames"] == 4 and r["error"] is None for r in rows)
+    for i, r in enumerate(rows):
+        _, oracle = jdecode(b, i)
+        flat = oracle.reshape(-1, 3).astype(float)
+        want = list(flat.mean(axis=0)) + list(flat.std(axis=0))
+        assert np.allclose(r["feature"], want), f"frame {i}"
+    # stride + cap: every 2nd frame, max 1
+    sampled = gif_frame_sample(
+        spark.createDataFrame([(7, b)], "item_id long, payload binary"),
+        every_n=2,
+    ).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 2]
+
+
+def test_decode_gif_interlace_local_palette_transparency_exact(spark):
+    """The paths no stock encoder exercises, hand-rolled (the _mini_jpeg
+    precedent): interlaced row de-scramble, a local color table
+    overriding the global one, GCE transparency adding an exact alpha
+    channel, and per-frame delays."""
+    import numpy as np
+
+    from rudder_server_spark.operators.multimodal import (
+        decode_gif,
+        gif_frame_sample,
+    )
+
+    gct = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+                   np.uint8)
+    idx = np.arange(64, dtype=np.int32).reshape(8, 8) % 4
+
+    # interlaced static frame: decode must de-scramble back to idx
+    b_i = _gif_bytes([idx], 8, 8, gct, interlaced=True)
+    r = decode_gif(
+        spark.createDataFrame([(1, b_i)], "item_id long, payload binary")
+    ).head()
+    assert r["error"] is None, r["error"]
+    flat = gct[idx.reshape(-1)].astype(float)
+    want = list(flat.mean(axis=0)) + list(flat.std(axis=0))
+    assert np.allclose(r["feature"], want)
+
+    # local palette on frame 1 of 2 + delays + transparency on index 3
+    lct = np.array([[5, 5, 5], [250, 250, 250], [0, 0, 0], [1, 2, 3]],
+                   np.uint8)
+    b_a = _gif_bytes(
+        [idx, idx], 8, 8, gct, delays_cs=[25, 50], transparent=3,
+        lct_for=(1, lct),
+    )
+    rows = gif_frame_sample(
+        spark.createDataFrame([(2, b_a)], "item_id long, payload binary")
+    ).orderBy("frame_idx").collect()
+    assert [r["delay_ms"] for r in rows] == [250, 500]
+    assert all(r["channels"] == 4 for r in rows)  # alpha from transparency
+    for r, pal in zip(rows, (gct, lct)):
+        rgb = pal[idx.reshape(-1)].astype(float)
+        alpha = np.where(idx.reshape(-1) == 3, 0.0, 255.0)
+        px = np.column_stack([rgb, alpha])
+        want = list(px.mean(axis=0)) + list(px.std(axis=0))
+        assert np.allclose(r["feature"], want)
+
+    # garbage keeps-with-status
+    bad = decode_gif(
+        spark.createDataFrame([(3, b"GIF89a junk")], "item_id long, payload binary")
+    ).head()
+    assert bad["error"] is not None
