@@ -867,3 +867,24 @@ def test_stream_audit_single_scan_shared_doc(spark):
         )
         assert ops["Scan parquet"] == 1, (name, ops)
         assert ops["InMemoryTableScan"] == cache_scans, (name, ops)
+
+
+def test_local_frame_single_slice_for_bounded_relations(spark):
+    """SCALE.md r11 'createDataFrame slice tax': a bare
+    spark.createDataFrame(list) fans a tiny local relation into
+    defaultParallelism slices and every consumer task pays one
+    Python-worker round per slice (measured 4.7 s to write 300 rows
+    through coalesce(1) on local[32]). local_frame must keep bounded
+    relations at ONE slice and scale only by row count."""
+    from rudder_server_spark.functions.localframe import local_frame
+
+    small = local_frame(
+        spark, [(i, f"v{i}") for i in range(300)], "id long, v string"
+    )
+    assert small.rdd.getNumPartitions() == 1
+    big = local_frame(
+        spark, [(i,) for i in range(250_000)], "id long"
+    )
+    assert 1 < big.rdd.getNumPartitions() <= 4
+    # empty stays constructible
+    assert local_frame(spark, [], "id long").count() == 0
