@@ -3097,7 +3097,17 @@ def q93(spark, sf):
 
     from rudder_server_spark.operators.wh_archive import archive_uploads
 
-    e = load_table(spark, sf, "events")
+    # fan_out: three aggregate subtrees (uploads eligibility, staging
+    # count, load count) all scan this projection; a single-row-group
+    # fixture would run each scan + partial agg on ONE task (the r11
+    # uploads probe measured q93 superlinear at 25x for exactly this
+    # reason). Row-group-gated: a real multi-file corpus skips the
+    # repartition entirely.
+    e = fan_out(
+        load_table(spark, sf, "events").select("event_id", "event_type", "ts"),
+        spark,
+        paths=[os.path.join(sf, "events.parquet")],
+    )
     d = F.to_date("ts")
     dom = F.dayofmonth(d)
     upload_id = F.concat("event_type", F.lit("/"), F.date_format(d, "yyyy-MM-dd"))
