@@ -1734,9 +1734,16 @@ def q91(spark, sf):
         src.select("event_type", "payload"), spark,
         paths=[rudder_events_path(sf)],
     )
-    docs = routed_stream_document(base, as_struct=True).select(
-        "event_type", "json_data"
-    )
+    # fields whitelist = exactly the paths the three shapes read
+    # (kinesis: message/userId, lambda: payload, eventbridge: detail/
+    # detailType/source) — without it the struct materializes the FULL
+    # superset document per row, incl. the sheets `batch` field whose
+    # positioned rows re-parse the payload four more times (Catalyst
+    # cannot prune: the multi-referenced struct blocks CollapseProject)
+    docs = routed_stream_document(
+        base, as_struct=True,
+        fields={"message", "userId", "payload", "detail", "detailType", "source"},
+    ).select("event_type", "json_data")
 
     # CHAIN the three shapes over one frame and aggregate in a single
     # pass: a per-manager union of groupBys scanned the cached base and
@@ -1952,9 +1959,20 @@ def q96(spark, sf):
         src.select("event_type", "payload"), spark,
         paths=[rudder_events_path(sf)],
     )
-    docs = routed_stream_document(base, as_struct=True).select(
-        "event_type", "json_data"
-    )
+    # whitelist = the five shapes' read paths (firehose: message/
+    # deliveryStreamMapTo, wunderkind: payload, personalize: choice/
+    # payload, bqstream: datasetId/tableId/properties; gcf reads only its
+    # config URL here — its whole-doc body column is pruned by this
+    # audit's projection). Drops the unused userId/detail/batch fields
+    # (≈6 extra full-payload parses per row) the struct would otherwise
+    # compute — see routed_stream_document on why Catalyst can't.
+    docs = routed_stream_document(
+        base, as_struct=True,
+        fields={
+            "message", "deliveryStreamMapTo", "payload", "choice",
+            "datasetId", "tableId", "properties",
+        },
+    ).select("event_type", "json_data")
 
     # CHAIN all five shapes over one frame (the q91 fusion pattern: one
     # scan + one shuffle instead of five)
@@ -2062,8 +2080,12 @@ def q97(spark, sf):
     # ``batch`` for track events — same typed-struct doc as q91/q96
     # (single consumer, so no persist needed); repartition fans the
     # single-file scan across cores for the explode-heavy shape
+    # whitelist: the sheets shape reads only `batch` — dropping the other
+    # eleven superset fields saves the userId/source/properties builders'
+    # extra payload parses per row (see routed_stream_document on fields)
     docs = routed_stream_document(
-        fan_out(src, spark, paths=[rudder_events_path(sf)]), as_struct=True
+        fan_out(src, spark, paths=[rudder_events_path(sf)]), as_struct=True,
+        fields={"batch"},
     ).select("event_type", "json_data")
     shaped = googlesheets_shape(docs.where(F.col("event_type") == "track"))
     return (

@@ -132,7 +132,10 @@ def wrap_stream_event(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def routed_stream_document(
-    df: DataFrame, payload_col: str = "payload", as_struct: bool = False
+    df: DataFrame,
+    payload_col: str = "payload",
+    as_struct: bool = False,
+    fields: frozenset | set | None = None,
 ) -> DataFrame:
     """Synthesize the routed transformer-output document ONCE for every
     json_data-consuming stream manager, so a combined shape audit fans 9
@@ -177,6 +180,18 @@ def routed_stream_document(
     ``get_json_object`` returns for a missing key, so shape semantics are
     identical. Container-valued fields hold their JSON text; scalar
     fields hold the unquoted value (the get_json_object convention).
+
+    ``fields`` (as_struct only) is a PRUNING hint: build only the named
+    struct fields. Catalyst cannot prune the others itself — the struct
+    is referenced many times downstream, so CollapseProject declines to
+    merge the projections and SimplifyExtractValueOps never sees through
+    it; every row then pays the FULL superset document (measured on q91:
+    the unused ``batch`` field alone re-parses the multi-KB payload four
+    times per row). The caller must whitelist every path its shapes READ
+    in this audit — a missing name reads as NULL (same as an absent key),
+    which would silently move a shape's 400 cohort — and must not consume
+    a whole-document (``_struct_doc_text``) output, which re-serializes
+    only the whitelisted fields.
     """
     p = F.col(payload_col)
     # the routed sources already carry event_type == payload's $.type
@@ -209,30 +224,39 @@ def routed_stream_document(
         F.lit("}}"),
     )
     if as_struct:
-        doc = F.struct(
-            p.alias("message"),
-            uid.alias("userId"),
-            p.alias("detail"),
-            etype.alias("detailType"),
-            ename.alias("source"),
-            ename.alias("deliveryStreamMapTo"),
-            F.when(~etype.isin("page", "extract"), p).alias("payload"),
-            F.when(etype == "merge", F.lit("PutUsers"))
-            .when(etype == "extract", F.lit("PutItems"))
-            .alias("choice"),
-            F.when(etype != "page", F.lit("d")).alias("datasetId"),
-            F.lit("t").alias("tableId"),
-            F.when(
-                etype == "track",
-                F.concat(F.lit("["), p, F.lit(","), p, F.lit("]")),
-            )
-            .otherwise(p)
-            .alias("properties"),
-            F.when(
-                etype == "track",
-                F.concat(F.lit('[{"message":'), positioned, F.lit("}]")),
-            ).alias("batch"),
-        )
+        named = [
+            ("message", p),
+            ("userId", uid),
+            ("detail", p),
+            ("detailType", etype),
+            ("source", ename),
+            ("deliveryStreamMapTo", ename),
+            ("payload", F.when(~etype.isin("page", "extract"), p)),
+            (
+                "choice",
+                F.when(etype == "merge", F.lit("PutUsers"))
+                .when(etype == "extract", F.lit("PutItems")),
+            ),
+            ("datasetId", F.when(etype != "page", F.lit("d"))),
+            ("tableId", F.lit("t")),
+            (
+                "properties",
+                F.when(
+                    etype == "track",
+                    F.concat(F.lit("["), p, F.lit(","), p, F.lit("]")),
+                ).otherwise(p),
+            ),
+            (
+                "batch",
+                F.when(
+                    etype == "track",
+                    F.concat(F.lit('[{"message":'), positioned, F.lit("}]")),
+                ),
+            ),
+        ]
+        if fields is not None:
+            named = [(n, c) for n, c in named if n in fields]
+        doc = F.struct(*[c.alias(n) for n, c in named])
         return df.withColumn("json_data", doc)
 
     doc = F.concat(
