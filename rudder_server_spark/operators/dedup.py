@@ -734,7 +734,13 @@ def strip_repeated_passages(
         .otherwise(F.split(norm, " "))
         .alias("tk"),
     ).localCheckpoint(eager=False)
-    ex = _span_hashes(base, n)
+    # lazy checkpoint: the span table feeds BOTH the frequency aggregate
+    # and the coverage join — without it the posexplode + per-doc sort +
+    # 8-lead window subtree runs twice (two sorted shuffles of the token
+    # relation; visible as two Window subtrees in the r11 before-plan).
+    # Blocks are (sid, s, h) rows — same byte class as the second shuffle
+    # they replace.
+    ex = _span_hashes(base, n).localCheckpoint(eager=False)
     rep = (
         ex.groupBy("h")
         .agg(F.count_distinct("sid").alias("_nd"))
