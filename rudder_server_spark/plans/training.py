@@ -38,6 +38,19 @@ def _docs(spark, sf):
         paths=[os.path.join(sf, "documents.parquet")],
     )
 
+
+def _emb(spark, sf):
+    """embeddings, fanned like :func:`_docs` — the Arrow kNN scorer
+    (knn_join's mapInPandas) parallelizes per CORPUS partition, and the
+    driver fixture's single row group would run the whole matrix product
+    as one task."""
+    import os
+
+    return fan_out(
+        load_table(spark, sf, "embeddings"), spark,
+        paths=[os.path.join(sf, "embeddings.parquet")],
+    )
+
 # ---- shared DuckDB SQL fragments (built programmatically so the oracle and
 # the Spark implementation share one definition of the heuristics) ----------
 
@@ -2367,7 +2380,7 @@ _COS = """
 def t56(spark, sf):
     from rudder_server_spark.operators.similarity import knn_classify
 
-    e = load_table(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     q = e.where(F.col("vec_id") % 10 == 0)
     c = e.where(F.col("vec_id") % 10 != 0)
     return knn_classify(q, c, k=5)
@@ -2411,7 +2424,7 @@ def t57(spark, sf):
         knn_join_ivf,
     )
 
-    e = load_table(spark, sf, "embeddings")
+    e = _emb(spark, sf)
     q = e.where(F.col("vec_id") % 10 == 0)
     c = e.where(F.col("vec_id") % 10 != 0)
     # materialize both candidate sets (bounded: nq x k rows each) so the
