@@ -40,16 +40,15 @@ def _docs(spark, sf):
 
 
 def _emb(spark, sf):
-    """embeddings, fanned like :func:`_docs` — the Arrow kNN scorer
-    (knn_join's mapInPandas) parallelizes per CORPUS partition, and the
-    driver fixture's single row group would run the whole matrix product
-    as one task."""
-    import os
-
-    return fan_out(
-        load_table(spark, sf, "embeddings"), spark,
-        paths=[os.path.join(sf, "embeddings.parquet")],
-    )
+    """embeddings, plain scan. r11 fanned this to cluster width like
+    :func:`_docs`; REVERTED in r12 per the driver's ground truth (VERDICT
+    r11 "what's wrong" #3): the r11 driver bench read t56 0.66x, and the
+    r12 adjacent-pair interleaved A/B (bench/compare_ab_r12.json) caught
+    the fanned shape in a catastrophic bimodal mode — occasional 7-17 s
+    runs (median pair ratio 0.17) that the plain scan never hits. The
+    2000-row corpus split 32 ways starves the Arrow kNN scorer's batches;
+    the win the fan was meant to buy is below this noise floor."""
+    return load_table(spark, sf, "embeddings")
 
 # ---- shared DuckDB SQL fragments (built programmatically so the oracle and
 # the Spark implementation share one definition of the heuristics) ----------
@@ -390,7 +389,11 @@ def t12(spark, sf):
     tags=("training", "text"),
 )
 def t13(spark, sf):
-    d = _docs(spark, sf)
+    # plain scan, NOT _docs: t13's regex tokenize + explode is too cheap to
+    # amortize the fan_out exchange (r12 adjacent-pair A/B: prior/plain
+    # consistently faster, median pair ratio 0.72 with the fan; VERDICT r11
+    # confirm-or-revert item). The heavy shingle/hash builders keep _docs.
+    d = load_table(spark, sf, "documents")
     toks = d.select(
         F.explode(
             F.regexp_extract_all(
