@@ -3102,17 +3102,15 @@ def q93(spark, sf):
 
     from rudder_server_spark.operators.wh_archive import archive_uploads
 
-    # fan_out: three aggregate subtrees (uploads eligibility, staging
-    # count, load count) all scan this projection; a single-row-group
-    # fixture would run each scan + partial agg on ONE task (the r11
-    # uploads probe measured q93 superlinear at 25x for exactly this
-    # reason). Row-group-gated: a real multi-file corpus skips the
-    # repartition entirely.
-    e = fan_out(
-        load_table(spark, sf, "events").select("event_id", "event_type", "ts"),
-        spark,
-        paths=[os.path.join(sf, "events.parquet")],
-    )
+    # plain narrow scan, NOT fan_out: REVERTED in r12 (VERDICT r11 "what's
+    # wrong" #2). The r11 fan cost a pure extra Exchange at bench scale
+    # (driver v2 ratio 26.6 -> 39.2; r12 interleaved A/B/C in bench/ab_q93.py:
+    # plain 0.96 vs fan-width 1.10 vs cap-8 1.03 min — plain wins). The
+    # archiver's per-row work (date math + concat) is too cheap to qualify
+    # for the fan gate, and on any real multi-row-group corpus fan_out
+    # no-ops anyway, so the fan only ever changed the single-row-group
+    # bench plan.
+    e = load_table(spark, sf, "events").select("event_id", "event_type", "ts")
     d = F.to_date("ts")
     dom = F.dayofmonth(d)
     upload_id = F.concat("event_type", F.lit("/"), F.date_format(d, "yyyy-MM-dd"))
