@@ -146,9 +146,16 @@ def warehouse_sink(
     from rudder_server_spark.operators.event_tables import event_table_fanout
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # checkpoint FIRST, emptiness probe on the checkpointed blocks: the
+        # batch frame re-executes its incremental plan (dedup state store
+        # included) on every action, so isEmpty-before-checkpoint ran the
+        # dedup once for the probe and again for the materialization
+        # (measured 0.15-0.2 s/batch at bench scale). On an empty batch the
+        # eager checkpoint is one empty-partition job — the rare case pays
+        # pennies so the common case executes the plan exactly once.
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.localCheckpoint(eager=True)
         tables = event_table_fanout(
             batch_df, materialize=True, schemas=schemas, promote=promote,
             # micro-batches are bounded by the trigger: vouch the identity
@@ -206,7 +213,15 @@ def warehouse_sink(
             key=lambda n: (n != "rudder_identity_merge_rules", n),
         )
         standard = [n for n in names if not n.startswith("rudder_identity_")]
-        with ThreadPoolExecutor(max_workers=min(16, len(names))) as ex:
+        # 6 writer threads, not one per table: each write is a single-task
+        # job whose submission is driver-side Python (py4j + GIL), so wide
+        # pools contend on the driver lock instead of overlapping executor
+        # work (interleaved A/B at bench scale: 16 workers 2.68 s min /
+        # 2.7-3.9 band vs 6 workers 2.27 s / 2.27-2.37 band for the whole
+        # q18 run). Enough width to overlap the CC critical path with the
+        # standard tables; a cluster sink sizes this to its commit
+        # concurrency, not table count.
+        with ThreadPoolExecutor(max_workers=min(6, len(names))) as ex:
             if identity:
                 _write(table(identity[0]), os.path.join(out_dir, identity[0]))
             futs = [
