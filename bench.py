@@ -176,6 +176,33 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # r12 warmup ADDITION (measurement fix, untimed region — called out in
+    # OPTIMIZATION_r12.md): the 2k-row warmup above is too small to C2-
+    # compile the heavy whole-payload JSON parse paths, so the first 3-4
+    # TIMED q1 runs still rode the JIT ramp (measured curve in a fresh
+    # session: 7.8 -> 3.6 -> 1.5 -> 1.1 -> 0.92 s; with this block the
+    # curve starts at 3.1 -> 1.0 steady). Parse a 100k-row slice with the
+    # real discovered 18-field flat schema twice so Jackson + struct
+    # extraction reach steady state before any timed run — the bench's
+    # stated contract is steady-state compute, and the DuckDB baseline is
+    # a warm second run of a resident engine.
+    from rudder_server_spark.operators.flatten import flatten_events
+    from rudder_server_spark.plans.rudder import _flat_state
+
+    _fs = _flat_state(spark, SF_DIR)
+    _warm_slice = spark.read.parquet(re_path).limit(100000)
+    for _ in range(2):
+        (
+            flatten_events(
+                _warm_slice,
+                keep_cols=("message_id",),
+                schema=[tuple(e) for e in _fs["schema"]],
+                promote=set(_fs["promote"]),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
 
     build_sec: dict[str, float] = {}
 
