@@ -3518,6 +3518,49 @@ def q95(spark, sf):
     tags=("rudder", "router"),
 )
 def q98(spark, sf):
+    # overlap the four branch BUILDS on driver threads: each branch ends in
+    # sequential_accept's lazy localCheckpoint, whose Catalyst physical
+    # planning is JVM-side work that parallelizes across threads (py4j
+    # releases the GIL on socket waits). Guide §2.6 applied to plan
+    # construction — measured ~0.6 s off the per-call build (bench/
+    # ab_q98threads.py); the produced plans, union order and results are
+    # identical to building the branches sequentially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        mk, aud, off, ly = [
+            f.result()
+            for f in [pool.submit(b) for b in _q98_branches(spark, sf)]
+        ]
+    allp = mk.unionByName(aud).unionByName(off).unionByName(ly)
+    # n_jobs as a SUM of per-job first-row weights, not countDistinct: a
+    # mixed distinct + plain aggregate plans an Expand that doubles the
+    # unioned corpus before the shuffle (SCALE.md house rule)
+    return (
+        allp.groupBy("provider", "action")
+        .agg(
+            F.sum("job_first").cast("long").alias("n_jobs"),
+            F.count("csv_line").alias("n_rows"),
+            F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
+            F.min("csv_line").alias("min_line"),
+            F.max("csv_line").alias("max_line"),
+            F.min("hash").alias("min_hash"),
+            F.max("hash").alias("max_hash"),
+        )
+        .orderBy("provider", "action")
+    )
+
+
+def _q98_branches(spark, sf):
+    """The four provider branch builders over one shared fanned+persisted
+    base, returned as zero-arg closures so the caller chooses the
+    construction schedule. Each branch ends in sequential_accept's lazy
+    ``localCheckpoint``, which runs full Catalyst physical planning at
+    BUILD time (r11 profile: ~1.3 s of q98's build is these four
+    plannings, serialized); the lineages are independent, so q98 overlaps
+    them on driver threads (guide §2.6 applied to plan construction) —
+    the produced plans, union order and results are identical either way.
+    """
     from rudder_server_spark.operators import provider_uploads as PU
 
     # ONE narrow persisted base feeds all four provider branches — the
@@ -3549,7 +3592,7 @@ def q98(spark, sf):
         F.lit('{"email":"u'), uid, F.lit('@example.com","firstName":"fn'),
         s(eid % 100), F.lit('"'), age, F.lit("}"),
     )
-    mk = PU.marketo_csv_rows(
+    mk = lambda: PU.marketo_csv_rows(  # noqa: E731
         e.select(eid.alias("job_id"), day, mk_doc.alias("payload")),
         [{"from": "email", "to": "email"},
          {"from": "firstName", "to": "firstName"},
@@ -3579,7 +3622,7 @@ def q98(spark, sf):
         F.lit('{"message":{"Action":"'), act, F.lit('","List":'), members,
         F.lit("}}"),
     )
-    aud = PU.bingads_audience_rows(
+    aud = lambda: PU.bingads_audience_rows(  # noqa: E731
         e.select(eid.alias("job_id"), day, aud_doc.alias("payload")),
         "aud-1", group_cols=("upload_day",),
     ).select(
@@ -3619,7 +3662,7 @@ def q98(spark, sf):
         F.lit('","conversionCurrencyCode":"USD","conversionValue":"12.5"'),
         ck_part, em_part, adj_part, F.lit("}}"),
     )
-    off = PU.bingads_offline_rows(
+    off = lambda: PU.bingads_offline_rows(  # noqa: E731
         e.select(eid.alias("job_id"), day, off_doc.alias("payload")),
         is_hash_required=True, group_cols=("upload_day",),
     ).select(
@@ -3634,7 +3677,7 @@ def q98(spark, sf):
         F.lit('{"message":{"properties":{"email":"u'), uid,
         F.lit('@e.io","k":'), F.col("__k"), F.lit("}}}"),
     )
-    ly = PU.lytics_csv_rows(
+    ly = lambda: PU.lytics_csv_rows(  # noqa: E731
         e.select(eid.alias("job_id"), day, ly_doc.alias("payload")),
         [{"rudderProperty": "email", "lyticsProperty": "email_addr"},
          {"rudderProperty": "k", "lyticsProperty": "kcol"},
@@ -3647,23 +3690,7 @@ def q98(spark, sf):
         F.lit(None).cast("string").alias("hash"),
     )
 
-    allp = mk.unionByName(aud).unionByName(off).unionByName(ly)
-    # n_jobs as a SUM of per-job first-row weights, not countDistinct: a
-    # mixed distinct + plain aggregate plans an Expand that doubles the
-    # unioned corpus before the shuffle (SCALE.md house rule)
-    return (
-        allp.groupBy("provider", "action")
-        .agg(
-            F.sum("job_first").cast("long").alias("n_jobs"),
-            F.count("csv_line").alias("n_rows"),
-            F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("n_failed"),
-            F.min("csv_line").alias("min_line"),
-            F.max("csv_line").alias("max_line"),
-            F.min("hash").alias("min_hash"),
-            F.max("hash").alias("max_hash"),
-        )
-        .orderBy("provider", "action")
-    )
+    return [mk, aud, off, ly]
 
 
 # --------------------------------------------------------------------------
