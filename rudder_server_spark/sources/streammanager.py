@@ -255,6 +255,17 @@ def routed_stream_document(
             ),
         ]
         if fields is not None:
+            # fail fast on a misspelled whitelist entry: an unknown name
+            # would otherwise be silently dropped and every shape read of
+            # it would return NULL — quietly moving that shape's 400
+            # cohort (ADVICE r11)
+            unknown = set(fields) - {n for n, _ in named}
+            if unknown:
+                raise ValueError(
+                    "routed_stream_document: unknown field(s) in "
+                    f"whitelist {sorted(unknown)}; known fields: "
+                    f"{sorted(n for n, _ in named)}"
+                )
             named = [(n, c) for n, c in named if n in fields]
         doc = F.struct(*[c.alias(n) for n, c in named])
         return df.withColumn("json_data", doc)

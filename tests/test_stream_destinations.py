@@ -477,3 +477,26 @@ def test_stream_sink_foreachbatch_roundtrip(spark):
     # empty batch short-circuits without touching the producer
     sink2(_frame(spark, []).limit(0), 2)
     assert len(sent) == 1
+
+
+# -------------------------------------------------- routed-document pruning
+
+def test_routed_document_fields_whitelist_validates(spark):
+    """A misspelled fields whitelist entry must fail fast (ADVICE r11):
+    silently dropping it would NULL every read of that field and quietly
+    move the consuming shape's 400 cohort."""
+    src = spark.createDataFrame(
+        [('{"type":"track","userId":"u"}', "track")],
+        "payload string, event_type string",
+    )
+    # valid subset builds and carries exactly the whitelisted fields
+    out = SM.routed_stream_document(
+        src, as_struct=True, fields=frozenset({"message", "detailType"})
+    )
+    assert set(out.schema["json_data"].dataType.fieldNames()) == {
+        "message", "detailType",
+    }
+    with pytest.raises(ValueError, match="detailtype"):
+        SM.routed_stream_document(
+            src, as_struct=True, fields=frozenset({"message", "detailtype"})
+        )
