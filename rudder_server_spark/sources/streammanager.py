@@ -622,17 +622,20 @@ def googlesheets_shape(
     ).otherwise(F.array(F.try_parse_json(whole)))
     rows = df.select(
         "*", F.posexplode_outer(elems).alias("batch_index", "_mv")
-    ).select(
-        "*",
-        F.to_json(F.try_variant_get(F.col("_mv"), "$.message", "variant")).alias(
-            "_msg"
-        ),
     )
+    # direct variant→map cast of the message subtree (r12): the r11 shape
+    # re-serialized it (to_json) and re-parsed with
+    # from_json(map<string,variant>) — one serialization + one full parse
+    # per row that the cast skips, and from_json over variant values is
+    # CodegenFallback-adjacent. Byte-identical incl. NULL cohorts
+    # (non-object message, absent message) — probed, and pinned by the
+    # q97 oracle; measured 1.87 → 1.29 s on q97 at sf0.1
+    # (bench/ab_q97sheets_r12.json).
     cells = rows.select(
         *[c for c in rows.columns if c != "_mv"],
-        F.explode_outer(F.from_json(F.col("_msg"), "map<string,variant>")).alias(
-            "_pos", "_cell"
-        ),
+        F.explode_outer(
+            F.try_variant_get(F.col("_mv"), "$.message", "map<string,variant>")
+        ).alias("_pos", "_cell"),
     )
     raw_val = F.to_json(F.try_variant_get(F.col("_cell"), "$.attributeValue", "variant"))
     is_num = raw_val.isNotNull() & ~raw_val.startswith('"') & ~raw_val.isin(
