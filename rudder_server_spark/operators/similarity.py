@@ -305,7 +305,12 @@ def ivf_assign(
             vals[mask] = np.argmin(key, axis=1).astype("int32")
         return pd.Series(pd.arrays.IntegerArray(vals, mask=~mask))
 
-    return df.withColumn(cell_col, _assign(F.col(vec_col)))
+    # nondeterministic pin (value IS deterministic): filters derived from
+    # the cell column (the self-join's isnotnull, ivf_topk's cell probe)
+    # otherwise get pushed BELOW the UDF while the projection above
+    # re-evaluates it — semdedup's plan paid the corpus-wide BLAS assign
+    # 4x (2x per self-join side) instead of 2x (guide §4.4)
+    return df.withColumn(cell_col, _assign.asNondeterministic()(F.col(vec_col)))
 
 
 def semdedup(

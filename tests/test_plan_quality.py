@@ -596,6 +596,31 @@ def test_ivf_assign_large_k_takes_arrow_path(spark):
         S.IVF_CODEGEN_MAX_TERMS = orig
 
 
+def test_semdedup_arrow_assign_single_eval_per_side(spark):
+    """Guide §4.4 pin: filters derived from the UDF-computed cell column
+    (the self-join's implied isnotnull on the join key) used to push
+    BELOW the ArrowEvalPython while the projection above re-evaluated it
+    — semdedup paid the corpus-wide BLAS assign 4x (2x per self-join
+    side). The asNondeterministic pin keeps exactly one evaluation per
+    side: 2 ArrowEvalPython nodes, each directly under its filter."""
+    from rudder_server_spark.operators.similarity import (
+        IVF_CODEGEN_MAX_TERMS,
+        semdedup,
+    )
+    import random
+
+    rng = random.Random(7)
+    k = IVF_CODEGEN_MAX_TERMS // 64 + 1  # force the Arrow path
+    cents = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(k)]
+    e = load_table(spark, SF_DIR, "embeddings").limit(200)
+    # the t27 consumption shape: cell_col pruned from the final output, so
+    # only the self-join's two sides evaluate the assign
+    out = semdedup(e, cents).select("vec_id", "dropped")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("ArrowEvalPython")
+    assert n == 2, f"expected one Arrow assign per self-join side, got {n}"
+
+
 def test_q69_pipeline_broadcasts_and_window_group_limit(spark):
     """q69's batch pipeline: every control-plane dimension joins as a
     broadcast (no corpus-keyed dim shuffle), and the dedup window plans
