@@ -8,13 +8,19 @@ hyperplane signatures bucket vectors so each query probes only its bucket
 O(N / 2^bits) with recall controlled by the number of hash tables.
 
 No Python in the hot path — and no interpreted higher-order functions
-either: `zip_with`/`aggregate`/`transform` lambdas evaluate OUTSIDE
-whole-stage codegen (measured 3.5-10x slower on the dedup shapes, 4x on
-the centroid-cosine shape — see group_centroid_diversity), so every dot
-product / norm here is generated as explicit per-index arithmetic in ONE
-SQL string (`F.expr`), which parses once and stays fully codegen'd.
+on ROW-grain shapes: `zip_with`/`aggregate`/`transform` lambdas evaluate
+OUTSIDE whole-stage codegen (measured 3.5-10x slower on the dedup shapes,
+4x on the centroid-cosine shape — see group_centroid_diversity), so dot
+products / norms against a LITERAL query (≤64 terms) are generated as
+explicit per-index arithmetic in ONE SQL string (`F.expr`), which parses
+once and stays fully codegen'd. That rule INVERTS past the JIT bytecode
+cliff: a two-column pair-grain cosine expands to ~600 array accesses,
+which janino compiles but HotSpot never JIT-compiles (the 8000-byte
+huge-method limit), so it runs bytecode-interpreted at ~50 µs/row — there
+the folded `dot_cols_fold` + per-side norm columns is 4.6-10x faster
+(r12 measurement; see cosine_cols / dot_cols_fold docstrings).
 Embedding dims are known and fixed per corpus (64 in the fixtures), so
-the expansion is always available.
+the expansion is always available where it wins.
 
 Determinism: generated sums are left-associated ((x0+x1)+x2)..., the same
 order as DuckDB's list_sum fold, so rounded comparisons are exact across
@@ -76,10 +82,36 @@ def cosine_query(vec_col: str, query: list[float]) -> Column:
 
 
 def cosine_cols(a_col: str, b_col: str, dim: int) -> Column:
-    """Cosine between two vector columns of known ``dim``."""
+    """Cosine between two vector columns of known ``dim``.
+
+    NOTE (r12): prefer ``dot_cols_fold`` + per-side ``norm_sq_sql`` columns
+    on PAIR-grain relations — this single expression expands to ~600 array
+    accesses, which exceeds HotSpot's 8000-byte method bytecode budget
+    (``DontCompileHugeMethods``): janino compiles it, but the JVM never
+    JIT-compiles the method, so it runs bytecode-INTERPRETED at ~50 µs/row
+    (measured: 14.2 s for a 250 k-pair verify vs 1.33 s restructured).
+    Kept for ROW-grain use where the per-row count is corpus-bounded."""
     return F.expr(
         f"{dot_cols_sql(a_col, b_col, dim)}"
         f" / (sqrt({norm_sq_sql(a_col, dim)}) * sqrt({norm_sq_sql(b_col, dim)}))"
+    )
+
+
+def dot_cols_fold(a_col: str, b_col: str) -> Column:
+    """Dot product of two vector columns as a folded loop instead of the
+    unrolled per-index expansion — BITWISE-identical values (same
+    cast-to-double multiplies, same left-associated addition order; the
+    0D seed is exact under IEEE addition) but JIT-compilable: the
+    dim-64 two-column expansion is ~192 accesses ≈ 8 KB of bytecode,
+    over HotSpot's huge-method limit, so it evaluates bytecode-interpreted
+    (the module-docstring HOF rule measured shapes BELOW that cliff; a
+    pair-verify expression sits above it — measured 10.7x: 14.2 -> 1.33 s
+    on 250 k pairs single-task). Folds the FULL arrays: callers guarantee
+    the fixed-dim corpus contract (same as the expanded form's ``dim``)."""
+    return F.expr(
+        f"aggregate(zip_with({a_col}, {b_col}, "
+        "(x, y) -> cast(x AS double) * cast(y AS double)), "
+        "0D, (acc, v) -> acc + v)"
     )
 
 
@@ -338,12 +370,26 @@ def semdedup(
     """
     dim = len(centroids[0]) if centroids else vector_dim(df, vec_col)
     a = ivf_assign(df, centroids, vec_col, cell_col)
-    l = a.select(F.col(cell_col), F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
-    r = a.select(F.col(cell_col), F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    # norms are computed ONCE PER ROW on each join side, not per pair: the
+    # value is bitwise-identical (same expansion over the same floats) and
+    # it shrinks the per-pair expression from ~600 array accesses (which
+    # runs bytecode-interpreted — see cosine_cols) to the folded dot +
+    # two multiplies; with the folded dot the verify is JIT-compiled
+    # (measured 10.7x on the sf0.1 cell-pair verify)
+    norm = F.expr(norm_sq_sql(vec_col, dim))
+    l = a.select(
+        F.col(cell_col), F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_va"), norm.alias("_na"),
+    )
+    r = a.select(
+        F.col(cell_col), F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_vb"), norm.alias("_nb"),
+    )
+    cos = dot_cols_fold("_va", "_vb") / (F.sqrt("_na") * F.sqrt("_nb"))
     dropped = (
         l.join(r, cell_col)
         .where(F.col("a") < F.col("b"))
-        .where(cosine_cols("_va", "_vb", dim) >= threshold)
+        .where(cos >= threshold)
         .select(F.col("b").alias(id_col))
         .distinct()
         .withColumn("_d", F.lit(True))

@@ -619,6 +619,11 @@ def test_semdedup_arrow_assign_single_eval_per_side(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     n = plan.count("ArrowEvalPython")
     assert n == 2, f"expected one Arrow assign per self-join side, got {n}"
+    # and the pair verify is the FOLDED dot over per-side norm columns —
+    # the unrolled ~600-access cosine runs bytecode-interpreted (HotSpot
+    # huge-method limit), measured 4.6x slower on the sf0.1 verify
+    opt = _optimized(out)
+    assert "zip_with" in opt, "semdedup verify lost the folded dot"
 
 
 def test_q69_pipeline_broadcasts_and_window_group_limit(spark):
