@@ -177,8 +177,20 @@ def t4(spark, sf):
     tags=("training", "dedup"),
 )
 def t5(spark, sf):
+    import os
+
     e = load_table(spark, sf, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    # fan the NESTED-LOOP STREAM side: each stream row pays ~N cosine
+    # verifies (~12 ms/row at sf0.1 — the most per-row-expensive stage in
+    # the engine), and the single-row-group fixture otherwise runs the
+    # whole N^2/2 verify as ONE task. Same footer gate as _docs: no-op on
+    # any multi-row-group corpus. Interleaved A/B at sf0.1: plain
+    # 22.8-61.7 s vs fanned 2.3-3.0 s. The broadcast (build) side stays
+    # the plain scan. The folded-dot verify (see similarity.dot_cols_fold)
+    # was A/B'd here too and TIES once fanned (mono won 3 of 4 pairs) —
+    # the monolithic cosine stays.
+    a_src = fan_out(e, spark, paths=[os.path.join(sf, "embeddings.parquet")])
+    a = a_src.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     sim = S.cosine_cols("ea", "eb", S.vector_dim(e))
     return (
