@@ -1,0 +1,31 @@
+import sys, time, os
+sys.path.insert(0, '/root/repo')
+from rudder_server_spark.session import get_spark
+from rudder_server_spark.sources.fixtures import load_table, fan_out
+import rudder_server_spark.operators.similarity as S
+import pyspark.sql.functions as F
+spark = get_spark(app_name="abt5fan")
+sf = "/root/testdata/sf0.1"
+e = load_table(spark, sf, "embeddings")
+e.count()
+dim = 64
+
+def build(fanned):
+    src = e
+    if fanned:
+        src = fan_out(e, spark, paths=[os.path.join(sf, "embeddings.parquet")])
+    a = src.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = S.cosine_cols("ea", "eb", dim)
+    return (a.join(b, F.col("a") < F.col("b")).withColumn("_sim", sim)
+            .where(F.col("_sim") >= 0.95)
+            .select("a", "b", F.round(F.col("_sim"), 6).alias("cos_sim")).orderBy("a","b"))
+
+res = {"plain": [], "fanned": []}
+for rnd in range(3):
+    order = [("plain", False), ("fanned", True)] if rnd % 2 == 0 else [("fanned", True), ("plain", False)]
+    for label, f in order:
+        t0=time.time(); build(f).write.mode("overwrite").format("noop").save()
+        dt=round(time.time()-t0,2); res[label].append(dt)
+        print(f"round {rnd} {label}: {dt}s", flush=True)
+print({k:(min(v),v) for k,v in res.items()})
